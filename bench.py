@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The metric is total wall-clock over the headline set; per-query seconds are
+reported individually.  Each query is forced with a cheap count() action so
+we measure execution, not driver-side Arrow transfer of full results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from databricks_feature_store_flight_school_spark.plans import catalog  # noqa: E402
+from databricks_feature_store_flight_school_spark.session import get_spark  # noqa: E402
+
+#: headline queries: one per major operator family (join+agg, wide agg,
+#: top-k, window, set-op, horizontal, dates, text, dedup, vectors, events)
+HEADLINE = [
+    "q_flagship_regional_revenue",
+    "q_pricing_summary",
+    "q_shipping_priority",
+    "q_local_supplier_volume",
+    "q_window_topn_per_customer",
+    "q_horizontal_countif",
+    "q_date_parts",
+    "q_semi_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = Path(sf_dir).name.replace("sf", "")
+    spark = get_spark(app_name="bench")
+    qmap = catalog.query_map()
+    names = [n for n in HEADLINE if n in qmap]
+
+    # warm the JVM + parquet footers once, outside timing
+    qmap[names[0]](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        qmap[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""Parquet table loaders for the driver's star-schema + LLM-pipeline tables.
+
+Reference analog: the CSV scan at includes/setup.py:206 (schema-inferred read).
+At scale we do the opposite of the reference — **no inferSchema pass**; parquet
+carries its schema, and the one irregularity (``events.ts`` stored as parquet
+TIMESTAMP(NANOS), which Spark rejects) is normalised here, once, in the loader
+instead of in every query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import prepare
+
+#: every table the driver pre-generates (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table, normalising types.
+
+    ``events.ts`` arrives as long nanoseconds (because of the nanosAsLong
+    session conf, see session.py) and is converted to a microsecond timestamp —
+    the same truncation DuckDB applies, so oracle comparisons line up.
+    """
+    prepare(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once: ``load_tables(spark, d, 'orders', 'lineitem')``."""
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views so ``spark.sql`` queries can use
+    the same bare table names the DuckDB oracle sees (S5 in SURVEY.md §2.1)."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

