@@ -1,0 +1,145 @@
+"""FeatureStoreClient: the engine's front door, mirroring the API surface the
+reference exercises on ``databricks.feature_store.FeatureStoreClient``
+(SURVEY.md §1.1/§2.9):
+
+- ``create_feature_table(name, keys, schema=None, df=None, description=...)``
+- ``get_feature_table(name)`` / ``read_table(name)`` / ``delete_feature_table``
+- ``write_table(name, df, mode='merge'|'overwrite')`` (compute_and_write's
+  write half, S8)
+- ``create_training_set(df, feature_lookups, label, exclude_columns)`` (J3)
+- ``log_model`` / ``score_batch`` (J4/U2, via scoring.py)
+- ``publish_table(name, jdbc_url, ...)`` (S9 online publish — JDBC adapter)
+
+All data paths are plain parquet under a warehouse directory (Delta merge is
+used automatically if delta-spark is importable — writer.py).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from . import scoring, writer
+from .decorators import FeatureComputation, feature_table as _feature_table_deco
+from .lookups import FeatureLookup, TrainingSet
+from .registry import FeatureTableMeta, Registry
+
+
+class FeatureStoreClient:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.registry = Registry(warehouse)
+
+    # -- catalog (D4-D6) ----------------------------------------------------
+
+    def create_feature_table(
+        self,
+        name: str,
+        keys: str | list[str],
+        schema: StructType | None = None,
+        df: DataFrame | None = None,
+        description: str = "",
+        partition_columns: list[str] | None = None,
+    ) -> FeatureTableMeta:
+        """Register a feature table (FS:207-218).  ``schema`` may come from a
+        DataFrame (``df.schema`` is what the reference passes); providing
+        ``df`` also performs the initial write."""
+        if schema is None and df is not None:
+            schema = df.schema
+        if schema is None:
+            raise ValueError("provide schema= or df=")
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        missing = [k for k in keys if k not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"primary key(s) {missing} not in schema")
+        meta = self.registry.create(
+            FeatureTableMeta(
+                name=name,
+                keys=keys,
+                schema_json=schema.json(),
+                description=description,
+                partition_columns=partition_columns or [],
+            )
+        )
+        if df is not None:
+            meta = writer.write_snapshot(self.registry, meta, df, mode="overwrite")
+        return meta
+
+    def get_feature_table(self, name: str) -> FeatureTableMeta:
+        return self.registry.get(name)
+
+    def delete_feature_table(self, name: str) -> None:
+        """Registry row + data directories (FS:177-178 delete-then-create)."""
+        table_dir = self.registry.table_dir(name)
+        self.registry.delete(name)
+        shutil.rmtree(table_dir, ignore_errors=True)
+
+    def list_feature_tables(self) -> list[str]:
+        return self.registry.list_tables()
+
+    # -- data plane (S4/S8) -------------------------------------------------
+
+    def read_table(self, name: str) -> DataFrame:
+        return writer.read_snapshot(self.spark, self.registry, self.registry.get(name))
+
+    def write_table(self, name: str, df: DataFrame, mode: str = "merge") -> FeatureTableMeta:
+        return writer.write_snapshot(self.registry, self.registry.get(name), df, mode)
+
+    # -- decorator binding --------------------------------------------------
+
+    def feature_table(self, fn) -> FeatureComputation:
+        """``@client.feature_table`` — decorator pre-bound to this client."""
+        return _feature_table_deco(fn).bind(self)
+
+    # -- training & scoring (J3/J4) ----------------------------------------
+
+    def create_training_set(
+        self,
+        df: DataFrame,
+        feature_lookups: list[FeatureLookup],
+        label: str | None = None,
+        exclude_columns: str | list[str] | None = None,
+        broadcast: bool = True,
+    ) -> TrainingSet:
+        if isinstance(exclude_columns, str):
+            exclude_columns = [exclude_columns]
+        return TrainingSet(
+            df=df,
+            feature_lookups=list(feature_lookups),
+            label=label,
+            exclude_columns=list(exclude_columns or []),
+            _client=self,
+            broadcast=broadcast,
+        )
+
+    def log_model(self, path: str, predictor, training_set: TrainingSet) -> None:
+        scoring.log_model(path, predictor, training_set)
+
+    def score_batch(
+        self, model_path: str, df: DataFrame, result_type: str = "boolean"
+    ) -> DataFrame:
+        return scoring.score_batch(self, model_path, df, result_type=result_type)
+
+    # -- online publish (S9) ------------------------------------------------
+
+    def publish_table(
+        self,
+        name: str,
+        jdbc_url: str,
+        table: str | None = None,
+        mode: str = "overwrite",
+        properties: dict[str, str] | None = None,
+    ) -> None:
+        """Copy a feature table to a row-oriented store over JDBC — the
+        engine's ``fs.publish_table(..., online_store=AmazonRdsMySqlSpec)``
+        (Sean_Original.py:374-387).  Requires a JDBC driver jar on the Spark
+        classpath; untested here (no RDBMS in the harness), shape-parity only.
+        """
+        df = self.read_table(name)
+        w = df.write.format("jdbc").option("url", jdbc_url).mode(mode)
+        w = w.option("dbtable", table or name)
+        for k, v in (properties or {}).items():
+            w = w.option(k, v)
+        w.save()

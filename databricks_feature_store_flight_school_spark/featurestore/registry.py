@@ -1,0 +1,105 @@
+"""Feature-table registry: the engine's replacement for the Databricks
+feature-catalog service.
+
+Reference parity (SURVEY.md §2.9 D4-D6):
+- ``fs.create_feature_table(name, keys, schema, description)``  (FS:207-218)
+- ``fs.get_feature_table(name)``                                 (FS:283)
+- ``fs._catalog_client.delete_feature_table(name)``              (FS:177-178)
+
+Where the reference makes an RPC to a control-plane catalog, the engine keeps
+a local registry: one JSON document per table under ``<warehouse>/_registry/``
+(atomic tmp-file + rename writes), with the table data itself stored as
+versioned parquet snapshots (see writer.py).  Metadata is driver-side and
+tiny — table *data* is the only thing that touches executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+import time
+from dataclasses import asdict, dataclass, field
+
+
+def _sanitize(name: str) -> str:
+    """Identifier hygiene, same rule as the reference's user-id cleanup
+    (includes/setup.py:50): strip non-alphanumerics, lowercase."""
+    clean = re.sub(r"[^A-Za-z0-9_]+", "_", name).lower()
+    if not clean or clean[0].isdigit():
+        raise ValueError(f"invalid feature table name: {name!r}")
+    return clean
+
+
+@dataclass
+class FeatureTableMeta:
+    """Catalog row for one feature table (keys/schema/description per D4)."""
+
+    name: str
+    keys: list[str]
+    schema_json: str  # Spark StructType JSON at registration time
+    description: str = ""
+    created_at: float = field(default_factory=time.time)
+    current_version: int = 0  # 0 = registered but never written
+    partition_columns: list[str] = field(default_factory=list)
+
+    @property
+    def primary_keys(self) -> list[str]:
+        return self.keys
+
+
+class Registry:
+    """Filesystem-backed catalog of :class:`FeatureTableMeta` documents."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        self._dir = os.path.join(warehouse, "_registry")
+        os.makedirs(self._dir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self._dir, f"{_sanitize(name)}.json")
+
+    def table_dir(self, name: str) -> str:
+        return os.path.join(self.warehouse, _sanitize(name))
+
+    def create(self, meta: FeatureTableMeta) -> FeatureTableMeta:
+        path = self._path(meta.name)
+        if os.path.exists(path):
+            raise ValueError(f"feature table already exists: {meta.name}")
+        self._write(meta)
+        return meta
+
+    def get(self, name: str) -> FeatureTableMeta:
+        path = self._path(name)
+        if not os.path.exists(path):
+            raise KeyError(f"feature table not found: {name}")
+        with open(path) as fh:
+            return FeatureTableMeta(**json.load(fh))
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name))
+
+    def update(self, meta: FeatureTableMeta) -> None:
+        if not os.path.exists(self._path(meta.name)):
+            raise KeyError(f"feature table not found: {meta.name}")
+        self._write(meta)
+
+    def delete(self, name: str) -> None:
+        """D6: registry row delete; data directories are left for GC by the
+        caller (FeatureStoreClient.delete_feature_table removes them)."""
+        path = self._path(name)
+        if os.path.exists(path):
+            os.remove(path)
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            f[: -len(".json")] for f in os.listdir(self._dir) if f.endswith(".json")
+        )
+
+    def _write(self, meta: FeatureTableMeta) -> None:
+        # atomic publish: write sidecar tmp file, rename over the target
+        fd, tmp = tempfile.mkstemp(dir=self._dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(asdict(meta), fh, indent=2)
+        os.replace(tmp, self._path(meta.name))

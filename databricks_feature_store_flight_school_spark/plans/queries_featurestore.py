@@ -1,5 +1,195 @@
 """Feature-store surface queries (registry, lookup joins, merge, scoring).
 
-Populated alongside the featurestore package; see that package for the
-engine implementation.
+Each query exercises the REAL engine path end-to-end: it materialises feature
+tables into a throwaway warehouse under /tmp via the registry + merge writer,
+then returns the DataFrame the feature-store API produces.  The oracle SQL
+re-derives the same result relationally from the base tables, so the driver's
+DuckDB gate checks the whole pipeline (registration -> write -> snapshot read
+-> lookup join / merge resolution / scoring UDF), not just a join.
+
+Determinism: every call gets a fresh ``mkdtemp`` warehouse; all feature
+values derive from the driver's parquet tables only.
 """
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..featurestore import FeatureLookup, FeatureStoreClient
+from ..featurestore.scoring import LinearThresholdModel
+from ..sources import load_table
+from .catalog import register
+
+
+def _profile_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature table 1: static customer profile (c_custkey PK)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+def _order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature table 2: per-customer order aggregates, dense over ALL
+    customers (left join + coalesce so downstream lookups never see nulls —
+    the fillna-at-compute idiom of FS:133)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+    return (
+        customer.join(agg, on="c_custkey", how="left")
+        .fillna({"order_count": 0, "total_spend": 0.0})
+        .select("c_custkey", "order_count", "total_spend")
+    )
+
+
+def _client(spark: SparkSession) -> FeatureStoreClient:
+    return FeatureStoreClient(spark, tempfile.mkdtemp(prefix="fs_warehouse_"))
+
+
+_ORDER_FEATURES_SQL = """
+      SELECT c.c_custkey,
+             coalesce(o.order_count, 0) AS order_count,
+             coalesce(o.total_spend, 0.0) AS total_spend
+      FROM customer c
+      LEFT JOIN (SELECT o_custkey, count(*) AS order_count,
+                        round(sum(o_totalprice), 2) AS total_spend
+                 FROM orders GROUP BY o_custkey) o
+        ON o.o_custkey = c.c_custkey
+"""
+
+
+@register(
+    "q_fs_training_set",
+    f"""
+    SELECT c.c_custkey,
+           (c.c_acctbal < 1000) AS label,
+           p.segment,
+           p.acctbal,
+           f.order_count,
+           f.total_spend
+    FROM customer c
+    JOIN (SELECT c_custkey, c_mktsegment AS segment, round(c_acctbal, 2) AS acctbal
+          FROM customer) p ON p.c_custkey = c.c_custkey
+    JOIN ({_ORDER_FEATURES_SQL}) f ON f.c_custkey = c.c_custkey
+    """,
+    "featurestore", "join",
+)
+def q_fs_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_training_set end-to-end (J3): register two feature tables,
+    write them through the merge writer, declaratively look up all features
+    onto a labelled key frame (FS:286-321 flow).
+
+    Scale: both feature tables are broadcast by the lookup planner; the input
+    (fact-sized in production) streams through two broadcast hash joins with
+    zero shuffles.
+    """
+    fs = _client(spark)
+    fs.create_feature_table(
+        "customer_profile", keys="c_custkey", df=_profile_features(spark, sf_dir),
+        description="static customer profile features",
+    )
+    fs.create_feature_table(
+        "customer_orders", keys="c_custkey", df=_order_features(spark, sf_dir),
+        description="per-customer order aggregates",
+    )
+    inference = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_acctbal") < 1000).alias("label")
+    )
+    ts = fs.create_training_set(
+        inference,
+        [
+            FeatureLookup("customer_profile", "c_custkey"),
+            FeatureLookup("customer_orders", "c_custkey"),
+        ],
+        label="label",
+    )
+    return ts.load_df()
+
+
+@register(
+    "q_fs_merge_schema_evolution",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN round(c_acctbal + 1000, 2)
+                ELSE round(c_acctbal, 2) END AS acctbal,
+           c_mktsegment AS segment,
+           CASE WHEN c_custkey % 3 = 0 THEN 'gold' END AS loyalty_tier
+    FROM customer
+    """,
+    "featurestore", "merge",
+)
+def q_fs_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-upsert with schema evolution (S8, FS:411-435): v1 = all
+    customers; v2 merges an update slice (every third key) carrying a
+    brand-new ``loyalty_tier`` column.  Matched rows take source values,
+    untouched rows keep theirs with null in the evolved column."""
+    fs = _client(spark)
+    base = _profile_features(spark, sf_dir)
+    fs.create_feature_table("profile_m", keys="c_custkey", df=base)
+    update = (
+        base.where(F.col("c_custkey") % 3 == 0)
+        .withColumn("acctbal", F.round(F.col("acctbal") + 1000, 2))
+        .withColumn("loyalty_tier", F.lit("gold"))
+    )
+    fs.write_table("profile_m", update, mode="merge")
+    return fs.read_table("profile_m")
+
+
+@register(
+    "q_fs_score_batch",
+    f"""
+    SELECT c.c_custkey,
+           p.acctbal,
+           f.total_spend,
+           (p.acctbal * 0.001 + f.total_spend * 0.00001 > 5.0) AS prediction
+    FROM customer c
+    JOIN (SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer) p
+      ON p.c_custkey = c.c_custkey
+    JOIN ({_ORDER_FEATURES_SQL}) f ON f.c_custkey = c.c_custkey
+    """,
+    "featurestore", "scoring", "pandas-udf",
+)
+def q_fs_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """score_batch end-to-end (J4/U2): log a deterministic linear model with
+    its lookup graph, then score a key-only batch frame — the engine
+    reconstructs the feature joins from the model artifact (FS:342-363) and
+    applies the predictor per Arrow batch."""
+    fs = _client(spark)
+    fs.create_feature_table(
+        "profile_s", keys="c_custkey",
+        df=_profile_features(spark, sf_dir).select("c_custkey", "acctbal"),
+    )
+    fs.create_feature_table(
+        "orders_s", keys="c_custkey",
+        df=_order_features(spark, sf_dir).select("c_custkey", "total_spend"),
+    )
+    inference = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_acctbal") < 1000).alias("label")
+    )
+    ts = fs.create_training_set(
+        inference,
+        [
+            FeatureLookup("profile_s", "c_custkey", ["acctbal"]),
+            FeatureLookup("orders_s", "c_custkey", ["total_spend"]),
+        ],
+        label="label",
+        exclude_columns="c_custkey",
+    )
+    model = LinearThresholdModel(
+        weights={"acctbal": 0.001, "total_spend": 0.00001}, threshold=5.0
+    )
+    model_dir = tempfile.mkdtemp(prefix="fs_model_")
+    fs.log_model(model_dir, model, ts)
+
+    batch = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return fs.score_batch(model_dir, batch, result_type="boolean")

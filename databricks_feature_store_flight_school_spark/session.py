@@ -47,7 +47,39 @@ def prepare(spark: SparkSession) -> SparkSession:
             # A conf may be non-settable on some builds; never fail a query
             # over session tuning.
             pass
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pandas UDFs (scoring predictors, count-if) unpickle classes defined in
+    this package on the worker side; when the driver process was started
+    outside the repo the workers' sys.path lacks it.  Shipping a zip via
+    ``addPyFile`` fixes that uniformly for local mode AND a real cluster.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dbfs_fs_pkg_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(pkg_dir)
+    base = os.path.join(
+        tempfile.gettempdir(), f"dbfs_fs_spark_pkg_{os.getpid()}"
+    )
+    try:
+        zip_path = shutil.make_archive(
+            base, "zip", root_dir=repo_root, base_dir=os.path.basename(pkg_dir)
+        )
+        sc.addPyFile(zip_path)
+        sc._dbfs_fs_pkg_shipped = True
+    except Exception:
+        # e.g. read-only tmp or repeated addPyFile on some builds — workers
+        # that already share the repo path still function.
+        pass
 
 
 def get_spark(

@@ -1,0 +1,237 @@
+"""Feature-store core: registry CRUD (D4-D6), merge semantics incl. schema
+evolution (S8), lookup-join planner (J3), scoring path (J4) — the SURVEY.md §5
+unit-test plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from databricks_feature_store_flight_school_spark.featurestore import (
+    FeatureLookup,
+    FeatureStoreClient,
+    feature_table,
+)
+from databricks_feature_store_flight_school_spark.featurestore.scoring import (
+    LinearThresholdModel,
+)
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    return FeatureStoreClient(spark, str(tmp_path / "warehouse"))
+
+
+def _demo_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(customer_id=1, gender="F", senior=True),
+            Row(customer_id=2, gender="M", senior=False),
+            Row(customer_id=3, gender="F", senior=False),
+        ]
+    )
+
+
+# -- registry (D4-D6) -------------------------------------------------------
+
+def test_registry_crud(spark, client):
+    df = _demo_df(spark)
+    meta = client.create_feature_table(
+        "demographic_features", keys="customer_id", df=df, description="demo"
+    )
+    assert meta.current_version == 1
+    got = client.get_feature_table("demographic_features")
+    assert got.keys == ["customer_id"]
+    assert got.description == "demo"
+    assert client.list_feature_tables() == ["demographic_features"]
+
+    with pytest.raises(ValueError, match="already exists"):
+        client.create_feature_table("demographic_features", keys="customer_id", df=df)
+
+    client.delete_feature_table("demographic_features")
+    assert client.list_feature_tables() == []
+    with pytest.raises(KeyError):
+        client.get_feature_table("demographic_features")
+
+
+def test_create_requires_key_in_schema(spark, client):
+    with pytest.raises(ValueError, match="primary key"):
+        client.create_feature_table("bad", keys="nope", df=_demo_df(spark))
+
+
+# -- merge-upsert + schema evolution (S8, hard part #1) ---------------------
+
+def test_merge_update_insert_and_schema_evolution(spark, client):
+    client.create_feature_table("svc", keys="customer_id", df=_demo_df(spark))
+
+    # v2 source: update id=1, insert id=4, and carry a brand-new column
+    update = spark.createDataFrame(
+        [
+            Row(customer_id=1, gender="F", senior=False, num_services=5),
+            Row(customer_id=4, gender="M", senior=True, num_services=2),
+        ]
+    )
+    client.write_table("svc", update, mode="merge")
+
+    out = {r["customer_id"]: r for r in client.read_table("svc").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # matched row: source wins in full
+    assert out[1]["senior"] is False and out[1]["num_services"] == 5
+    # unmatched insert
+    assert out[4]["num_services"] == 2
+    # untouched rows keep values; evolved column is null (FS:411-435 semantics)
+    assert out[2]["gender"] == "M" and out[2]["num_services"] is None
+    assert out[3]["num_services"] is None
+    assert client.get_feature_table("svc").current_version == 2
+
+
+def test_merge_source_missing_column_keeps_nulls_for_inserts(spark, client):
+    client.create_feature_table("svc2", keys="customer_id", df=_demo_df(spark))
+    # source missing 'senior' entirely: matched row's senior becomes null
+    # (UPDATE SET * with an absent column == evolved union semantics)
+    update = spark.createDataFrame([Row(customer_id=2, gender="X")])
+    client.write_table("svc2", update, mode="merge")
+    out = {r["customer_id"]: r for r in client.read_table("svc2").collect()}
+    assert out[2]["gender"] == "X" and out[2]["senior"] is None
+    assert out[1]["senior"] is True
+
+
+def test_merge_requires_key_column(spark, client):
+    client.create_feature_table("svc3", keys="customer_id", df=_demo_df(spark))
+    with pytest.raises(ValueError, match="primary key"):
+        client.write_table("svc3", _demo_df(spark).drop("customer_id"), mode="merge")
+
+
+def test_overwrite_replaces(spark, client):
+    client.create_feature_table("svc4", keys="customer_id", df=_demo_df(spark))
+    two = _demo_df(spark).limit(2)
+    client.write_table("svc4", two, mode="overwrite")
+    assert client.read_table("svc4").count() == 2
+
+
+def test_merge_idempotent_last_writer_wins(spark, client):
+    """Property check: replaying the same merge twice == once."""
+    client.create_feature_table("svc5", keys="customer_id", df=_demo_df(spark))
+    upd = spark.createDataFrame([Row(customer_id=1, gender="Z", senior=True)])
+    client.write_table("svc5", upd, mode="merge")
+    once = sorted(map(tuple, client.read_table("svc5").collect()))
+    client.write_table("svc5", upd, mode="merge")
+    twice = sorted(map(tuple, client.read_table("svc5").collect()))
+    assert once == twice
+
+
+# -- @feature_table decorator (FS:102-111) ----------------------------------
+
+def test_feature_table_decorator_direct_call_and_write(spark, client):
+    @client.feature_table
+    def compute_demo(df):
+        return df.select("customer_id", "gender", (F.col("senior") == True).alias("is_senior"))  # noqa: E712
+
+    df = _demo_df(spark)
+    direct = compute_demo(df)  # plain call still returns the DataFrame
+    assert direct.columns == ["customer_id", "gender", "is_senior"]
+
+    client.create_feature_table("demo_feats", keys="customer_id", schema=direct.schema)
+    compute_demo.compute_and_write(df, "demo_feats", mode="merge")
+    assert client.read_table("demo_feats").count() == 3
+
+
+def test_unbound_decorator_raises(spark):
+    @feature_table
+    def compute(df):
+        return df
+
+    with pytest.raises(RuntimeError, match="not bound"):
+        compute.compute_and_write(_demo_df(spark), "x")
+
+
+# -- lookup joins / training set (J3, hard part #2) -------------------------
+
+@pytest.fixture()
+def lookup_client(spark, client):
+    client.create_feature_table(
+        "demo_f",
+        keys="customer_id",
+        df=spark.createDataFrame(
+            [Row(customer_id=1, age=30), Row(customer_id=2, age=40)]
+        ),
+    )
+    client.create_feature_table(
+        "spend_f",
+        keys="customer_id",
+        df=spark.createDataFrame(
+            [Row(customer_id=1, total_spend=10.0), Row(customer_id=3, total_spend=30.0)]
+        ),
+    )
+    return client
+
+
+def test_training_set_left_join_missing_keys_null(spark, lookup_client):
+    inference = spark.createDataFrame(
+        [Row(customer_id=1, churn=True), Row(customer_id=2, churn=False), Row(customer_id=9, churn=True)]
+    )
+    ts = lookup_client.create_training_set(
+        inference,
+        [
+            FeatureLookup("demo_f", "customer_id"),
+            FeatureLookup("spend_f", "customer_id", ["total_spend"]),
+        ],
+        label="churn",
+    )
+    rows = {r["customer_id"]: r for r in ts.load_df().collect()}
+    assert len(rows) == 3  # input rows always preserved
+    assert rows[1]["age"] == 30 and rows[1]["total_spend"] == 10.0
+    assert rows[2]["age"] == 40 and rows[2]["total_spend"] is None
+    assert rows[9]["age"] is None and rows[9]["total_spend"] is None
+    assert rows[1]["churn"] is True  # label passthrough
+
+
+def test_training_set_exclude_columns(spark, lookup_client):
+    inference = spark.createDataFrame([Row(customer_id=1, churn=True)])
+    ts = lookup_client.create_training_set(
+        inference, [FeatureLookup("demo_f", "customer_id")], label="churn",
+        exclude_columns="customer_id",
+    )
+    assert ts.load_df().columns == ["churn", "age"]
+
+
+def test_lookup_collision_raises(spark, lookup_client):
+    inference = spark.createDataFrame([Row(customer_id=1, age=99)])
+    ts = lookup_client.create_training_set(
+        inference, [FeatureLookup("demo_f", "customer_id")]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        ts.load_df()
+
+
+def test_lookup_key_rename(spark, lookup_client):
+    """Input keyed by a different column name than the feature table's PK."""
+    inference = spark.createDataFrame([Row(cust=1, churn=False)])
+    ts = lookup_client.create_training_set(
+        inference, [FeatureLookup("demo_f", "cust")], label="churn"
+    )
+    row = ts.load_df().collect()[0]
+    assert row["cust"] == 1 and row["age"] == 30
+
+
+# -- scoring (J4/U2) --------------------------------------------------------
+
+def test_log_model_score_batch_roundtrip(spark, lookup_client, tmp_path):
+    inference = spark.createDataFrame(
+        [Row(customer_id=1, churn=True), Row(customer_id=2, churn=False)]
+    )
+    ts = lookup_client.create_training_set(
+        inference, [FeatureLookup("demo_f", "customer_id", ["age"])], label="churn",
+    )
+    model = LinearThresholdModel(weights={"age": 1.0}, threshold=35.0)
+    mpath = str(tmp_path / "model")
+    lookup_client.log_model(mpath, model, ts)
+
+    batch = spark.createDataFrame([Row(customer_id=1), Row(customer_id=2)])
+    scored = lookup_client.score_batch(mpath, batch, result_type="boolean")
+    out = {r["customer_id"]: r["prediction"] for r in scored.collect()}
+    assert out == {1: False, 2: True}  # age 30 <= 35 < age 40
+
+    as_str = lookup_client.score_batch(mpath, batch, result_type="string")
+    vals = {r["customer_id"]: r["prediction"] for r in as_str.collect()}
+    assert vals == {1: "False", 2: "True"}
