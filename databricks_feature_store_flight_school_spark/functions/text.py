@@ -1,0 +1,127 @@
+"""Text-analysis column expressions for the ``documents`` table
+(SURVEY.md §2.12 LLM-pipeline extensions: language-ID, quality scoring,
+token counting, fingerprinting).
+
+Everything here is a pure Column expression (JVM-side, whole-stage codegen) —
+no Python UDFs in the text hot path.  At 100 TB these run inside the parquet
+scan stage with zero extra shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Marker stopwords per language, ordered dict: tie-break = first language
+# listed (the SQL oracle replicates the same >= chain).  Deliberately tiny —
+# a real deployment swaps in bigger lexicons; the *mechanism* (marker-hit
+# scoring, deterministic argmax) is what the engine provides.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "with"),
+    "es": ("el", "la", "los", "una", "que"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "les", "des", "est", "une"),
+}
+
+#: BPE-ish tokenisation: word pieces OR single non-space punctuation.
+#: Same regex runs under Java (Spark) and DuckDB's RE2-style engine.
+BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenisation of trimmed text (documents are single-space
+    separated; `split` on the literal space keeps Spark/DuckDB aligned)."""
+    return F.split(F.trim(F.col(col) if isinstance(col, str) else col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Regex token count (word pieces + punctuation), the BPE-ish proxy."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_count(col: Column | str) -> Column:
+    """Number of .,!?;: characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+
+
+def avg_word_len(col: Column | str) -> Column:
+    t = tokens(col)
+    total = F.aggregate(
+        F.transform(t, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+    return total / F.size(t)
+
+
+def stopword_count(col: Column | str, words: tuple[str, ...]) -> Column:
+    t = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    in_list = lambda w: w.isin(*words)  # noqa: E731
+    return F.size(F.filter(t, in_list))
+
+
+def quality_score(col: Column | str, n_chars: Column | str = None) -> Column:
+    """Heuristic doc quality in [0,1]: rewards mid-length docs, penalises
+    punctuation soup and one-char tokens — the shape of production quality
+    filters (length/punct/stopword ratios), deterministic and SQL-twin-able."""
+    c = F.col(col) if isinstance(col, str) else col
+    length = F.length(c).cast("double")
+    tok = token_count(c).cast("double")
+    len_component = F.least(length / F.lit(500.0), F.lit(1.0))
+    punct_ratio = punct_count(c).cast("double") / F.greatest(length, F.lit(1.0))
+    short_tok_ratio = (
+        F.size(F.filter(tokens(c), lambda w: F.length(w) <= 1)).cast("double")
+        / F.greatest(tok, F.lit(1.0))
+    )
+    return (
+        F.lit(0.5) * len_component
+        + F.lit(0.25) * (F.lit(1.0) - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(short_tok_ratio * 5, F.lit(1.0)))
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Marker-hit count per candidate language."""
+    return {lang: stopword_count(col, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column | str, default: str = "unknown") -> Column:
+    """Deterministic argmax over marker scores: the when-chain picks the
+    FIRST language (LANG_MARKERS order) whose score >= every later score —
+    i.e. the lowest-index maximum; all-zero scores -> ``default``.  The SQL
+    oracle spells out the identical CASE chain."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    expr = None
+    for i, li in enumerate(langs):
+        cond = scores[li] > 0
+        for lj in langs[i + 1:]:
+            cond = cond & (scores[li] >= scores[lj])
+        expr = F.when(cond, F.lit(li)) if expr is None else expr.when(cond, F.lit(li))
+    return expr.otherwise(F.lit(default))
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams as an array<string> (dedup unit)."""
+    t = tokens(col)
+    # guard against < k tokens (sequence(0, negative) would descend)
+    grams = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
+        ),
+    ).otherwise(F.array())
+    return F.array_distinct(grams)
+
+
+def rolling_fingerprint(col: Column | str, k: int = 3) -> Column:
+    """Document fingerprint: min of 64-bit hashes over word k-gram shingles
+    (a 1-permutation MinHash / winnowing-lite).  Equal fingerprints flag
+    near-identical content at shingle granularity."""
+    grams = word_shingles(col, k)
+    hashes = F.transform(grams, lambda s: F.xxhash64(s))
+    return F.array_min(hashes)

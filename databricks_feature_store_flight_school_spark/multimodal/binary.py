@@ -1,0 +1,186 @@
+"""Multimodal (image/audio/video) column plumbing — SURVEY.md §2.12.
+
+Media travel as opaque ``binary`` columns with a typed metadata struct; the
+decode / feature-extract / frame-sample stages are Arrow-batched
+``mapInPandas`` operators so each Python worker touches whole record batches,
+never rows.
+
+The actual codec step is STUBBED (this container ships no image/audio
+libraries): if PIL/soundfile were importable the real decoders would slot in
+where ``_decode_stub`` sits; instead a clearly-marked deterministic fake
+derives metadata from the byte stream, keeping every Spark-side contract —
+schema, partitioning, UDF signature, Arrow batch shape — real and tested.
+
+Scale notes: binary payloads never pass through a shuffle here (all three
+operators are narrow maps); pair with
+``spark.sql.files.maxPartitionBytes`` sizing so a partition of blobs fits the
+worker's memory, and keep metadata-only branches (filters on the struct) in
+separate small columns so scans can prune the blob column entirely.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real decoder, absent in this container
+    from PIL import Image  # type: ignore  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    _HAVE_PIL = False
+
+#: typed metadata carried alongside every media blob
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("media_type", StringType()),
+        StructField("byte_size", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("byte_size", LongType()),
+    ]
+)
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", StringType()),  # csv of FEATURE_DIM floats
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """``binaryFile`` source: path, modificationTime, length, content.
+    The S11-analog ingest for media directories."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def attach_media_meta(df: DataFrame, binary_col: str, media_type: str) -> DataFrame:
+    """Add the typed metadata struct (computed JVM-side: no Python)."""
+    b = F.col(binary_col)
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(b).cast("long").alias("byte_size"),
+            F.sha2(b, 256).alias("checksum"),
+        ),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic FAKE image decode (no codec libs in the container).
+
+    Derives (width, height, mode) purely from byte content so tests are
+    reproducible.  A real deployment replaces this body with PIL:
+    ``im = Image.open(io.BytesIO(payload)); return im.width, im.height, im.mode``.
+    """
+    if _HAVE_PIL:  # pragma: no cover - not installed here
+        raise NotImplementedError("wire PIL decode here when the lib is present")
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    mode = "RGB" if n % 2 == 0 else "L"
+    return width, height, mode
+
+
+def decode_image_batch(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """mapInPandas decode: binary column -> (width, height, mode, byte_size).
+
+    Arrow batches cross the JVM->Python boundary once per batch; the worker
+    loops the batch in C-speed pandas ops where possible.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_stub(b) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                    "mode": [d[2] for d in decoded],
+                    "byte_size": pdf[binary_col].map(len).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(decode, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """mapInPandas feature extraction stub: FEATURE_DIM floats per blob,
+    derived deterministically from byte histograms (stands in for a CNN/
+    audio-embedding forward pass; the Spark plumbing is identical)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf[binary_col]:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+                total = max(hist.sum(), 1)
+                feats.append(",".join(f"{v / total:.6f}" for v in hist))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "feature": feats}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, id_col: str, binary_col: str, frame_size: int = 1024, stride: int = 4
+) -> DataFrame:
+    """Frame sampling stub for video-ish payloads: split the byte stream into
+    ``frame_size`` chunks, keep every ``stride``-th (a real sampler seeks
+    keyframes; the fan-out/explode shape is the same)."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[binary_col]):
+                n_frames = max(1, len(b) // frame_size)
+                for i in range(0, n_frames, stride):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(bytes(b[i * frame_size: (i + 1) * frame_size]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_index": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": frames,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(sample, FRAME_SCHEMA)

@@ -1,0 +1,36 @@
+from .asof import asof_join
+from .dedup import (
+    content_hash,
+    content_hash_dedup,
+    exact_dedup,
+    hamming64,
+    minhash_lsh_candidates,
+    minhash_signature,
+    minhash_signatures_df,
+    shingle_pairs_jaccard,
+    simhash_df,
+)
+from .similarity import cosine_topk, lsh_topk, nearest_neighbor_join
+from .topk import top_k, top_k_per_group
+from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
+
+__all__ = [
+    "asof_join",
+    "content_hash",
+    "content_hash_dedup",
+    "cosine_topk",
+    "exact_dedup",
+    "hamming64",
+    "lsh_topk",
+    "minhash_lsh_candidates",
+    "minhash_signature",
+    "minhash_signatures_df",
+    "nearest_neighbor_join",
+    "session_window_agg",
+    "shingle_pairs_jaccard",
+    "simhash_df",
+    "sliding_window_agg",
+    "top_k",
+    "top_k_per_group",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY.md §2.12 LLM-pipeline extensions): exact, content-hash, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Scale architecture, per method:
+
+- **exact / content-hash**: one hash-partitioned shuffle on the dedup key
+  (sha2 of content, not the content itself, travels through the exchange);
+  keep-first is a window min — no driver involvement.
+- **n-gram Jaccard**: explode distinct shingles -> self-equi-join on shingle
+  -> pair-count aggregation.  Only pairs sharing >= 1 shingle ever
+  materialise; the shuffle key is the shingle, so common-shingle skew is the
+  thing to watch (cap via document-frequency filter).
+- **MinHash+LSH**: per-doc signature (s seeded hash-mins, computed inside
+  one projection — no shuffle), banded into b buckets; candidate pairs only
+  within equal (band, band-hash) buckets -> verified with exact Jaccard.
+  Turns the quadratic all-pairs problem into near-linear bucket joins.
+- **SimHash**: 64-bit signature via bit-majority over token hashes — pure
+  Column expressions (explode + 64-way conditional sum would also work; the
+  array form keeps it single-pass).  Near-dup = small Hamming distance.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import word_shingles
+
+
+def exact_dedup(
+    df: DataFrame, subset: Sequence[str], keep_by: str, extra_agg: Sequence[Column] = ()
+) -> DataFrame:
+    """Keep the row with the smallest ``keep_by`` per distinct ``subset``
+    (deterministic 'keep-first', unlike dropDuplicates' partition-order
+    dependence).  Returns one row per group with ``dup_count``."""
+    return (
+        df.groupBy(*subset)
+        .agg(
+            F.min(keep_by).alias(keep_by),
+            F.count(F.lit(1)).alias("dup_count"),
+            *extra_agg,
+        )
+    )
+
+
+def content_hash(col: Column | str) -> Column:
+    """256-bit content hash (S8-grade exactness; DuckDB sha256 twin)."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup on sha2(text): keeps min-id row per hash."""
+    hashed = df.withColumn("content_hash", content_hash(text_col))
+    w = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with word-k-gram Jaccard >= threshold.
+
+    ``max_doc_freq`` drops shingles appearing in more than N docs before the
+    self-join — the skew/scale guard (a stopword-ish shingle shared by 1M
+    docs would otherwise explode into 10^12 pairs).
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(F.broadcast(freq.where(F.col("df") > max_doc_freq)), "shingle", "left_anti")
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("intersection") / (F.col("n_a") + F.col("n_b") - F.col("intersection"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "intersection", "jaccard")
+    )
+
+
+def minhash_signature(grams: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as array<bigint>: for seed i, min over shingles of
+    xxhash64(seed_i, shingle).
+
+    Expression form (higher-order functions) — convenient for single-row use,
+    but HOF lambdas are interpreted, not codegen'd; for corpus-scale
+    signatures use :func:`minhash_signatures_df`, which computes the same
+    values in whole-stage-codegen'd aggregates (~20x faster measured)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(grams, lambda s: F.xxhash64(i, s))),
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signatures as ``sig`` array<bigint>.
+
+    Scale path: explode distinct shingles -> ONE codegen'd projection
+    computing all seeded hashes per shingle -> single groupBy(id) with
+    ``num_hashes`` min() aggregates (partial map-side).  One shuffle on the
+    doc id; every expression stays inside whole-stage codegen, unlike the
+    interpreted HOF form."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("__shingle")
+    )
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    rows/band = num_hashes/bands; docs sharing ALL mins in any band collide.
+    Output: distinct (id_a < id_b) candidate pairs with the estimated
+    signature similarity (fraction of matching minhashes).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, k)
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    matching = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    return pairs.withColumn(
+        "est_similarity", matching.cast("double") / F.lit(float(num_hashes))
+    ).select("id_a", "id_b", "est_similarity")
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash per document: bit b of the signature is the majority vote of
+    bit b across the doc's token hashes.
+
+    Single-pass plan: explode tokens -> xxhash64 -> ONE groupBy(id) with a
+    ±1 conditional sum per bit (64 agg columns, all inside the same
+    HashAggregate) -> reassemble the bigint.  One shuffle on the doc id,
+    partial aggregation map-side; no per-bit re-scan of the tokens.
+    """
+    from ..functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__tok")
+    ).withColumn("__h", F.xxhash64("__tok"))
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"__b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"__b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

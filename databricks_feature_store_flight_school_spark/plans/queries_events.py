@@ -1,1 +1,211 @@
-"""Event-table queries: batch time windows, as-of join, JSON extraction."""
+"""Event-table queries: batch time windows, as-of join, JSON extraction,
+pivot (SURVEY.md §2.12 streaming/json extensions, batch-first so the DuckDB
+oracle can check them; streaming/stream.py reuses the same window helpers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import (
+    asof_join,
+    session_window_agg,
+    sliding_window_agg,
+    tumbling_window_agg,
+)
+from ..sources import load_table
+from .catalog import register
+
+
+def _ts_str(col):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+@register(
+    "q_tumbling_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS event_count,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "events", "window",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling windows per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tumbling_window_agg(
+        ev, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("event_count"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    return out.select(
+        _ts_str(F.col("window_start")).alias("window_start"),
+        "event_type", "event_count", "total_value",
+    )
+
+
+@register(
+    "q_sliding_window",
+    """
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS window_start,
+             value
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS event_count,
+           round(avg(value), 6) AS avg_value
+    FROM slid
+    GROUP BY 1
+    """,
+    "events", "window",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: every event contributes to
+    exactly 2 buckets (the oracle replicates rows over k∈{0,1} offsets)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_window_agg(
+        ev, "ts", "1 hour", "30 minutes", [],
+        [F.count(F.lit(1)).alias("event_count"), F.round(F.avg("value"), 6).alias("avg_value")],
+    )
+    return out.select(
+        _ts_str(F.col("window_start")).alias("window_start"),
+        "event_count", "avg_value",
+    )
+
+
+@register(
+    "q_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts >= lag(ts) OVER w + INTERVAL '10 minutes'
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS event_count,
+           round(sum(value), 2) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    "events", "window", "session",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 10-minute inactivity gap.  Spark's
+    session_window: a session absorbs an event iff its ts < current session
+    end (start + gap), end = last event + gap — exactly the oracle's
+    gaps-and-islands with `ts >= prev + gap` starting a new island."""
+    ev = load_table(spark, sf_dir, "events")
+    out = session_window_agg(
+        ev, "ts", "10 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("event_count"), F.round(F.sum("value"), 2).alias("session_value")],
+    )
+    return out.select(
+        "user_id",
+        _ts_str(F.col("window_start")).alias("session_start"),
+        _ts_str(F.col("window_end")).alias("session_end"),
+        "event_count", "session_value",
+    )
+
+
+@register(
+    "q_asof_join",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS ts_signup,
+           round(s.value, 2) AS value_signup
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    "events", "asof",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness: each purchase joined to the user's most
+    recent signup at-or-before it (backward inclusive as-of).  Uses the
+    union+window idiom of operators/asof.py — no per-key range explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["value"], suffix="_signup",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        _ts_str(F.col("ts")).alias("purchase_ts"),
+        _ts_str(F.col("ts_signup")).alias("ts_signup"),
+        # payload col keeps its name ("value") — no collision with left side
+        F.round(F.col("value"), 2).alias("value_signup"),
+    )
+
+
+@register(
+    "q_json_extract",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS event_count,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "events", "json",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the props column (get_json_object, F7/§2.12
+    json territory), bucketed aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.get_json_object(F.col("props"), "$.k").cast("int") % 10).alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "q_events_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'error') AS error
+    FROM events
+    GROUP BY user_id
+    """,
+    "events", "pivot",
+)
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type to per-user count columns.  Explicit value list =
+    single-pass conditional aggregation (no extra distinct-values job)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .fillna(0)
+    )

@@ -1,1 +1,243 @@
-"""Document-table queries: text analysis, exact + near dedup."""
+"""Document-table queries: text analysis, exact + near dedup
+(SURVEY.md §2.12 LLM-pipeline extensions over ``documents``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import text as T
+from ..operators import dedup as D
+from ..sources import load_table
+from .catalog import register
+
+
+@register(
+    "q_text_stats",
+    """
+    SELECT doc_id,
+           length(text) AS char_count,
+           len(string_split(trim(text), ' ')) AS token_count,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_count,
+           round(list_sum(list_transform(string_split(trim(text), ' '), w -> length(w)))
+                 * 1.0 / len(string_split(trim(text), ' ')), 6) AS avg_word_len
+    FROM documents
+    """,
+    "text",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length/token/punctuation statistics — all JVM Column
+    expressions inside the scan stage (no shuffle, no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("char_count"),
+        T.token_count("text").alias("token_count"),
+        T.punct_count("text").alias("punct_count"),
+        F.round(T.avg_word_len("text"), 6).alias("avg_word_len"),
+    )
+
+
+@register(
+    "q_bpe_token_count",
+    r"""
+    SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens,
+           count(*) AS doc_count,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "text", "tokens",
+)
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex (BPE-ish) token counting, aggregated into a histogram."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(T.bpe_token_count("text").alias("bpe_tokens"))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("bpe_tokens")
+    )
+
+
+@register(
+    "q_lang_quality",
+    """
+    SELECT lang,
+           source,
+           count(*) AS doc_count,
+           round(avg(length(text)), 6) AS avg_chars,
+           round(avg(
+             0.5 * least(length(text) / 500.0, 1.0)
+             + 0.25 * (1.0 - least(((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                    * 1.0 / greatest(length(text), 1)) * 10, 1.0))
+             + 0.25 * (1.0 - least((len(list_filter(string_split(trim(text), ' '), w -> length(w) <= 1))
+                                    * 1.0 / greatest(len(string_split(trim(text), ' ')), 1)) * 5, 1.0))
+           ), 6) AS avg_quality
+    FROM documents
+    GROUP BY lang, source
+    """,
+    "text", "quality",
+)
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/punct/short-token components) aggregated per
+    (lang, source) — the corpus-curation filter in aggregate form."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+            F.round(F.avg(T.quality_score("text")), 6).alias("avg_quality"),
+        )
+    )
+
+
+def _lang_score_sql(words: tuple[str, ...]) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ({in_list})))"
+    )
+
+
+_S = {lang: _lang_score_sql(words) for lang, words in T.LANG_MARKERS.items()}
+
+@register(
+    "q_lang_id",
+    f"""
+    SELECT predicted_lang, lang, count(*) AS doc_count
+    FROM (
+      SELECT lang,
+             CASE
+               WHEN {_S['en']} > 0 AND {_S['en']} >= {_S['es']} AND {_S['en']} >= {_S['de']} AND {_S['en']} >= {_S['fr']} THEN 'en'
+               WHEN {_S['es']} > 0 AND {_S['es']} >= {_S['de']} AND {_S['es']} >= {_S['fr']} THEN 'es'
+               WHEN {_S['de']} > 0 AND {_S['de']} >= {_S['fr']} THEN 'de'
+               WHEN {_S['fr']} > 0 THEN 'fr'
+               ELSE 'unknown'
+             END AS predicted_lang
+      FROM documents
+    )
+    GROUP BY 1, 2
+    """,
+    "text", "langid",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker language-ID confusion counts vs the labelled lang column.
+    The oracle spells out the identical first-max CASE chain."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.lang_id("text").alias("predicted_lang"))
+        .groupBy("predicted_lang", "lang")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
+@register(
+    "q_exact_dedup",
+    """
+    SELECT substr(trim(text), 1, 120) AS prefix_key,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    "text", "dedup",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a derived key (120-char prefix) with deterministic
+    keep-first — the hash-groupBy dedup shape (dropDuplicates is the same
+    plan minus the deterministic winner)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.withColumn("prefix_key", F.substring(F.trim(F.col("text")), 1, 120))
+    return D.exact_dedup(keyed, ["prefix_key"], "doc_id").select(
+        "prefix_key",
+        F.col("doc_id").alias("keep_doc_id"),
+        "dup_count",
+    )
+
+
+@register(
+    "q_content_hash_dedup",
+    """
+    SELECT doc_id, sha256(text) AS content_hash
+    FROM (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+    "text", "dedup", "hash",
+)
+def q_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sha2-256 content-hash dedup, keep min doc_id per digest.  The digest
+    column doubles as a byte-exact parity check of Spark sha2 vs DuckDB
+    sha256 across every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.content_hash_dedup(docs, "text", "doc_id").select("doc_id", "content_hash")
+
+
+@register(
+    "q_ngram_jaccard_neardup",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+           FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words) - 1, 1))) AS i)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+    SELECT id_a, id_b, intersection,
+           round(intersection * 1.0 / (sa.n + sb.n - intersection), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE intersection * 1.0 / (sa.n + sb.n - intersection) >= 0.8
+    """,
+    "text", "dedup", "neardup",
+)
+def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by word-3-gram Jaccard >= 0.8, via the shingle
+    self-join (only shingle-sharing pairs materialise — never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_pairs_jaccard(docs, "doc_id", "text", k=3, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", "intersection", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
+    "q_minhash_lsh_neardup",
+    None,  # xxhash64-seeded MinHash has no DuckDB twin -> rows-only
+    "text", "dedup", "neardup", "rows-only",
+)
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidates, verified by exact Jaccard >= 0.5.
+    The LSH stage is the 100 TB path: candidates come from band-bucket joins,
+    not an all-pairs comparison.  Declared rows-only (Spark-specific hashes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=64, bands=16)
+    exact = D.shingle_pairs_jaccard(docs, "doc_id", "text", k=3, threshold=0.5)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .select("id_a", "id_b", F.round("est_similarity", 6).alias("est_similarity"),
+                F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q_simhash_neardup",
+    None,  # xxhash64-based SimHash -> rows-only
+    "text", "dedup", "neardup", "rows-only",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) signatures for every document plus the fingerprint
+    (1-perm MinHash) — the per-doc signature table near-dup pipelines join
+    against; pairs at small Hamming distance are near-dups."""
+    docs = load_table(spark, sf_dir, "documents")
+    sims = D.simhash_df(docs, "doc_id", "text")
+    fp = docs.select("doc_id", T.rolling_fingerprint("text").alias("fingerprint"))
+    return sims.join(fp, "doc_id").orderBy("doc_id")

@@ -1,1 +1,102 @@
-"""Embedding-table queries: cosine similarity search, LSH variants."""
+"""Embedding-table queries: cosine similarity search (exact + LSH),
+nearest-neighbour near-dup join (SURVEY.md §2.12 similarity extensions).
+
+Oracle note: Spark computes dot/norm with `F.aggregate` over
+double-cast elements (strict left-to-right IEEE summation); the DuckDB twin
+casts to DOUBLE[] and uses list_dot_product/list_cosine_similarity, which
+run the same sequential accumulation — results are bit-identical, and both
+sides round to 6 decimals anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.similarity import cosine_topk, lsh_topk, nearest_neighbor_join
+from ..sources import load_table
+from .catalog import register
+
+
+@register(
+    "q_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim
+      FROM q JOIN c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim, rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+    "vectors", "similarity", "topk",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for 10 query vectors: the correctness
+    baseline for ANN.  Query side broadcast; corpus scan stays partitioned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+@register(
+    "q_nearest_neighbor_dedup",
+    """
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE vec_id < 200),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             a.label AS query_label, b.label AS neighbor_label,
+             list_cosine_similarity(a.v, b.v) AS sim
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, query_label, neighbor_label,
+           round(sim, 6) AS cosine_sim
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    "vectors", "similarity", "neardup",
+)
+def q_nearest_neighbor_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup primitive: top-1 neighbour for every vector
+    in a 200-vector slice (exact all-pairs on the slice; LSH below is the
+    full-corpus path)."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    nn = nearest_neighbor_join(emb, "vec_id", "embedding")
+    labels = emb.select("vec_id", "label")
+    return (
+        nn.join(labels.withColumnRenamed("vec_id", "query_id")
+                      .withColumnRenamed("label", "query_label"), "query_id")
+        .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+                    .withColumnRenamed("label", "neighbor_label"), "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", "query_label", "neighbor_label",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+        )
+    )
+
+
+@register(
+    "q_lsh_topk",
+    None,  # approximate (recall depends on plane draw) -> rows-only
+    "vectors", "similarity", "lsh", "rows-only",
+)
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-5 for 10 queries — the scale
+    path: candidates only within the query's sign-pattern bucket (8 planes
+    -> 256 buckets), deterministic planes from seed 42."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming variants of the batch window operators
+(SURVEY.md §2.12 / §7 step 4: batch-equivalents first — the DuckDB oracle is
+batch — with the readStream+watermark path shipped here on the same window
+expressions, so batch and streaming results agree by construction).
+
+The events table stands in for a stream: ``read_event_stream`` replays its
+parquet through ``readStream`` (schema declared explicitly — streaming scans
+never infer), and the aggregations reuse operators/windows.py expressions.
+
+Scale notes: watermarks bound state (late rows beyond the watermark drop out
+of the store); tumbling/sliding aggs keep one state row per (window, keys);
+session windows merge state entries per key.  Output mode 'append' only
+emits finalised windows — the production sink mode; tests use availableNow
+so the whole replay finishes deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..session import prepare
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet, normalising the nanosecond ts
+    exactly like the batch loader (sources/tables.py)."""
+    prepare(spark)
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the file stream source lists a DIRECTORY; select just events.parquet
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return stream
+
+
+def streaming_window_counts(
+    stream: DataFrame,
+    duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling/sliding counts per event_type — the streaming
+    twin of operators.windows.tumbling_window_agg/sliding_window_agg."""
+    win = (
+        F.window(F.col("ts"), duration)
+        if slide is None
+        else F.window(F.col("ts"), duration, slide)
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_counts(
+    stream: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked session windows per user — streaming twin of
+    session_window_agg (state merges sessions as events arrive)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "event_count",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, query_name: str, output_mode: str = "append", timeout_sec: int = 120
+) -> None:
+    """Execute a streaming aggregation to completion against the bounded
+    replay (Trigger.AvailableNow) into an in-memory sink table named
+    ``query_name``.  Returns once all available data is processed."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - safety net
+        q.stop()

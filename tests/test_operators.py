@@ -1,0 +1,218 @@
+"""Unit tests for engine operators: as-of join edge cases, time windows,
+dedup primitives, similarity search, text functions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from databricks_feature_store_flight_school_spark.functions import text as T
+from databricks_feature_store_flight_school_spark.functions.vectors import cosine, to_double
+from databricks_feature_store_flight_school_spark.operators import (
+    asof_join,
+    content_hash_dedup,
+    cosine_topk,
+    exact_dedup,
+    hamming64,
+    minhash_lsh_candidates,
+    minhash_signatures_df,
+    session_window_agg,
+    shingle_pairs_jaccard,
+    simhash_df,
+    tumbling_window_agg,
+)
+
+
+def _ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+# -- as-of join -------------------------------------------------------------
+
+def test_asof_backward_inclusive_and_missing(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts(10), ev="l1"),
+            Row(k="a", ts=_ts(20), ev="l2"),
+            Row(k="b", ts=_ts(5), ev="l3"),   # no right row at/before -> null
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts(10), px=1.0),   # equal ts -> matches (inclusive)
+            Row(k="a", ts=_ts(15), px=2.0),
+            Row(k="b", ts=_ts(6), px=9.0),    # after left -> no match
+        ]
+    )
+    out = {
+        r["ev"]: r
+        for r in asof_join(left, right, on="k", left_ts="ts", right_payload=["px"]).collect()
+    }
+    assert out["l1"]["px"] == 1.0          # ts == right ts: inclusive
+    assert out["l2"]["px"] == 2.0          # most recent at-or-before
+    assert out["l3"]["px"] is None
+    assert out["l3"]["ts_right"] is None
+
+
+def test_asof_null_payload_does_not_leak_older_value(spark):
+    """A matched right row with a NULL payload field must yield null, not an
+    older right row's value (struct-atomic forward fill)."""
+    left = spark.createDataFrame([Row(k="a", ts=_ts(30), ev="l")])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=_ts(1), px=7.0), Row(k="a", ts=_ts(25), px=None)]
+    )
+    row = asof_join(left, right, on="k", left_ts="ts", right_payload=["px"]).collect()[0]
+    assert row["px"] is None               # from the _ts(25) row, not 7.0
+    assert row["ts_right"] == _ts(25)
+
+
+def test_asof_collision_suffix(spark):
+    left = spark.createDataFrame([Row(k="a", ts=_ts(10), v=1.0)])
+    right = spark.createDataFrame([Row(k="a", ts=_ts(5), v=2.0)])
+    row = asof_join(left, right, on="k", left_ts="ts", right_payload=["v"]).collect()[0]
+    assert row["v"] == 1.0 and row["v_right"] == 2.0
+
+
+# -- windows ----------------------------------------------------------------
+
+def test_tumbling_window_boundaries(spark):
+    df = spark.createDataFrame(
+        [Row(ts=_ts(0), v=1.0), Row(ts=_ts(9, 59), v=2.0), Row(ts=_ts(10), v=4.0)]
+    )
+    out = tumbling_window_agg(df, "ts", "10 minutes", [], [F.sum("v").alias("s")])
+    got = {r["window_start"].minute: r["s"] for r in out.collect()}
+    assert got == {0: 3.0, 10: 4.0}        # boundary event starts the next window
+
+
+def test_session_window_gap_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            Row(u=1, ts=_ts(0)),
+            Row(u=1, ts=_ts(9)),            # within 10min gap -> same session
+            Row(u=1, ts=_ts(19, 1)),        # 10m01s after -> NEW session
+            Row(u=2, ts=_ts(0)),
+        ]
+    )
+    out = session_window_agg(df, "ts", "10 minutes", ["u"], [F.count(F.lit(1)).alias("n")])
+    rows = sorted(
+        [(r["u"], r["window_start"].minute, r["n"]) for r in out.collect()]
+    )
+    assert rows == [(1, 0, 2), (1, 19, 1), (2, 0, 1)]
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_exact_and_content_hash_dedup(spark):
+    df = spark.createDataFrame(
+        [Row(id=3, text="aaa"), Row(id=1, text="aaa"), Row(id=2, text="bbb")]
+    )
+    kept = exact_dedup(df, ["text"], "id").collect()
+    assert {(r["text"], r["id"], r["dup_count"]) for r in kept} == {("aaa", 1, 2), ("bbb", 2, 1)}
+
+    ch = content_hash_dedup(df, "text", "id").collect()
+    assert {r["id"] for r in ch} == {1, 2}
+    assert all(len(r["content_hash"]) == 64 for r in ch)
+
+
+def test_shingle_jaccard_identical_and_disjoint(spark):
+    a = "w1 w2 w3 w4 w5"
+    df = spark.createDataFrame(
+        [Row(id=1, text=a), Row(id=2, text=a), Row(id=3, text="x1 x2 x3 x4")]
+    )
+    pairs = shingle_pairs_jaccard(df, "id", "text", k=3, threshold=0.5).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["id_a"], p["id_b"], p["jaccard"]) == (1, 2, 1.0)
+
+
+def test_minhash_lsh_finds_identical_pair(spark):
+    a = " ".join(f"tok{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [Row(id=1, text=a), Row(id=2, text=a), Row(id=3, text=" ".join(f"z{i}" for i in range(30)))]
+    )
+    cands = minhash_lsh_candidates(df, "id", "text").collect()
+    pairs = {(r["id_a"], r["id_b"]): r["est_similarity"] for r in cands}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures_df(df, "id", "text").collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    assert len(sigs[1]) == 64
+
+
+def test_simhash_similar_docs_close(spark):
+    base = " ".join(f"word{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text=base),
+            Row(id=2, text=base + " extra"),
+            Row(id=3, text=" ".join(f"other{i}" for i in range(40))),
+        ]
+    )
+    s = {r["id"]: r["simhash"] for r in simhash_df(df, "id", "text").collect()}
+    d = spark.createDataFrame([Row(a=s[1], b=s[2], c=s[3])]).select(
+        hamming64(F.col("a"), F.col("b")).alias("near"),
+        hamming64(F.col("a"), F.col("c")).alias("far"),
+    ).collect()[0]
+    assert d["near"] < d["far"]
+    assert d["near"] <= 8
+
+
+# -- similarity -------------------------------------------------------------
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame([Row(a=[1.0, 0.0], b=[1.0, 0.0], c=[0.0, 2.0])])
+    row = df.select(
+        cosine(to_double(F.col("a")), to_double(F.col("b"))).alias("same"),
+        cosine(to_double(F.col("a")), to_double(F.col("c"))).alias("orth"),
+    ).collect()[0]
+    assert row["same"] == pytest.approx(1.0)
+    assert row["orth"] == pytest.approx(0.0)
+
+
+def test_cosine_topk_ranks(spark):
+    rows = [
+        Row(id=0, v=[1.0, 0.0]),
+        Row(id=1, v=[0.9, 0.1]),
+        Row(id=2, v=[0.0, 1.0]),
+        Row(id=3, v=[1.0, 0.05]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = cosine_topk(df, df.where(F.col("id") == 0), "id", "v", k=2).collect()
+    ranked = sorted([(r["rank"], r["neighbor_id"]) for r in out])
+    assert ranked == [(1, 3), (2, 1)]      # closest direction first, self excluded
+
+
+# -- text functions ---------------------------------------------------------
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([Row(t="The cat and the dog, quickly!")])
+    row = df.select(
+        T.token_count("t").alias("n"),
+        T.punct_count("t").alias("p"),
+        T.bpe_token_count("t").alias("bpe"),
+        T.lang_id("t").alias("lang"),
+        T.word_shingles("t", 3).alias("sh"),
+        T.rolling_fingerprint("t").alias("fp"),
+    ).collect()[0]
+    assert row["n"] == 6
+    assert row["p"] == 2                   # comma + exclamation
+    assert row["bpe"] == 8                 # 6 words + ',' + '!'
+    assert row["lang"] == "en"
+    assert len(row["sh"]) == 4 and row["sh"][0] == "The cat and"
+    assert isinstance(row["fp"], int)
+
+
+def test_lang_id_tie_and_default(spark):
+    df = spark.createDataFrame(
+        [Row(t="la la el que"), Row(t="zzz qqq"), Row(t="der und nicht das")]
+    )
+    out = [r[0] for r in df.select(T.lang_id("t")).collect()]
+    assert out == ["es", "unknown", "de"]
+
+
+def test_word_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([Row(t="one two")])
+    assert df.select(T.word_shingles("t", 3).alias("s")).collect()[0]["s"] == []
