@@ -54,6 +54,7 @@ def _load_all() -> None:
         queries_events,
         queries_featurestore,
         queries_relational,
+        queries_relational2,
         queries_text,
         queries_vectors,
     )
