@@ -125,3 +125,14 @@ def rolling_fingerprint(col: Column | str, k: int = 3) -> Column:
     grams = word_shingles(col, k)
     hashes = F.transform(grams, lambda s: F.xxhash64(s))
     return F.array_min(hashes)
+
+
+def md5_fingerprint(col: Column | str, k: int = 3, hex_len: int = 16) -> Column:
+    """Portable fingerprint twin of rolling_fingerprint: min over word
+    k-gram shingles of the first ``hex_len`` md5 hex chars (lexicographic
+    min on hex strings == numeric min on the hash prefix).  md5 is identical
+    across engines, so this variant is DuckDB-oracle-checkable; null when the
+    document has fewer than k tokens."""
+    grams = word_shingles(col, k)
+    hashes = F.transform(grams, lambda s: F.substring(F.md5(s), 1, hex_len))
+    return F.array_min(hashes)

@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, hyperplane_bucket, to_double
+from ..functions.vectors import cosine, dot, hyperplane_bucket, to_double
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
@@ -67,6 +67,107 @@ def nearest_neighbor_join(
 def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    n_iters: int = 8,
+    sample_rows: int = 4096,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: spherical k-means on a bounded,
+    deterministic sample (FAISS-style — quantizers train on a sample, never
+    the full corpus; the driver holds only ``sample_rows × dim`` floats).
+    Returns unit-norm centroids as plain lists, ready to fold into the plan
+    as literals."""
+    pdf = (
+        corpus.select(to_double(F.col(vec_col)).alias("v"))
+        .limit(sample_rows)
+        .toPandas()
+    )
+    x = np.array(pdf["v"].tolist(), dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine == dot on unit vectors
+        for j in range(len(cent)):
+            members = x[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / max(np.linalg.norm(m), 1e-12)
+    return cent.round(6).tolist()
+
+
+def _centroid_dots(vec, centroids: list[list[float]]):
+    """array<double> of dot(vec, centroid_i) — pure Column expressions, the
+    centroids are plan literals (no join, no Python worker)."""
+    return F.array(
+        *[dot(vec, F.array(*[F.lit(float(v)) for v in c])) for c in centroids]
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed under their
+    nearest coarse centroid; each query probes its ``nprobe`` nearest lists
+    and ranks exact cosine inside them.  Same output shape as cosine_topk.
+
+    Scale path: assignment is a narrow map (centroids are literals), so the
+    only shuffle is the final per-query rank window; corpus cells can be
+    written once (partitionBy bucket) and reused across query batches —
+    each probe then scans |corpus| * nprobe / n_centroids instead of all."""
+    centroids = train_ivf_centroids(
+        corpus, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    c = _prep(corpus, id_col, vec_col, "neighbor").withColumn(
+        "bucket",
+        F.array_position(
+            (d := _centroid_dots(F.col("neighbor_vec"), centroids)), F.array_max(d)
+        ).cast("int"),
+    )
+    # query side: top-nprobe buckets via posexplode + rank (query set is small)
+    q = (
+        _prep(queries, id_col, vec_col, "query")
+        .select(
+            "query_id",
+            "query_vec",
+            F.posexplode(_centroid_dots(F.col("query_vec"), centroids)).alias(
+                "pos", "cdot"
+            ),
+        )
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), "pos")
+            ),
+        )
+        .where(F.col("probe_rank") <= nprobe)
+        .select("query_id", "query_vec", (F.col("pos") + 1).cast("int").alias("bucket"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
 
 
 def lsh_topk(

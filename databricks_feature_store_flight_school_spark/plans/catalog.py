@@ -53,6 +53,7 @@ def _load_all() -> None:
     from . import (  # noqa: F401
         queries_events,
         queries_featurestore,
+        queries_multimodal,
         queries_relational,
         queries_relational2,
         queries_text,

@@ -1,0 +1,109 @@
+"""Multimodal-column queries (SURVEY.md §2.12 extensions): binary payload
+plumbing over the ``documents`` table.
+
+The testdata ships no real media files, so payloads are derived
+deterministically (``encode(text, 'UTF-8')``) — which makes the *plumbing*
+(BinaryType columns, typed metadata structs, Arrow-batched ``mapInPandas``
+decode / frame-sample) fully oracle-checkable: the decode stub in
+multimodal/binary.py computes metadata as pure functions of the byte stream,
+so DuckDB can replicate them in SQL.  Only the byte-histogram feature
+extraction is rows-only (per-byte loops are not reasonably SQL-expressible).
+
+Scale notes: every operator here is a narrow map over the blob column — no
+shuffle touches binary data; the one groupBy (frame stats) aggregates only
+(doc_id, int) pairs after the blobs are reduced worker-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..multimodal import binary as M
+from ..sources import load_table
+from .catalog import register
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a BinaryType payload column (UTF-8 bytes of the text —
+    stands in for an image/audio blob; byte-exact in both engines)."""
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+
+
+@register(
+    "q_media_meta",
+    """
+    SELECT doc_id,
+           'image' AS media_type,
+           octet_length(encode(text)) AS byte_size,
+           sha256(text) AS checksum
+    FROM documents
+    """,
+    "multimodal", "binary",
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata struct over a binary column — computed entirely
+    JVM-side (octet_length + sha2), then flattened for the oracle compare."""
+    df = M.attach_media_meta(_with_payload(spark, sf_dir), "payload", "image")
+    return df.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.byte_size").alias("byte_size"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@register(
+    "q_image_decode",
+    """
+    SELECT doc_id,
+           16 + octet_length(encode(text)) % 64 AS width,
+           16 + (octet_length(encode(text)) // 64) % 64 AS height,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode,
+           octet_length(encode(text)) AS byte_size
+    FROM documents
+    """,
+    "multimodal", "mapInPandas",
+)
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (multimodal/binary.py stub): the
+    oracle replays the stub's byte-length math in SQL, pinning the full
+    JVM->Python->JVM round trip — schema, batch shape, and values."""
+    return M.decode_image_batch(_with_payload(spark, sf_dir), "doc_id", "payload")
+
+
+@register(
+    "q_frame_sample_stats",
+    """
+    SELECT doc_id,
+           ((greatest(octet_length(encode(text)) // 1024, 1) + 3) // 4) AS frames_kept,
+           list_sum(list_transform(
+               generate_series(0, greatest(octet_length(encode(text)) // 1024, 1) - 1, 4),
+               i -> least(1024, octet_length(encode(text)) - i * 1024)
+           )) AS frame_bytes_total
+    FROM documents
+    """,
+    "multimodal", "mapInPandas",
+)
+def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """frame_sample (video-ish keyframe stub: 1 KiB frames, stride 4) then a
+    per-doc aggregate — blobs are reduced to ints before the only shuffle."""
+    frames = M.frame_sample(
+        _with_payload(spark, sf_dir), "doc_id", "payload", frame_size=1024, stride=4
+    )
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("frames_kept"),
+        F.sum(F.octet_length("frame_bytes")).alias("frame_bytes_total"),
+    )
+
+
+@register(
+    "q_media_features",
+    None,  # per-byte histogram loop is not reasonably SQL-expressible
+    "multimodal", "mapInPandas", "rows-only",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction stub (byte histogram standing in for a CNN/audio
+    embedding forward pass): one FEATURE_DIM vector per blob via mapInPandas."""
+    return M.extract_features(_with_payload(spark, sf_dir), "doc_id", "payload")

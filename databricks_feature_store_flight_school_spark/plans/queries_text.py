@@ -241,3 +241,29 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = D.simhash_df(docs, "doc_id", "text")
     fp = docs.select("doc_id", T.rolling_fingerprint("text").alias("fingerprint"))
     return sims.join(fp, "doc_id").orderBy("doc_id")
+
+
+@register(
+    "q_doc_fingerprint",
+    """
+    SELECT doc_id,
+           CASE WHEN len(words) >= 3 THEN
+               list_min(list_transform(
+                   generate_series(1, len(words) - 2),
+                   i -> substr(md5(concat_ws(' ', words[i], words[i+1], words[i+2])), 1, 16)))
+           END AS fingerprint,
+           greatest(len(words) - 2, 0) AS shingle_count
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents)
+    """,
+    "text", "fingerprint",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (rolling-hash family): 1-permutation MinHash
+    over word 3-gram shingles, md5-prefix variant so the oracle can replay
+    the exact hash.  Pure Column expressions — runs inside the scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.md5_fingerprint("text").alias("fingerprint"),
+        F.greatest(T.token_count("text") - 2, F.lit(0)).alias("shingle_count"),
+    )

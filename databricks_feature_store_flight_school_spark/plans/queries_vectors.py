@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators import similarity as S
 from ..operators.similarity import cosine_topk, lsh_topk, nearest_neighbor_join
 from ..sources import load_table
 from .catalog import register
@@ -97,6 +98,24 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     out = lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+@register(
+    "q_ivf_topk",
+    None,  # approximate (recall depends on quantizer training) -> rows-only
+    "vectors", "similarity", "ivf", "rows-only",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 for 10 queries: spherical-kmeans coarse
+    quantizer (16 cells, trained on a deterministic sample), nprobe=2 —
+    each query scans ~2/16 of the corpus instead of all of it.  Recall vs
+    the exact q_cosine_topk is asserted in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = S.ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_centroids=16, nprobe=2)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
     )

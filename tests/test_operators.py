@@ -216,3 +216,44 @@ def test_lang_id_tie_and_default(spark):
 def test_word_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([Row(t="one two")])
     assert df.select(T.word_shingles("t", 3).alias("s")).collect()[0]["s"] == []
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    """IVF (nprobe=2 of 16 cells) must recover most of the exact top-5."""
+    from databricks_feature_store_flight_school_spark.operators.similarity import ivf_topk
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(nprobe: int) -> float:
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, "vec_id", "embedding", k=5, nprobe=nprobe
+            ).collect()
+        }
+        assert all(q != n for q, n in approx)
+        return len(exact & approx) / len(exact)
+
+    # recall grows with probes; probing every cell IS the exact search
+    r4, r16 = recall(4), recall(16)
+    assert r4 >= 0.5, f"IVF recall@nprobe=4 too low: {r4:.2f}"
+    assert r16 == 1.0, f"full probe must equal exact search: {r16:.2f}"
+
+
+def test_md5_fingerprint_matches_manual(spark):
+    import hashlib
+
+    text = "alpha beta gamma delta"
+    shingles = ["alpha beta gamma", "beta gamma delta"]
+    expected = min(hashlib.md5(s.encode()).hexdigest()[:16] for s in shingles)
+    df = spark.createDataFrame([Row(t=text)])
+    assert df.select(T.md5_fingerprint("t").alias("fp")).collect()[0]["fp"] == expected
+    # short doc -> null fingerprint
+    short = spark.createDataFrame([Row(t="one two")])
+    assert short.select(T.md5_fingerprint("t").alias("fp")).collect()[0]["fp"] is None
