@@ -209,3 +209,29 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .fillna(0)
     )
+
+
+@register(
+    "q_user_event_stats",
+    """
+    SELECT user_id,
+           count(*) AS event_count,
+           round(sum(value), 2) AS total_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    "events", "agg", "streaming-twin",
+)
+def q_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stateful_user_stats (applyInPandasWithState):
+    the stateful operator's converged output equals this groupBy — asserted
+    in tests/test_multimodal_streaming.py; here the oracle pins the values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        _ts_str(F.min("ts")).alias("first_ts"),
+        _ts_str(F.max("ts")).alias("last_ts"),
+    )

@@ -16,6 +16,7 @@ so the whole replay finishes deterministically.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..session import prepare
@@ -106,3 +107,57 @@ def run_stream_to_memory(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover - safety net
         q.stop()
+
+
+# -- custom stateful operator -------------------------------------------------
+
+USER_STATS_SCHEMA = "user_id bigint, event_count bigint, total_value double, first_ts timestamp, last_ts timestamp"
+_USER_STATE_SCHEMA = "event_count bigint, total_value double, first_ts timestamp, last_ts timestamp"
+
+
+def stateful_user_stats(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user event count / value sum / first-last seen, emitted on every
+    trigger update.
+
+    This is the operator shape Structured Streaming's built-in windows can't
+    express: arbitrary per-key state evolved by user code.  State is one
+    small tuple per user (bounded by key cardinality, not event volume);
+    the watermark lets the store evict keys once their state can no longer
+    change.  Arrow batches cross to the Python worker per (key-group, trigger)
+    — never per row.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        count, total, first_ts, last_ts = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+            lo, hi = pdf["ts"].min(), pdf["ts"].max()
+            first_ts = lo if first_ts is None else min(first_ts, lo)
+            last_ts = hi if last_ts is None else max(last_ts, hi)
+        state.update((count, total, first_ts, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_count": [count],
+                "total_value": [round(total, 2)],
+                "first_ts": [first_ts],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

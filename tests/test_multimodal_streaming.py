@@ -85,3 +85,36 @@ def test_streaming_tumbling_equals_batch(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_user_stats_equals_batch(spark, sf_dir):
+    """applyInPandasWithState running per-user stats: the last update per
+    user after the bounded replay must equal the batch groupBy."""
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        read_event_stream,
+        run_stream_to_memory,
+        stateful_user_stats,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    stats = stateful_user_stats(stream, watermark="100 hours")
+    run_stream_to_memory(stats, "user_stats", output_mode="update")
+    got = {
+        r["user_id"]: (r["event_count"], r["total_value"], r["first_ts"], r["last_ts"])
+        for r in spark.sql("SELECT * FROM user_stats").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["event_count"], r["total_value"], r["first_ts"], r["last_ts"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    assert got == want
