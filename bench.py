@@ -3,8 +3,10 @@
 JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 The metric is total wall-clock over the headline set; per-query seconds are
-reported individually.  Each query is forced with a cheap count() action so
-we measure execution, not driver-side Arrow transfer of full results.
+reported individually.  Each query is forced with a write to the ``noop``
+sink: unlike count() (which lets Catalyst prune projected expressions and
+under-measure narrow maps), noop executes the full plan — every expression,
+join, and shuffle — while paying zero sink cost.
 """
 
 from __future__ import annotations
@@ -22,7 +24,8 @@ from databricks_feature_store_flight_school_spark.plans import catalog  # noqa: 
 from databricks_feature_store_flight_school_spark.session import get_spark  # noqa: E402
 
 #: headline queries: one per major operator family (join+agg, wide agg,
-#: top-k, window, set-op, horizontal, dates, text, dedup, vectors, events)
+#: top-k, window, horizontal, dates, semi-join, text, dedup, fingerprint,
+#: vectors, events, multimodal)
 HEADLINE = [
     "q_flagship_regional_revenue",
     "q_pricing_summary",
@@ -32,7 +35,25 @@ HEADLINE = [
     "q_horizontal_countif",
     "q_date_parts",
     "q_semi_join",
+    "q_returned_item_customers",
+    "q_large_volume_orders",
+    "q_text_stats",
+    "q_doc_fingerprint",
+    "q_content_hash_dedup",
+    "q_cosine_topk",
+    "q_tumbling_window",
+    "q_user_event_stats",
+    "q_image_decode",
 ]
+
+
+def _force(df) -> None:
+    """Execute the FULL plan (noop sink); fall back to count() if the noop
+    source is unavailable on this build."""
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        df.count()
 
 
 def main() -> None:
@@ -43,13 +64,13 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qmap]
 
     # warm the JVM + parquet footers once, outside timing
-    qmap[names[0]](spark, sf_dir).count()
+    _force(qmap[names[0]](spark, sf_dir))
 
     per_query: dict[str, float] = {}
     total = 0.0
     for name in names:
         t0 = time.perf_counter()
-        qmap[name](spark, sf_dir).count()
+        _force(qmap[name](spark, sf_dir))
         dt = time.perf_counter() - t0
         per_query[name] = round(dt, 3)
         total += dt

@@ -105,17 +105,28 @@ def lang_id(col: Column | str, default: str = "unknown") -> Column:
 
 
 def word_shingles(col: Column | str, k: int = 3) -> Column:
-    """Distinct word k-grams as an array<string> (dedup unit)."""
-    t = tokens(col)
-    # guard against < k tokens (sequence(0, negative) would descend)
-    grams = F.when(
-        F.size(t) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - k),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
-        ),
-    ).otherwise(F.array())
-    return F.array_distinct(grams)
+    """Distinct word k-grams as an array<string> (dedup unit).
+
+    The token array is let-bound by wrapping it in a 1-element array and
+    ``transform``-ing over it: lambda variables are evaluated once per row,
+    whereas a free ``tokens(col)`` expression inside the shingle lambda is
+    re-evaluated (re-split!) for every element access — measured 5x slower
+    at sf0.1."""
+
+    def _shingles(t: Column) -> Column:
+        # guard against < k tokens (sequence(0, negative) would descend)
+        grams = F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j + 1) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(grams)
+
+    return F.element_at(F.transform(F.array(tokens(col)), _shingles), 1)
 
 
 def rolling_fingerprint(col: Column | str, k: int = 3) -> Column:
@@ -127,12 +138,35 @@ def rolling_fingerprint(col: Column | str, k: int = 3) -> Column:
     return F.array_min(hashes)
 
 
-def md5_fingerprint(col: Column | str, k: int = 3, hex_len: int = 16) -> Column:
-    """Portable fingerprint twin of rolling_fingerprint: min over word
-    k-gram shingles of the first ``hex_len`` md5 hex chars (lexicographic
-    min on hex strings == numeric min on the hash prefix).  md5 is identical
-    across engines, so this variant is DuckDB-oracle-checkable; null when the
-    document has fewer than k tokens."""
-    grams = word_shingles(col, k)
+def md5_fingerprint_words(words: Column, k: int = 3, hex_len: int = 16) -> Column:
+    """Portable fingerprint over a PRE-TOKENIZED array<string> column: min
+    over word k-gram shingles of the first ``hex_len`` md5 hex chars
+    (lexicographic min on hex strings == numeric min on the hash prefix).
+    md5 is identical across engines, so this is DuckDB-oracle-checkable;
+    null when the document has fewer than k tokens.
+
+    Takes the words array, not raw text, deliberately: higher-order-function
+    lambdas re-evaluate free expressions per element, so ``element_at(split(
+    text), i)`` re-splits the document for every shingle word (measured 5x
+    slower at sf0.1).  Callers bind the split once in a prior projection —
+    CollapseProject keeps expensive multiply-referenced aliases materialized.
+    Skips word_shingles' array_distinct too (a min over duplicates is the
+    same min)."""
+    grams = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array())
     hashes = F.transform(grams, lambda s: F.substring(F.md5(s), 1, hex_len))
     return F.array_min(hashes)
+
+
+def md5_fingerprint(col: Column | str, k: int = 3, hex_len: int = 16) -> Column:
+    """Convenience form of md5_fingerprint_words over raw text.  Fine for
+    ad-hoc use; hot paths should tokenize in a prior projection and call
+    md5_fingerprint_words (see its docstring for why)."""
+    return md5_fingerprint_words(tokens(col), k=k, hex_len=hex_len)

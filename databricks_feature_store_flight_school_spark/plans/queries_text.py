@@ -260,10 +260,13 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting (rolling-hash family): 1-permutation MinHash
     over word 3-gram shingles, md5-prefix variant so the oracle can replay
-    the exact hash.  Pure Column expressions — runs inside the scan stage."""
+    the exact hash.  Pure Column expressions — runs inside the scan stage;
+    the split is bound once in a prior projection (lambdas re-evaluate free
+    expressions per element, so inlining it costs 5x)."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    words = docs.select("doc_id", T.tokens("text").alias("words"))
+    return words.select(
         "doc_id",
-        T.md5_fingerprint("text").alias("fingerprint"),
-        F.greatest(T.token_count("text") - 2, F.lit(0)).alias("shingle_count"),
+        T.md5_fingerprint_words(F.col("words")).alias("fingerprint"),
+        F.greatest(F.size("words") - 2, F.lit(0)).alias("shingle_count"),
     )
