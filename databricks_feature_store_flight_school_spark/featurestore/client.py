@@ -42,16 +42,22 @@ class FeatureStoreClient:
         df: DataFrame | None = None,
         description: str = "",
         partition_columns: list[str] | None = None,
+        timestamp_keys: str | list[str] | None = None,
     ) -> FeatureTableMeta:
         """Register a feature table (FS:207-218).  ``schema`` may come from a
         DataFrame (``df.schema`` is what the reference passes); providing
-        ``df`` also performs the initial write."""
+        ``df`` also performs the initial write.  ``timestamp_keys`` declares a
+        point-in-time table: rows are versioned per (keys, timestamp_keys)
+        and lookups may retrieve as-of a timestamp (lookups.py)."""
         if schema is None and df is not None:
             schema = df.schema
         if schema is None:
             raise ValueError("provide schema= or df=")
         keys = [keys] if isinstance(keys, str) else list(keys)
-        missing = [k for k in keys if k not in schema.fieldNames()]
+        if isinstance(timestamp_keys, str):
+            timestamp_keys = [timestamp_keys]
+        timestamp_keys = list(timestamp_keys or [])
+        missing = [k for k in keys + timestamp_keys if k not in schema.fieldNames()]
         if missing:
             raise ValueError(f"primary key(s) {missing} not in schema")
         meta = self.registry.create(
@@ -61,6 +67,7 @@ class FeatureStoreClient:
                 schema_json=schema.json(),
                 description=description,
                 partition_columns=partition_columns or [],
+                timestamp_keys=timestamp_keys,
             )
         )
         if df is not None:

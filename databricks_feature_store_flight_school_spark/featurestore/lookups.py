@@ -33,11 +33,19 @@ if TYPE_CHECKING:  # pragma: no cover
 class FeatureLookup:
     """One feature-retrieval spec: take ``feature_names`` from ``table_name``
     joined on ``lookup_key`` (FS:286-289).  ``feature_names=None`` means all
-    non-key columns, matching the reference's generate_all_lookups."""
+    non-key columns, matching the reference's generate_all_lookups.
+
+    ``timestamp_lookup_key`` (absent in the reference's API generation —
+    SURVEY.md §2.12) switches retrieval to POINT-IN-TIME: for each input row,
+    the feature values as of that row's timestamp — the most recent feature
+    observation with ``feature_ts <= input_ts`` — via the as-of join
+    (operators/asof.py: union + ordered window, no per-key pair explosion).
+    Requires the feature table to be registered with ``timestamp_keys``."""
 
     table_name: str
     lookup_key: str | list[str]
     feature_names: list[str] | None = None
+    timestamp_lookup_key: str | None = None
 
     @property
     def keys(self) -> list[str]:
@@ -96,9 +104,10 @@ def _apply_lookup(
             f"lookup key arity {lookup_keys} != table primary keys {table_keys}"
             f" for {lookup.table_name}"
         )
+    ts_keys = list(getattr(meta, "timestamp_keys", []) or [])
     names = lookup.feature_names
     if names is None:
-        names = [c for c in feat.columns if c not in table_keys]
+        names = [c for c in feat.columns if c not in table_keys and c not in ts_keys]
     missing = [c for c in names if c not in feat.columns]
     if missing:
         raise ValueError(f"{lookup.table_name} lacks feature column(s) {missing}")
@@ -108,6 +117,34 @@ def _apply_lookup(
             f"feature column(s) {collisions} from {lookup.table_name} collide "
             "with input columns; rename or exclude them"
         )
+
+    if lookup.timestamp_lookup_key is not None:
+        if not ts_keys:
+            raise ValueError(
+                f"{lookup.table_name} has no timestamp_keys; register it with "
+                "timestamp_keys=[...] to use timestamp_lookup_key"
+            )
+        if lookup.timestamp_lookup_key not in df.columns:
+            raise ValueError(
+                f"input lacks timestamp_lookup_key column "
+                f"{lookup.timestamp_lookup_key!r}"
+            )
+        feat = feat.select(*table_keys, ts_keys[0], *names)
+        for tk, lk in zip(table_keys, lookup_keys):
+            if tk != lk:
+                feat = feat.withColumnRenamed(tk, lk)
+        from ..operators.asof import asof_join
+
+        joined = asof_join(
+            df,
+            feat,
+            on=lookup_keys,
+            left_ts=lookup.timestamp_lookup_key,
+            right_ts=ts_keys[0],
+            right_payload=names,
+        )
+        # the matched observation time is plumbing, not a feature
+        return joined.drop(f"{ts_keys[0]}_right")
 
     feat = feat.select(*table_keys, *names)
     # rename feature-table keys to the input's lookup keys so the equi-join

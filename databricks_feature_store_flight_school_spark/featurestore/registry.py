@@ -43,10 +43,20 @@ class FeatureTableMeta:
     created_at: float = field(default_factory=time.time)
     current_version: int = 0  # 0 = registered but never written
     partition_columns: list[str] = field(default_factory=list)
+    # Point-in-time tables: the event-time column(s).  Rows are versioned by
+    # (keys, timestamp_keys) — merges upsert per timestamped observation, and
+    # FeatureLookup(timestamp_lookup_key=...) retrieves as-of a lookup time.
+    timestamp_keys: list[str] = field(default_factory=list)
 
     @property
     def primary_keys(self) -> list[str]:
         return self.keys
+
+    @property
+    def merge_keys(self) -> list[str]:
+        """Row identity for upserts: primary keys plus timestamp keys (a PIT
+        table keeps full history, one row per keyed observation time)."""
+        return self.keys + [t for t in self.timestamp_keys if t not in self.keys]
 
 
 class Registry:

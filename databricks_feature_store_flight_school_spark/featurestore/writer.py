@@ -71,7 +71,8 @@ def write_snapshot(
     """
     if mode not in ("merge", "overwrite"):
         raise ValueError(f"unsupported write mode: {mode}")
-    missing = [k for k in meta.keys if k not in df.columns]
+    merge_keys = meta.merge_keys
+    missing = [k for k in merge_keys if k not in df.columns]
     if missing:
         raise ValueError(f"source is missing primary key column(s) {missing}")
 
@@ -79,7 +80,7 @@ def write_snapshot(
     table_dir = registry.table_dir(meta.name)
     if mode == "merge" and meta.current_version > 0:
         target = read_snapshot(spark, registry, meta)
-        merged = _merge_frames(target, df, meta.keys)
+        merged = _merge_frames(target, df, merge_keys)
     else:
         merged = df
 

@@ -193,3 +193,59 @@ def q_fs_score_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch = load_table(spark, sf_dir, "customer").select("c_custkey")
     return fs.score_batch(model_dir, batch, result_type="boolean")
+
+
+@register(
+    "q_fs_pit_lookup",
+    """
+    SELECT c.c_custkey, c.label, h.last_price
+    FROM (SELECT c_custkey, (c_acctbal < 1000) AS label,
+                 TIMESTAMP '1997-06-01 00:00:00' AS event_ts
+          FROM customer) c
+    ASOF LEFT JOIN (SELECT o_custkey, o_orderdate,
+                           round(max(o_totalprice), 2) AS last_price
+                    FROM orders GROUP BY o_custkey, o_orderdate) h
+      ON c.c_custkey = h.o_custkey AND c.event_ts >= h.o_orderdate
+    """,
+    "featurestore", "asof", "point-in-time",
+)
+def q_fs_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature retrieval (timestamp_lookup_key — the canonical
+    feature-store extension, SURVEY.md §2.12): a PIT table keyed
+    (c_custkey, obs_ts) holds each customer's order-price history; the lookup
+    returns the value as of each input row's timestamp, never a later one
+    (no training-serving leakage).  Runs the union+window as-of join — one
+    shuffle, no per-key pair explosion (operators/asof.py)."""
+    fs = _client(spark)
+    history = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderdate").alias("obs_ts"),
+        )
+        .agg(F.round(F.max("o_totalprice"), 2).alias("last_price"))
+    )
+    fs.create_feature_table(
+        "order_history",
+        keys="c_custkey",
+        timestamp_keys="obs_ts",
+        df=history,
+        description="per-customer order price history (PIT)",
+    )
+    inference = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_acctbal") < 1000).alias("label"),
+        F.lit("1997-06-01").cast("timestamp_ntz").alias("event_ts"),
+    )
+    ts = fs.create_training_set(
+        inference,
+        [
+            FeatureLookup(
+                "order_history",
+                lookup_key="c_custkey",
+                timestamp_lookup_key="event_ts",
+            )
+        ],
+        label="label",
+    )
+    return ts.load_df().select("c_custkey", "label", "last_price")

@@ -235,3 +235,103 @@ def test_log_model_score_batch_roundtrip(spark, lookup_client, tmp_path):
     as_str = lookup_client.score_batch(mpath, batch, result_type="string")
     vals = {r["customer_id"]: r["prediction"] for r in as_str.collect()}
     assert vals == {1: "False", 2: "True"}
+
+
+# -- point-in-time lookups (timestamp_keys + timestamp_lookup_key) ----------
+
+def _pit_client(spark, client):
+    """Feature table with history: one row per (customer, observed_at)."""
+    import datetime as dt
+
+    d = dt.datetime
+    hist = spark.createDataFrame(
+        [
+            Row(customer_id=1, observed_at=d(2024, 1, 1), balance=100.0),
+            Row(customer_id=1, observed_at=d(2024, 2, 1), balance=150.0),
+            Row(customer_id=1, observed_at=d(2024, 3, 1), balance=90.0),
+            Row(customer_id=2, observed_at=d(2024, 1, 15), balance=500.0),
+        ]
+    )
+    client.create_feature_table(
+        "balance_history",
+        keys="customer_id",
+        timestamp_keys="observed_at",
+        df=hist,
+        description="PIT balances",
+    )
+    return client
+
+
+def test_pit_lookup_asof_semantics(spark, client):
+    import datetime as dt
+
+    d = dt.datetime
+    client = _pit_client(spark, client)
+    inputs = spark.createDataFrame(
+        [
+            Row(customer_id=1, event_ts=d(2024, 1, 20), label=True),   # -> 100.0
+            Row(customer_id=1, event_ts=d(2024, 2, 1), label=False),   # exact match -> 150.0
+            Row(customer_id=1, event_ts=d(2024, 6, 1), label=True),    # latest -> 90.0
+            Row(customer_id=2, event_ts=d(2024, 1, 1), label=False),   # before history -> null
+            Row(customer_id=3, event_ts=d(2024, 1, 1), label=True),    # unknown key -> null
+        ]
+    )
+    ts = client.create_training_set(
+        inputs,
+        [
+            FeatureLookup(
+                "balance_history",
+                lookup_key="customer_id",
+                timestamp_lookup_key="event_ts",
+            )
+        ],
+        label="label",
+    )
+    out = {
+        (r["customer_id"], r["event_ts"]): r["balance"] for r in ts.load_df().collect()
+    }
+    assert out[(1, d(2024, 1, 20))] == 100.0
+    assert out[(1, d(2024, 2, 1))] == 150.0  # inclusive: ts <= lookup_ts
+    assert out[(1, d(2024, 6, 1))] == 90.0
+    assert out[(2, d(2024, 1, 1))] is None
+    assert out[(3, d(2024, 1, 1))] is None
+    # input rows all preserved; label intact; no plumbing columns leak
+    df = ts.load_df()
+    assert df.count() == 5 and "label" in df.columns
+    assert not [c for c in df.columns if c.startswith("__") or c.endswith("_right")]
+
+
+def test_pit_merge_appends_history_rows(spark, client):
+    import datetime as dt
+
+    d = dt.datetime
+    client = _pit_client(spark, client)
+    # a new observation for customer 1 and a correction of an existing one
+    client.write_table(
+        "balance_history",
+        spark.createDataFrame(
+            [
+                Row(customer_id=1, observed_at=d(2024, 4, 1), balance=120.0),
+                Row(customer_id=1, observed_at=d(2024, 3, 1), balance=95.0),
+            ]
+        ),
+        mode="merge",
+    )
+    hist = client.read_table("balance_history")
+    assert hist.count() == 5  # 4 original + 1 appended (1 updated in place)
+    got = {
+        (r["customer_id"], r["observed_at"]): r["balance"] for r in hist.collect()
+    }
+    assert got[(1, d(2024, 3, 1))] == 95.0  # corrected, not duplicated
+    assert got[(1, d(2024, 4, 1))] == 120.0
+
+
+def test_pit_lookup_requires_timestamp_keys(spark, client):
+    df = _demo_df(spark)
+    client.create_feature_table("plain", keys="customer_id", df=df)
+    ts = client.create_training_set(
+        df.select("customer_id"),
+        [FeatureLookup("plain", "customer_id", timestamp_lookup_key="customer_id")],
+    )
+    with pytest.raises(ValueError, match="timestamp_keys"):
+        ts.load_df()
