@@ -56,6 +56,7 @@ def _load_all() -> None:
         queries_multimodal,
         queries_relational,
         queries_relational2,
+        queries_relational3,
         queries_text,
         queries_vectors,
     )
