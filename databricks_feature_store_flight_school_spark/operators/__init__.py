@@ -10,22 +10,26 @@ from .dedup import (
     shingle_pairs_jaccard,
     simhash_df,
 )
-from .similarity import cosine_topk, lsh_topk, nearest_neighbor_join
+from .similarity import cosine_topk, ivf_topk, lsh_topk, nearest_neighbor_join
+from .skew import bucketed_table, salted_join, write_bucketed
 from .topk import top_k, top_k_per_group
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 
 __all__ = [
     "asof_join",
+    "bucketed_table",
     "content_hash",
     "content_hash_dedup",
     "cosine_topk",
     "exact_dedup",
+    "ivf_topk",
     "hamming64",
     "lsh_topk",
     "minhash_lsh_candidates",
     "minhash_signature",
     "minhash_signatures_df",
     "nearest_neighbor_join",
+    "salted_join",
     "session_window_agg",
     "shingle_pairs_jaccard",
     "simhash_df",
@@ -33,4 +37,5 @@ __all__ = [
     "top_k",
     "top_k_per_group",
     "tumbling_window_agg",
+    "write_bucketed",
 ]

@@ -362,3 +362,39 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice")
         .unpivot("p_partkey", ["p_size", "p_retailprice"], "attr", "val")
     )
+
+
+@register(
+    "q_salted_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS order_count,
+           round(sum(o.o_totalprice), 2) AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    "join", "skew",
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skew.py): result-identical to
+    the plain join — the oracle is exactly that — but hot customer keys are
+    spread over 8 shuffle partitions before the exchange.  AQE's skew
+    splitting handles post-shuffle SMJ skew; salting is the pre-planned form
+    that works for every join strategy."""
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(orders, customer, on="o_custkey", how="inner", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )

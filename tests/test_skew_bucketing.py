@@ -1,0 +1,79 @@
+"""salted_join result parity + bucketed-join Exchange elimination
+(operators/skew.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from databricks_feature_store_flight_school_spark.operators.skew import (
+    bucketed_table,
+    salted_join,
+    write_bucketed,
+)
+from databricks_feature_store_flight_school_spark.sources import load_table
+
+
+def _counts(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must be invisible in the result: same rows, same columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = orders.join(customer, on="o_custkey", how="inner")
+    salted = salted_join(orders, customer, on="o_custkey", how="inner", salt=4)
+    assert salted.columns == plain.columns
+    cols = ["o_orderkey", "c_mktsegment"]
+    assert _counts(salted, cols) == _counts(plain, cols)
+
+
+def test_salted_left_join_preserves_unmatched(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=1, v="b"), Row(k=2, v="c"), Row(k=9, v="z")]
+    )
+    right = spark.createDataFrame([Row(k=1, d="dim1"), Row(k=2, d="dim2")])
+    out = salted_join(left, right, on="k", how="left", salt=3)
+    got = {(r["k"], r["v"], r["d"]) for r in out.collect()}
+    assert got == {(1, "a", "dim1"), (1, "b", "dim1"), (2, "c", "dim2"), (9, "z", None)}
+
+
+def test_salted_join_duplicate_left_rows_survive(spark):
+    """Identical left rows hash to the same salt — they must all survive."""
+    left = spark.createDataFrame([Row(k=1, v="x")] * 5)
+    right = spark.createDataFrame([Row(k=1, d="d")])
+    assert salted_join(left, right, on="k", salt=4).count() == 5
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    df = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on="k", how="full")
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join without any shuffle Exchange in the physical plan."""
+    spark.sql("DROP TABLE IF EXISTS bt_orders")
+    spark.sql("DROP TABLE IF EXISTS bt_customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    write_bucketed(orders, "bt_orders", "o_custkey", num_buckets=8, sort_cols="o_custkey")
+    write_bucketed(customer, "bt_customer", "o_custkey", num_buckets=8, sort_cols="o_custkey")
+    try:
+        joined = bucketed_table(spark, "bt_orders").join(
+            bucketed_table(spark, "bt_customer").hint("merge"), on="o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it actually computes the right thing
+        plain = orders.join(customer, on="o_custkey").count()
+        assert joined.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_customer")
