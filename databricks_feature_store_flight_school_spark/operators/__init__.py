@@ -10,12 +10,13 @@ from .dedup import (
     shingle_pairs_jaccard,
     simhash_df,
 )
-from .similarity import cosine_topk, ivf_topk, lsh_topk, nearest_neighbor_join
+from .similarity import arrow_cosine_topk, cosine_topk, ivf_topk, lsh_topk, nearest_neighbor_join
 from .skew import bucketed_table, salted_join, write_bucketed
 from .topk import top_k, top_k_per_group
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 
 __all__ = [
+    "arrow_cosine_topk",
     "asof_join",
     "bucketed_table",
     "content_hash",

@@ -119,3 +119,20 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
     )
+
+
+@register(
+    "q_cosine_topk_arrow",
+    None,  # numpy pairwise summation differs from sequential in the last ulp
+    "vectors", "similarity", "pandas-udf", "rows-only",
+)
+def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy twin of q_cosine_topk (matrix ops per Arrow batch instead
+    of interpreted higher-order lambdas — ~1.8x at sf0.1).  Value parity
+    with the exact form is asserted in tests/test_operators.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    out = S.arrow_cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )

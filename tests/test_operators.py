@@ -257,3 +257,22 @@ def test_md5_fingerprint_matches_manual(spark):
     # short doc -> null fingerprint
     short = spark.createDataFrame([Row(t="one two")])
     assert short.select(T.md5_fingerprint("t").alias("fp")).collect()[0]["fp"] is None
+
+
+def test_arrow_cosine_topk_matches_exact(spark, sf_dir):
+    from databricks_feature_store_flight_school_spark.operators.similarity import (
+        arrow_cosine_topk,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9))
+        for r in cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    }
+    arrow = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine_sim"], 9))
+        for r in arrow_cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    }
+    assert exact == arrow

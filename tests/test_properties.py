@@ -1,0 +1,94 @@
+"""Property-based spot checks (SURVEY.md §5.4): merge ≡ last-writer-wins by
+key, dedup count conservation, salted-join result parity — each against a
+driver-side Python model of the semantics.  Example counts are kept small:
+every example is a full Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from databricks_feature_store_flight_school_spark.featurestore import FeatureStoreClient
+from databricks_feature_store_flight_school_spark.operators import exact_dedup, salted_join
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# batches of (key in 0..4, value in 0..9); 1-4 batches per run
+_batches = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 9)), min_size=1, max_size=6
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=_batches)
+@settings(**_SETTINGS)
+def test_merge_is_last_writer_wins(spark, tmp_path_factory, batches):
+    """Applying upsert batches through the merge writer must equal a dict
+    updated batch-by-batch (WITHIN a batch, last row per key wins too —
+    the writer resolves intra-batch duplicates by source order... which is
+    undefined; so feed batches deduplicated per key to pin semantics)."""
+    model: dict[int, int] = {}
+    client = FeatureStoreClient(
+        spark, str(tmp_path_factory.mktemp("prop_wh"))
+    )
+    first = True
+    for batch in batches:
+        dedup = {k: v for k, v in batch}  # one row per key per batch
+        model.update(dedup)
+        df = spark.createDataFrame([Row(k=k, v=v) for k, v in dedup.items()])
+        if first:
+            client.create_feature_table("t", keys="k", df=df)
+            first = False
+        else:
+            client.write_table("t", df, mode="merge")
+    got = {r["k"]: r["v"] for r in client.read_table("t").collect()}
+    assert got == model
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_dedup_conserves_counts(spark, rows):
+    """exact_dedup keeps exactly one survivor per distinct dedup column, the
+    minimum id, and dup_counts sum to the input size."""
+    df = spark.createDataFrame([Row(id=i, text=t) for i, (_, t) in enumerate(rows)])
+    out = exact_dedup(df, ["text"], "id").collect()
+    texts = [t for _, t in rows]
+    assert {r["text"] for r in out} == set(texts)
+    assert sum(r["dup_count"] for r in out) == len(rows)
+    for r in out:
+        expected_min = min(i for i, (_, t) in enumerate(rows) if t == r["text"])
+        assert r["id"] == expected_min
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 99)), min_size=1, max_size=15),
+    right=st.lists(st.integers(0, 5), min_size=1, max_size=4, unique=True),
+    salt=st.integers(2, 5),
+)
+@settings(**_SETTINGS)
+def test_salted_join_parity_property(spark, left, right, salt):
+    """salted_join(inner) ≡ plain inner join for arbitrary small inputs."""
+    l = spark.createDataFrame([Row(k=k, v=v) for k, v in left])
+    r = spark.createDataFrame([Row(k=k, d=k * 10) for k in right])
+    plain = sorted(
+        (row["k"], row["v"], row["d"])
+        for row in l.join(r, on="k", how="inner").collect()
+    )
+    salted = sorted(
+        (row["k"], row["v"], row["d"])
+        for row in salted_join(l, r, on="k", how="inner", salt=salt).collect()
+    )
+    assert salted == plain
