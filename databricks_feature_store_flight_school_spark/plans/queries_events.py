@@ -235,3 +235,35 @@ def q_user_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ts_str(F.min("ts")).alias("first_ts"),
         _ts_str(F.max("ts")).alias("last_ts"),
     )
+
+
+@register(
+    "q_json_schema_parse",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "events", "json",
+)
+def q_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing: from_json with a DECLARED schema (one parse into a
+    struct; repeated get_json_object re-parses the document per path — at
+    100 TB declare the schema once and prune into the struct)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("k", IntegerType())])
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "p", F.from_json(F.col("props"), schema)
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.col("p.k")), 6).alias("avg_k"),
+            F.max(F.col("p.k")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -398,3 +398,30 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_window_dist_functions",
+    """
+    SELECT s_suppkey,
+           round(s_acctbal, 2) AS acctbal,
+           round(percent_rank() OVER w, 9) AS bal_pct_rank,
+           round(cume_dist() OVER w, 9) AS bal_cume_dist
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+    "window",
+)
+def q_window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (percent_rank / cume_dist) over a global
+    ordering — single-partition window, the one shape that does NOT scale
+    horizontally; production variants add a partition key."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("bal_cume_dist"),
+    )
