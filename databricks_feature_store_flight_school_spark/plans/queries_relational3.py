@@ -425,3 +425,115 @@ def q_window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("bal_cume_dist"),
     )
+
+
+@register(
+    "q_array_agg",
+    """
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations,
+           len(list(n_name)) AS nation_count
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    "agg", "arrays",
+)
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_list is order-nondeterministic after a
+    shuffle, so results are sort_array-normalised (same rule the oracle
+    applies with list_sort) — the deterministic form of grouped collection."""
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count(F.lit(1)).alias("nation_count"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "q_regexp_extract",
+    """
+    SELECT regexp_extract(p_name, '^([a-z]+) ', 1) AS adjective,
+           count(*) AS part_count,
+           round(avg(p_retailprice), 6) AS avg_price
+    FROM part
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "functions", "regex",
+)
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex group extraction (Java and RE2 agree on this anchored class
+    pattern), grouped aggregation over the extracted token."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.regexp_extract("p_name", r"^([a-z]+) ", 1).alias("adjective"))
+        .agg(
+            F.count(F.lit(1)).alias("part_count"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_price"),
+        )
+        .orderBy("adjective")
+    )
+
+
+@register(
+    "q_window_range_between",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2) AS trailing_90d_spend
+    FROM orders
+    """,
+    "window", "range",
+)
+def q_window_range_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): trailing-90-day
+    spend per customer.  Ordered by epoch seconds so the frame is an
+    arithmetic range both engines implement identically."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_spend"),
+    )
+
+
+@register(
+    "q_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start,
+           (year(o_orderdate) * 100 + month(o_orderdate)) AS order_month_id,
+           CAST(dayofweek(o_orderdate) AS INT) AS order_dow
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+    """,
+    "functions", "dates",
+)
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic surface: interval add, day difference, month id,
+    day-of-week (both engines: Sunday=0? DuckDB dayofweek Sunday=0,
+    Spark dayofweek Sunday=1 — aligned by subtracting 1)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp_ntz")
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since_epoch_start"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("order_month_id"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
+    )
