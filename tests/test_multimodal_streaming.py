@@ -118,3 +118,79 @@ def test_stateful_user_stats_equals_batch(spark, sf_dir):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    """Session windows through the streaming engine over the bounded replay
+    must match the batch session_window_agg (same merge semantics)."""
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_session_counts,
+    )
+    from databricks_feature_store_flight_school_spark.operators import session_window_agg
+
+    stream = read_event_stream(spark, sf_dir)
+    agg = streaming_session_counts(stream, gap="10 minutes", watermark="100 hours")
+    run_stream_to_memory(agg, "sess_counts", output_mode="complete")
+    got = {
+        (r["session_start"], r["user_id"]): r["event_count"]
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = session_window_agg(
+        ev, "ts", "10 minutes", ["user_id"], [F.count(F.lit(1)).alias("event_count")]
+    )
+    want = {
+        (r["window_start"], r["user_id"]): r["event_count"] for r in batch.collect()
+    }
+    assert len(got) > 0
+    assert got == want
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode with a short watermark must finalise (emit) only windows
+    the watermark has passed — the state-bounding contract at scale."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 10, 0, 30), 1.0),
+        (dt.datetime(2024, 1, 1, 10, 1, 30), 2.0),
+        (dt.datetime(2024, 1, 1, 12, 0, 0), 9.0),  # advances the watermark far
+    ]
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("value", DoubleType())]
+    )
+    src = str(tmp_path / "wm_src")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"))
+        .agg(F.sum("value").alias("v"))
+        .select(F.col("w.start").alias("start"), "v")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["start"]: r["v"] for r in spark.sql("SELECT * FROM wm_out").collect()}
+    # the two 10:0x windows are final (watermark = 12:00 - 10min passed them);
+    # the 12:00 window is still open -> NOT emitted in append mode
+    assert got == {
+        dt.datetime(2024, 1, 1, 10, 0): 1.0,
+        dt.datetime(2024, 1, 1, 10, 1): 2.0,
+    }
