@@ -537,3 +537,43 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("order_month_id"),
         (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
     )
+
+
+@register(
+    "q_group_normalize",
+    """
+    SELECT o_custkey, o_orderkey,
+           round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_custkey))
+                 / stddev_samp(o_totalprice) OVER (PARTITION BY o_custkey), 6) AS price_zscore
+    FROM orders
+    QUALIFY count(*) OVER (PARTITION BY o_custkey) > 1
+    """,
+    "pandas", "applyInPandas", "window",
+)
+def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer z-score normalisation, the
+    canonical 'custom per-group computation' shape (each key group becomes
+    one pandas frame on a worker).  The oracle is the equivalent window SQL
+    — for THIS computation the pure-window form is what production should
+    use (no Python); applyInPandas is for logic windows can't express, and
+    this query pins that the grouped-map plumbing computes exactly what the
+    relational form does.  Single-row groups are dropped (stddev undefined)."""
+    import pandas as pd
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"o_custkey": pdf["o_custkey"], "o_orderkey": pdf["o_orderkey"]}
+        )
+        if len(pdf) < 2:
+            return out.iloc[0:0].assign(price_zscore=0.0)
+        z = (pdf["o_totalprice"] - pdf["o_totalprice"].mean()) / pdf[
+            "o_totalprice"
+        ].std(ddof=1)
+        return out.assign(price_zscore=z.round(6))
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(normalize, "o_custkey bigint, o_orderkey bigint, price_zscore double")
+    )

@@ -270,3 +270,62 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.md5_fingerprint_words(F.col("words")).alias("fingerprint"),
         F.greatest(F.size("words") - 2, F.lit(0)).alias("shingle_count"),
     )
+
+
+@register(
+    "q_corpus_clean_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, source, text,
+             length(text) AS char_count,
+             0.5 * least(length(text) / 500.0, 1.0)
+             + 0.25 * (1.0 - least(((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                                    * 1.0 / greatest(length(text), 1)) * 10, 1.0))
+             + 0.25 * (1.0 - least((len(list_filter(string_split(trim(text), ' '), w -> length(w) <= 1))
+                                    * 1.0 / greatest(len(string_split(trim(text), ' ')), 1)) * 5, 1.0))
+               AS quality
+      FROM documents
+      WHERE lang IN ('en', 'es')),
+    survivors AS (
+      SELECT min(doc_id) AS doc_id
+      FROM scored
+      WHERE quality >= 0.3
+      GROUP BY substr(trim(text), 1, 120))
+    SELECT s.lang,
+           count(*) AS kept_docs,
+           round(avg(s.quality), 6) AS avg_quality,
+           sum(s.char_count) AS total_chars
+    FROM survivors d JOIN scored s ON s.doc_id = d.doc_id
+    GROUP BY s.lang
+    ORDER BY s.lang
+    """,
+    "text", "pipeline", "dedup", "quality",
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-corpus cleaning pipeline: language filter -> quality
+    floor -> exact dedup (120-char-prefix key, keep min doc_id) -> per-lang
+    corpus stats.  Every stage is the engine's own operator; the oracle
+    re-derives the identical pipeline relationally.  One shuffle for the
+    dedup, one for the final small agg; filters run inside the scan."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("lang").isin("en", "es"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").alias("char_count"),
+        T.quality_score("text").alias("quality"),
+    ).where(F.col("quality") >= 0.3)
+    keyed = scored.withColumn(
+        "prefix_key", F.substring(F.trim(F.col("text")), 1, 120)
+    )
+    survivors = D.exact_dedup(keyed, ["prefix_key"], "doc_id").select("doc_id")
+    deduped = scored.join(survivors, on="doc_id", how="left_semi")
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.sum("char_count").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
