@@ -329,3 +329,28 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_sentence_split_udtf",
+    """
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS sentence_idx,
+           trim(parts[i]) AS sentence,
+           CAST(len(string_split(trim(parts[i]), ' ')) AS INT) AS n_tokens
+    FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i)
+    WHERE length(trim(parts[i])) > 0
+    """,
+    "text", "udtf",
+)
+def q_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) fan-out: per-document sentence rows via
+    DataFrame.lateralJoin — the U-surface family the pandas UDFs don't
+    cover.  The oracle replays the split relationally."""
+    from ..functions.udtfs import SentenceSplit
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.lateralJoin(SentenceSplit(F.col("text").outer())).select(
+        "doc_id", "sentence_idx", "sentence", "n_tokens"
+    )

@@ -276,3 +276,26 @@ def test_arrow_cosine_topk_matches_exact(spark, sf_dir):
         for r in arrow_cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
     }
     assert exact == arrow
+
+
+def test_sentence_split_udtf(spark):
+    from databricks_feature_store_flight_school_spark.functions.udtfs import (
+        SentenceSplit,
+        register_udtfs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello world. How are you.  . Fine"), Row(doc_id=2, text=None)]
+    )
+    out = df.lateralJoin(SentenceSplit(F.col("text").outer())).collect()
+    got = [(r["doc_id"], r["sentence_idx"], r["sentence"], r["n_tokens"]) for r in out]
+    # empty segment (idx 2) dropped but indices preserve original positions;
+    # null text produces no rows
+    assert got == [(1, 0, "Hello world", 2), (1, 1, "How are you", 3), (1, 3, "Fine", 1)]
+
+    register_udtfs(spark)
+    df.createOrReplaceTempView("udtf_docs")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM udtf_docs, LATERAL sentence_split(text)"
+    ).collect()[0]["n"]
+    assert n == 3
