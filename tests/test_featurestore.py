@@ -335,3 +335,38 @@ def test_pit_lookup_requires_timestamp_keys(spark, client):
     )
     with pytest.raises(ValueError, match="timestamp_keys"):
         ts.load_df()
+
+
+def test_composite_key_feature_table(spark, client):
+    """Multi-column primary keys: merge identity and lookup join both use
+    the full key tuple."""
+    df = spark.createDataFrame(
+        [
+            Row(region="eu", cust=1, score=0.5),
+            Row(region="us", cust=1, score=0.7),
+            Row(region="eu", cust=2, score=0.9),
+        ]
+    )
+    client.create_feature_table("geo_scores", keys=["region", "cust"], df=df)
+    # merge updates only the exact (region, cust) pair
+    client.write_table(
+        "geo_scores",
+        spark.createDataFrame([Row(region="eu", cust=1, score=0.6)]),
+        mode="merge",
+    )
+    got = {
+        (r["region"], r["cust"]): r["score"]
+        for r in client.read_table("geo_scores").collect()
+    }
+    assert got == {("eu", 1): 0.6, ("us", 1): 0.7, ("eu", 2): 0.9}
+
+    inputs = spark.createDataFrame(
+        [Row(region="eu", cust=1, y=True), Row(region="us", cust=2, y=False)]
+    )
+    ts = client.create_training_set(
+        inputs,
+        [FeatureLookup("geo_scores", lookup_key=["region", "cust"])],
+        label="y",
+    )
+    out = {(r["region"], r["cust"]): r["score"] for r in ts.load_df().collect()}
+    assert out == {("eu", 1): 0.6, ("us", 2): None}
