@@ -88,11 +88,18 @@ class FeatureStoreClient:
 
     # -- data plane (S4/S8) -------------------------------------------------
 
-    def read_table(self, name: str) -> DataFrame:
-        return writer.read_snapshot(self.spark, self.registry, self.registry.get(name))
+    def read_table(self, name: str, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time-travel to an earlier ``version``."""
+        return writer.read_snapshot(
+            self.spark, self.registry, self.registry.get(name), version=version
+        )
 
-    def write_table(self, name: str, df: DataFrame, mode: str = "merge") -> FeatureTableMeta:
-        return writer.write_snapshot(self.registry, self.registry.get(name), df, mode)
+    def write_table(
+        self, name: str, df: DataFrame, mode: str = "merge", validate: bool = True
+    ) -> FeatureTableMeta:
+        return writer.write_snapshot(
+            self.registry, self.registry.get(name), df, mode, validate=validate
+        )
 
     # -- decorator binding --------------------------------------------------
 

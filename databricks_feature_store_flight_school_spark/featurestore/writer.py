@@ -54,20 +54,42 @@ def _version_dir(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"v{version:06d}")
 
 
-def read_snapshot(spark: SparkSession, registry: Registry, meta: FeatureTableMeta) -> DataFrame:
-    """Current contents of a feature table (S4: ``fs.read_table``)."""
+def read_snapshot(
+    spark: SparkSession,
+    registry: Registry,
+    meta: FeatureTableMeta,
+    version: int | None = None,
+) -> DataFrame:
+    """Contents of a feature table (S4: ``fs.read_table``).
+
+    ``version`` time-travels to an earlier snapshot — every merge/overwrite
+    lands in its own ``v{N}`` directory, so history is queryable for free
+    (the parquet-snapshot analog of Delta's ``versionAsOf``)."""
     if meta.current_version == 0:
         raise ValueError(f"feature table {meta.name} has no data yet")
-    return spark.read.parquet(_version_dir(registry.table_dir(meta.name), meta.current_version))
+    if version is None:
+        version = meta.current_version
+    if not 1 <= version <= meta.current_version:
+        raise ValueError(
+            f"version {version} out of range [1, {meta.current_version}] "
+            f"for {meta.name}"
+        )
+    return spark.read.parquet(_version_dir(registry.table_dir(meta.name), version))
 
 
 def write_snapshot(
-    registry: Registry, meta: FeatureTableMeta, df: DataFrame, mode: str
+    registry: Registry, meta: FeatureTableMeta, df: DataFrame, mode: str,
+    validate: bool = True,
 ) -> FeatureTableMeta:
     """Write ``df`` into the feature table; returns updated metadata.
 
     mode='overwrite' -> replace; mode='merge' -> PK upsert with schema
     evolution (see module docstring).
+
+    ``validate`` (default on) rejects sources Delta's MERGE would reject —
+    null key columns, or several source rows for one key (whose winner would
+    otherwise be arbitrary).  Costs one small aggregate job over the source;
+    pass False only for sources already known clean.
     """
     if mode not in ("merge", "overwrite"):
         raise ValueError(f"unsupported write mode: {mode}")
@@ -75,6 +97,8 @@ def write_snapshot(
     missing = [k for k in merge_keys if k not in df.columns]
     if missing:
         raise ValueError(f"source is missing primary key column(s) {missing}")
+    if validate and mode == "merge":
+        _validate_source(df, merge_keys, meta.name)
 
     spark = df.sparkSession
     table_dir = registry.table_dir(meta.name)
@@ -95,6 +119,33 @@ def write_snapshot(
     meta.schema_json = merged.schema.json()
     registry.update(meta)
     return meta
+
+
+def _validate_source(df: DataFrame, keys: list[str], table: str) -> None:
+    """One aggregate pass: no null keys, no duplicate key tuples (the
+    conditions under which a merge result would be nondeterministic)."""
+    from functools import reduce
+
+    null_cond = reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+    )
+    bad = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where((F.col("__n") > 1) | null_cond)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        row = bad[0]
+        keyvals = {k: row[k] for k in keys}
+        if any(v is None for v in keyvals.values()):
+            raise ValueError(f"merge source for {table} has null key(s): {keyvals}")
+        raise ValueError(
+            f"merge source for {table} has {row['__n']} rows for key {keyvals}; "
+            "a merge winner would be arbitrary (Delta MERGE rejects this too). "
+            "Deduplicate the source or pass validate=False."
+        )
 
 
 def _merge_frames(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:

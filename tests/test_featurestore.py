@@ -370,3 +370,34 @@ def test_composite_key_feature_table(spark, client):
     )
     out = {(r["region"], r["cust"]): r["score"] for r in ts.load_df().collect()}
     assert out == {("eu", 1): 0.6, ("us", 2): None}
+
+
+def test_merge_rejects_duplicate_and_null_source_keys(spark, client):
+    client.create_feature_table("vtab", keys="customer_id", df=_demo_df(spark))
+    dup = spark.createDataFrame(
+        [Row(customer_id=1, gender="F", senior=True)] * 2
+    )
+    with pytest.raises(ValueError, match="arbitrary"):
+        client.write_table("vtab", dup, mode="merge")
+    nullk = spark.createDataFrame(
+        [(None, "F", True)], "customer_id bigint, gender string, senior boolean"
+    )
+    with pytest.raises(ValueError, match="null key"):
+        client.write_table("vtab", nullk, mode="merge")
+    # escape hatch still works
+    client.write_table("vtab", dup, mode="merge", validate=False)
+    assert client.read_table("vtab").where(F.col("customer_id") == 1).count() == 1
+
+
+def test_read_table_time_travel(spark, client):
+    client.create_feature_table("ttab", keys="customer_id", df=_demo_df(spark))
+    client.write_table(
+        "ttab",
+        spark.createDataFrame([Row(customer_id=1, gender="X", senior=False)]),
+        mode="merge",
+    )
+    v1 = {r["customer_id"]: r["gender"] for r in client.read_table("ttab", version=1).collect()}
+    v2 = {r["customer_id"]: r["gender"] for r in client.read_table("ttab").collect()}
+    assert v1[1] == "F" and v2[1] == "X"
+    with pytest.raises(ValueError, match="out of range"):
+        client.read_table("ttab", version=9)
