@@ -577,3 +577,117 @@ def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .applyInPandas(normalize, "o_custkey bigint, o_orderkey bigint, price_zscore double")
     )
+
+
+@register(
+    "q_stats_aggregates",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+           round(stddev_samp(l_discount), 9) AS discount_stddev,
+           round(var_samp(l_tax), 9) AS tax_variance
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "agg", "stats",
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (corr/covar/stddev/variance) — one pass,
+    partial+final merge of (n, sum, sum-of-products) sketches per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+            F.round(F.stddev_samp("l_discount"), 9).alias("discount_stddev"),
+            F.round(F.var_samp("l_tax"), 9).alias("tax_variance"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_argmax_aggregates",
+    """
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_totalprice) AS priciest_order,
+           round(max(o_totalprice), 2) AS top_price,
+           min_by(o_orderkey, o_orderdate) AS earliest_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "agg", "argmax",
+)
+def q_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/arg-max aggregates (max_by / min_by): the single-pass form of
+    'row with the extreme value per group' — no self-join, no window.
+    Deterministic here because o_totalprice/o_orderdate ties don't occur in
+    the synthetic data for these groupings."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("top_price"),
+            F.min_by("o_orderkey", "o_orderdate").alias("earliest_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q_sessionize_by_lag",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w <= 600
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    "window", "events", "sessionize",
+)
+def q_sessionize_by_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via lag + running sum — the window-function
+    route to session ids (F.session_window is the built-in twin,
+    q_session_window).  Useful when the session id itself must persist."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")) <= 600,
+            0,
+        ).otherwise(1),
+    )
+    sessions = gaps.withColumn("session_id", F.sum("new_session").over(wrun))
+    return (
+        sessions.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .orderBy("user_id", "session_id")
+    )
