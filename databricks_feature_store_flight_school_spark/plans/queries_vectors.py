@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions import vectors as V
 from ..operators import similarity as S
 from ..operators.similarity import cosine_topk, lsh_topk, nearest_neighbor_join
 from ..sources import load_table
@@ -135,4 +136,31 @@ def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = S.arrow_cosine_topk(emb, queries, "vec_id", "embedding", k=5)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
+    )
+
+
+@register(
+    "q_embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.75
+    """,
+    "vectors", "dedup", "neardup",
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS above a similarity threshold (the
+    symmetric-pair form of nearest-neighbor dedup).  All-pairs is exactness
+    ground truth for the LSH/IVF scale paths; ordered ids halve the
+    candidate space."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), V.to_double(F.col("embedding")).alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), V.to_double(F.col("embedding")).alias("vb"))
+    sim = V.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", sim)
+        .where(F.col("cosine_sim") >= 0.75)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
     )
