@@ -78,6 +78,13 @@ class TrainingSet:
             out = out.drop(*drop)
         return out
 
+    def split(self, weights: list[float], seed: int = 42) -> list[DataFrame]:
+        """Deterministic random split of the materialized training set — the
+        engine-side analog of the reference's driver-side train_test_split
+        (FS:326), but distributed: no pandas round-trip, each split is a
+        DataFrame (sample predicates push into the scan stage)."""
+        return self.load_df().randomSplit(weights, seed=seed)
+
     def feature_columns(self) -> list[str]:
         """Names of all looked-up feature columns, in lookup order — what the
         scoring UDF consumes (J4)."""

@@ -401,3 +401,50 @@ def test_read_table_time_travel(spark, client):
     assert v1[1] == "F" and v2[1] == "X"
     with pytest.raises(ValueError, match="out of range"):
         client.read_table("ttab", version=9)
+
+
+def test_lookup_join_broadcasts_feature_table(spark, client):
+    """The lookup planner must put the feature table on a broadcast exchange
+    (the fact-side input never shuffles for retrieval)."""
+    client.create_feature_table("bplan", keys="customer_id", df=_demo_df(spark))
+    inputs = spark.range(100).select(F.col("id").alias("customer_id"))
+    ts = client.create_training_set(inputs, [FeatureLookup("bplan", "customer_id")])
+    plan = ts.load_df()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    analyzed = ts.load_df()._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" in analyzed.lower(), analyzed
+    # broadcast=False drops the explicit hint (the optimizer may still pick
+    # a broadcast join on its own for tiny tables — that's AQE's call)
+    ts2 = client.create_training_set(
+        inputs, [FeatureLookup("bplan", "customer_id")], broadcast=False
+    )
+    analyzed2 = ts2.load_df()._jdf.queryExecution().analyzed().toString()
+    assert "hint" not in analyzed2.lower(), analyzed2
+
+
+def test_training_set_split_deterministic_partition(spark, lookup_client):
+    inputs = spark.range(200).select(F.col("id").alias("customer_id"))
+    ts = lookup_client.create_training_set(
+        inputs, [FeatureLookup("demo_f", "customer_id")]
+    )
+    train, test = ts.split([0.8, 0.2], seed=7)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 200 and n_test > 0
+    # same seed -> identical split
+    train2, _ = ts.split([0.8, 0.2], seed=7)
+    assert sorted(r["customer_id"] for r in train.collect()) == sorted(
+        r["customer_id"] for r in train2.collect()
+    )
+
+
+def test_score_batch_string_result_type(spark, lookup_client, tmp_path):
+    inputs = spark.range(10).select(F.col("id").alias("customer_id"))
+    ts = lookup_client.create_training_set(
+        inputs, [FeatureLookup("demo_f", "customer_id")]
+    )
+    model = LinearThresholdModel(weights={"age": 1.0}, threshold=35.0)
+    model_dir = str(tmp_path / "strmodel")
+    lookup_client.log_model(model_dir, model, ts)
+    out = lookup_client.score_batch(model_dir, inputs, result_type="string")
+    assert dict(out.dtypes)["prediction"] == "string"
+    assert {r["prediction"] for r in out.collect()} <= {"True", "False"}
