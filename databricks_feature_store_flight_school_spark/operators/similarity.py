@@ -22,14 +22,24 @@ import pandas as pd  # noqa: F401  (pandas-UDF type hints resolve via module glo
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, dot, hyperplane_bucket, to_double
+from ..functions.vectors import cosine, dot, hyperplane_bucket, norm, to_double
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """id + double vector + HOISTED norm.  cosine() per candidate pair would
+    run three interpreted higher-order aggregates (dot + two norms);
+    computing |v| once per vector leaves one dot per pair.  Bit-identical:
+    dot/(|a|*|b|) with the same op order (IEEE multiply commutes)."""
     return df.select(
         F.col(id_col).alias(f"{prefix}_id"),
         to_double(F.col(vec_col)).alias(f"{prefix}_vec"),
-    )
+    ).withColumn(f"{prefix}_norm", norm(F.col(f"{prefix}_vec")))
+
+
+def _pair_cosine():
+    """cosine from hoisted norms: query/neighbor columns from _prep."""
+    denom = F.col("query_norm") * F.col("neighbor_norm")
+    return F.when(denom > 0, dot(F.col("query_vec"), F.col("neighbor_vec")) / denom)
 
 
 def cosine_topk(
@@ -45,7 +55,7 @@ def cosine_topk(
     q = _prep(queries, id_col, vec_col, "query")
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+        .withColumn("cosine_sim", _pair_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -187,6 +197,7 @@ def ivf_topk(
         .select(
             "query_id",
             "query_vec",
+            "query_norm",
             F.posexplode(_centroid_dots(F.col("query_vec"), centroids)).alias(
                 "pos", "cdot"
             ),
@@ -198,12 +209,15 @@ def ivf_topk(
             ),
         )
         .where(F.col("probe_rank") <= nprobe)
-        .select("query_id", "query_vec", (F.col("pos") + 1).cast("int").alias("bucket"))
+        .select(
+            "query_id", "query_vec", "query_norm",
+            (F.col("pos") + 1).cast("int").alias("bucket"),
+        )
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+        .withColumn("cosine_sim", _pair_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
@@ -240,7 +254,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+        .withColumn("cosine_sim", _pair_cosine())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
