@@ -161,3 +161,40 @@ def stateful_user_stats(stream: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_to_feature_table(
+    agg: DataFrame,
+    client,
+    table_name: str,
+    query_name: str = "feature_ingest",
+    timeout_sec: int = 120,
+) -> None:
+    """Streaming feature ingestion: merge each micro-batch of a streaming
+    aggregation into a registered feature table (foreachBatch -> the engine's
+    merge-upsert writer).
+
+    This is the continuous version of ``compute_and_write(mode='merge')`` —
+    the feature table converges to what the batch aggregation over all data
+    would produce, while serving reads between micro-batches.  Output mode
+    'update' so each trigger emits only changed keys; the merge writer
+    upserts them by primary key.  Late data is bounded by the upstream
+    watermark; per-batch dedup is the writer's validation (one row per key
+    per micro-batch is guaranteed by the grouped aggregation itself).
+    """
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        client.write_table(table_name, batch_df, mode="merge")
+
+    q = (
+        agg.writeStream.foreachBatch(upsert)
+        .outputMode("update")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # pragma: no cover - safety net
+        q.stop()

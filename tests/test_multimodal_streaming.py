@@ -194,3 +194,46 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
         dt.datetime(2024, 1, 1, 10, 0): 1.0,
         dt.datetime(2024, 1, 1, 10, 1): 2.0,
     }
+
+
+def test_stream_to_feature_table_converges_to_batch(spark, sf_dir, tmp_path):
+    """foreachBatch merge ingestion: after the bounded replay, the feature
+    table must equal the batch per-user aggregate (streaming continuation of
+    compute_and_write)."""
+    from databricks_feature_store_flight_school_spark.featurestore import (
+        FeatureStoreClient,
+    )
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        read_event_stream,
+        stream_to_feature_table,
+    )
+
+    client = FeatureStoreClient(spark, str(tmp_path / "stream_wh"))
+    stream = read_event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "100 hours")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    client.create_feature_table("user_features", keys="user_id", schema=agg.schema)
+    stream_to_feature_table(agg, client, "user_features")
+
+    got = {
+        r["user_id"]: (r["event_count"], r["total_value"])
+        for r in client.read_table("user_features").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["event_count"], r["total_value"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    assert got == want
