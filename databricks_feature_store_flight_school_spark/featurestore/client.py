@@ -86,6 +86,14 @@ class FeatureStoreClient:
     def list_feature_tables(self) -> list[str]:
         return self.registry.list_tables()
 
+    def drop_warehouse(self) -> None:
+        """Tear down every feature table and the registry — the engine's
+        ``DROP DATABASE ... CASCADE`` + path removal (includes/cleanup.py:65,
+        cleanup.py:75-88).  Idempotent."""
+        for name in list(self.registry.list_tables()):
+            self.delete_feature_table(name)
+        shutil.rmtree(self.registry.warehouse, ignore_errors=True)
+
     # -- data plane (S4/S8) -------------------------------------------------
 
     def read_table(self, name: str, version: int | None = None) -> DataFrame:

@@ -103,6 +103,8 @@ class Registry:
             os.remove(path)
 
     def list_tables(self) -> list[str]:
+        if not os.path.isdir(self._dir):  # warehouse torn down
+            return []
         return sorted(
             f[: -len(".json")] for f in os.listdir(self._dir) if f.endswith(".json")
         )

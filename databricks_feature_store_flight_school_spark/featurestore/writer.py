@@ -171,3 +171,33 @@ def _merge_frames(target: DataFrame, source: DataFrame, keys: list[str]) -> Data
 
 def delta_available() -> bool:
     return _HAVE_DELTA
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    registry: Registry,
+    meta: FeatureTableMeta,
+    num_files: int | None = None,
+) -> FeatureTableMeta:
+    """Small-file compaction: rewrite the current snapshot into ``num_files``
+    parquet files (defaults to shuffle-partition count capped by row count).
+
+    Merge writes inherit the merge plan's shuffle partitioning, so a busy
+    feature table accumulates many small files — at scale that's scan
+    overhead (one task + footer read per file).  Compaction is the OPTIMIZE
+    analog: same rows, new version, fewer files; readers flip atomically
+    with the registry pointer like any other write.
+    """
+    current = read_snapshot(spark, registry, meta)
+    if num_files is None:
+        num_files = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 16))
+    compacted = current.coalesce(num_files)
+    new_version = meta.current_version + 1
+    out = _version_dir(registry.table_dir(meta.name), new_version)
+    writer = compacted.write.mode("overwrite")
+    if meta.partition_columns:
+        writer = writer.partitionBy(*meta.partition_columns)
+    writer.parquet(out)
+    meta.current_version = new_version
+    registry.update(meta)
+    return meta

@@ -448,3 +448,34 @@ def test_score_batch_string_result_type(spark, lookup_client, tmp_path):
     out = lookup_client.score_batch(model_dir, inputs, result_type="string")
     assert dict(out.dtypes)["prediction"] == "string"
     assert {r["prediction"] for r in out.collect()} <= {"True", "False"}
+
+
+def test_compact_snapshot_preserves_rows_reduces_files(spark, client):
+    import glob
+    import os
+
+    from databricks_feature_store_flight_school_spark.featurestore import writer
+
+    df = spark.range(1000).select(
+        F.col("id").alias("customer_id"), (F.col("id") % 7).alias("v")
+    ).repartition(12)
+    client.create_feature_table("ctab", keys="customer_id", df=df)
+    before = client.read_table("ctab")
+    vdir = os.path.join(client.registry.table_dir("ctab"), "v000001")
+    n_before = len(glob.glob(os.path.join(vdir, "*.parquet")))
+    assert n_before >= 12
+
+    meta = writer.compact_snapshot(spark, client.registry, client.get_feature_table("ctab"), num_files=2)
+    assert meta.current_version == 2
+    after = client.read_table("ctab")
+    assert sorted(map(tuple, after.collect())) == sorted(map(tuple, before.collect()))
+    vdir2 = os.path.join(client.registry.table_dir("ctab"), "v000002")
+    assert len(glob.glob(os.path.join(vdir2, "*.parquet"))) <= 2
+
+
+def test_drop_warehouse_idempotent(spark, client):
+    client.create_feature_table("w1", keys="customer_id", df=_demo_df(spark))
+    client.create_feature_table("w2", keys="customer_id", df=_demo_df(spark))
+    client.drop_warehouse()
+    assert client.list_feature_tables() == []
+    client.drop_warehouse()  # second call is a no-op
