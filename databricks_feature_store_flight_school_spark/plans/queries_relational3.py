@@ -691,3 +691,43 @@ def q_sessionize_by_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "q_full_outer_join",
+    """
+    WITH buyers AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+                    FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+                    GROUP BY o_custkey),
+    holders AS (SELECT c_custkey AS custkey, round(c_acctbal, 2) AS acctbal
+                FROM customer WHERE c_acctbal > 9000)
+    SELECT coalesce(b.custkey, h.custkey) AS custkey,
+           coalesce(b.n_orders, 0) AS n_orders,
+           coalesce(h.acctbal, 0.0) AS acctbal,
+           (b.custkey IS NOT NULL AND h.custkey IS NOT NULL) AS in_both
+    FROM buyers b FULL OUTER JOIN holders h ON h.custkey = b.custkey
+    """,
+    "join", "outer",
+)
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two derived sets (recent buyers x high-balance
+    holders) with coalesced keys — rows survive from BOTH unmatched sides."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    buyers = (
+        o.where(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+        .groupBy(F.col("o_custkey").alias("b_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    holders = c.where(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("h_custkey"), F.round("c_acctbal", 2).alias("acctbal")
+    )
+    return (
+        buyers.join(holders, buyers.b_custkey == holders.h_custkey, "full_outer")
+        .select(
+            F.coalesce("b_custkey", "h_custkey").alias("custkey"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("acctbal", F.lit(0.0)).alias("acctbal"),
+            (F.col("b_custkey").isNotNull() & F.col("h_custkey").isNotNull()).alias("in_both"),
+        )
+    )
