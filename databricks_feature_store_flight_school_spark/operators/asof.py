@@ -35,6 +35,7 @@ def asof_join(
     right_ts: str | None = None,
     right_payload: list[str] | None = None,
     suffix: str = "_right",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Backward as-of join; see module docstring.
 
@@ -42,6 +43,11 @@ def asof_join(
     non-key, non-ts).  The matched right timestamp is attached as
     ``{right_ts}{suffix}``; payload columns keep their names unless they
     collide with left columns, in which case they get ``suffix``.
+
+    ``tolerance_seconds`` bounds staleness: a match older than the tolerance
+    is nulled out (the feature-freshness contract — pandas ``merge_asof``'s
+    ``tolerance``).  Applied AFTER the window match, so it costs a null-out
+    projection, not a second join.
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
@@ -77,15 +83,20 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("__asof_payload", ignorenulls=True).over(w)
-    return (
-        unioned.withColumn("__asof_match", matched)
-        .where(F.col(_SIDE) == 1)
-        .select(
-            *left.columns,
-            F.col(f"__asof_match.{ts_out}").alias(ts_out),
-            *[
-                F.col(f"__asof_match.{name}").alias(name)
-                for name in payload_out.values()
-            ],
+    out = unioned.withColumn("__asof_match", matched).where(F.col(_SIDE) == 1)
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__asof_ts").cast("long")
+            - F.col(f"__asof_match.{ts_out}").cast("long")
+        ) <= tolerance_seconds
+        out = out.withColumn(
+            "__asof_match", F.when(fresh, F.col("__asof_match"))
         )
+    return out.select(
+        *left.columns,
+        F.col(f"__asof_match.{ts_out}").alias(ts_out),
+        *[
+            F.col(f"__asof_match.{name}").alias(name)
+            for name in payload_out.values()
+        ],
     )

@@ -731,3 +731,23 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b_custkey").isNotNull() & F.col("h_custkey").isNotNull()).alias("in_both"),
         )
     )
+
+
+@register(
+    "q_percentile_approx",
+    None,  # t-digest sketch values are Spark-specific -> rows-only
+    "agg", "percentile", "approx", "rows-only",
+)
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx: the sketch (fixed-memory) scale path of
+    q_percentiles — at 100 TB an exact percentile means a full sort per
+    group; the approx form merges bounded sketches instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_price_approx"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price_approx"),
+        )
+        .orderBy("l_returnflag")
+    )

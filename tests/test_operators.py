@@ -299,3 +299,20 @@ def test_sentence_split_udtf(spark):
         "SELECT count(*) AS n FROM udtf_docs, LATERAL sentence_split(text)"
     ).collect()[0]["n"]
     assert n == 3
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        [Row(k="a", ts=_ts(10), ev="fresh"), Row(k="a", ts=_ts(40), ev="stale")]
+    )
+    right = spark.createDataFrame([Row(k="a", ts=_ts(8), px=1.0)])
+    out = {
+        r["ev"]: r
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_payload=["px"],
+            tolerance_seconds=600,  # 10 minutes
+        ).collect()
+    }
+    assert out["fresh"]["px"] == 1.0        # 2 min old: inside tolerance
+    assert out["stale"]["px"] is None       # 32 min old: nulled
+    assert out["stale"]["ts_right"] is None
