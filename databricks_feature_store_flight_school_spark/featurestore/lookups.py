@@ -46,6 +46,8 @@ class FeatureLookup:
     lookup_key: str | list[str]
     feature_names: list[str] | None = None
     timestamp_lookup_key: str | None = None
+    #: max staleness (seconds) for PIT retrieval: older matches null out
+    lookup_tolerance_seconds: int | None = None
 
     @property
     def keys(self) -> list[str]:
@@ -149,6 +151,7 @@ def _apply_lookup(
             left_ts=lookup.timestamp_lookup_key,
             right_ts=ts_keys[0],
             right_payload=names,
+            tolerance_seconds=lookup.lookup_tolerance_seconds,
         )
         # the matched observation time is plumbing, not a feature
         return joined.drop(f"{ts_keys[0]}_right")

@@ -751,3 +751,45 @@ def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_map_functions",
+    """
+    WITH agg AS (SELECT o_orderstatus AS k, count(*) AS v
+                 FROM orders GROUP BY 1),
+    m AS (SELECT map_from_entries(list(row(k, v) ORDER BY k)) AS mp FROM agg)
+    SELECT unnest(map_keys(mp)) AS status,
+           unnest(map_values(mp)) AS order_count,
+           len(map_keys(mp)) AS n_statuses
+    FROM m
+    ORDER BY status
+    """,
+    "functions", "maps",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type round trip: grouped counts -> map_from_entries -> map_keys /
+    map_values exploded back to rows (arrays_zip keeps key/value rows
+    aligned).  Entries are key-sorted on both sides — map iteration order is
+    otherwise engine-defined."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderstatus").alias("k")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    m = agg.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("k", "v")))
+        ).alias("mp")
+    )
+    return (
+        m.select(
+            F.explode(F.arrays_zip(F.map_keys("mp"), F.map_values("mp"))).alias("e"),
+            F.size(F.map_keys("mp")).alias("n_statuses"),
+        )
+        .select(
+            F.col("e.0").alias("status"),
+            F.col("e.1").alias("order_count"),
+            "n_statuses",
+        )
+        .orderBy("status")
+    )

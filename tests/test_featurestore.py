@@ -479,3 +479,32 @@ def test_drop_warehouse_idempotent(spark, client):
     client.drop_warehouse()
     assert client.list_feature_tables() == []
     client.drop_warehouse()  # second call is a no-op
+
+
+def test_pit_lookup_tolerance(spark, client):
+    """PIT lookup with a freshness bound: observations older than the
+    tolerance are treated as missing (no stale features at train time)."""
+    import datetime as dt
+
+    d = dt.datetime
+    client = _pit_client(spark, client)
+    inputs = spark.createDataFrame(
+        [
+            Row(customer_id=1, event_ts=d(2024, 3, 2)),   # 1 day after 3/1 obs
+            Row(customer_id=1, event_ts=d(2024, 6, 1)),   # 3 months stale
+        ]
+    )
+    ts = client.create_training_set(
+        inputs,
+        [
+            FeatureLookup(
+                "balance_history",
+                lookup_key="customer_id",
+                timestamp_lookup_key="event_ts",
+                lookup_tolerance_seconds=7 * 86400,  # one week
+            )
+        ],
+    )
+    out = {r["event_ts"]: r["balance"] for r in ts.load_df().collect()}
+    assert out[d(2024, 3, 2)] == 90.0
+    assert out[d(2024, 6, 1)] is None
