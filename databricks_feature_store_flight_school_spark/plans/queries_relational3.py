@@ -793,3 +793,128 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "q_month_over_month",
+    """
+    WITH monthly AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month_id,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month_id, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY month_id), 2) AS mom_change,
+           round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month_id))
+                 / lag(revenue) OVER (ORDER BY month_id), 6) AS mom_pct
+    FROM monthly
+    ORDER BY month_id
+    """,
+    "window", "agg", "analytics",
+)
+def q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over an aggregate: monthly revenue with month-over-month delta
+    and percent change.  The window reuses the aggregate's output directly —
+    the monthly rollup is tiny, so the global-order window is a single
+    ~80-row partition, not a scale hazard."""
+    from pyspark.sql.window import Window
+
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("month_id")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("month_id")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month_id",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("mom_change"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    ).orderBy("month_id")
+
+
+@register(
+    "q_revenue_pareto",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS cust_revenue
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT o_custkey, cust_revenue,
+             row_number() OVER (ORDER BY cust_revenue DESC, o_custkey) AS rnk,
+             sum(cust_revenue) OVER (ORDER BY cust_revenue DESC, o_custkey
+                                     ROWS UNBOUNDED PRECEDING) AS running_revenue,
+             sum(cust_revenue) OVER () AS total_revenue
+      FROM per_cust)
+    SELECT rnk, o_custkey, cust_revenue,
+           round(running_revenue / total_revenue, 9) AS cumulative_share
+    FROM ranked
+    WHERE rnk <= 100
+    ORDER BY rnk
+    """,
+    "window", "agg", "analytics",
+)
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto curve: top-100 customers by revenue with cumulative share of
+    the total — running sum + unbounded total in one window pass over the
+    (customer-sized, already aggregated) rollup."""
+    from pyspark.sql.window import Window
+
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("cust_revenue"))
+    )
+    order = [F.col("cust_revenue").desc(), F.col("o_custkey")]
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
+        "o_custkey",
+        "cust_revenue",
+        (F.sum("cust_revenue").over(w_run) / F.sum("cust_revenue").over(w_all)).alias(
+            "__share"
+        ),
+    )
+    return (
+        ranked.where(F.col("rnk") <= 100)
+        .select("rnk", "o_custkey", "cust_revenue", F.round("__share", 9).alias("cumulative_share"))
+        .orderBy("rnk")
+    )
+
+
+@register(
+    "q_histogram",
+    """
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 13
+                ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS price_bucket,
+           count(*) AS order_count,
+           round(min(o_totalprice), 2) AS bucket_min,
+           round(max(o_totalprice), 2) AS bucket_max
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "agg", "histogram",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket (12 bins over [0, 600k); the
+    oracle spells out the same binning rule — DuckDB has no width_bucket):
+    single-pass grouped count per bin."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias(
+                "price_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+        .orderBy("price_bucket")
+    )
