@@ -442,13 +442,20 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey FROM customer
     EXCEPT
     SELECT o_custkey AS c_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
     """,
     "setops",
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers who never ordered, via EXCEPT (distinct semantics)."""
+    """Customers with no RECENT order, via EXCEPT (distinct semantics; the
+    date scope keeps the result non-empty on the dense testdata where every
+    customer has ordered at least once)."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
     return c.subtract(o)
 
 
@@ -494,13 +501,19 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_anti_join",
     """
     SELECT c_custkey, c_nationkey FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
     """,
     "join",
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no order after mid-2000 (the date
+    scope keeps the result non-empty — the dense testdata gives every
+    customer some order)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp_ntz")
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_nationkey")

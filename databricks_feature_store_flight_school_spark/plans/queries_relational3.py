@@ -23,7 +23,8 @@ from .catalog import register
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation sn ON sn.n_nationkey = s.s_nationkey
     JOIN nation cn ON cn.n_nationkey = c.c_nationkey
-    WHERE sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_1', 'NATION_2')
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+      AND cn.n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
       AND sn.n_name <> cn.n_name
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
@@ -31,7 +32,7 @@ from .catalog import register
     "join", "agg",
 )
 def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+    """TPC-H Q7 shape: bilateral trade volume between nation pairs by year.
     Both nation dims broadcast twice under different aliases; the nation
     filters reach the dimension scans so the fact join shrinks first."""
     l = load_table(spark, sf_dir, "lineitem")
@@ -39,10 +40,10 @@ def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    sn = n.where(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+    sn = n.where(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")).select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    cn = n.where(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+    cn = n.where(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_4")).select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
     return (
