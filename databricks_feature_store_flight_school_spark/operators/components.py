@@ -1,0 +1,74 @@
+"""Connected components over an edge list — the dedup-CLUSTERING primitive:
+near-dup pair detection (MinHash/SimHash/Jaccard/cosine) yields edges; the
+component id picks one canonical document per duplicate cluster.
+
+Algorithm: iterative min-label propagation (the standard Spark idiom, e.g.
+GraphFrames' non-graphx fallback).  Each iteration every node adopts the
+minimum label among itself and its neighbours; converges in O(diameter)
+iterations — near-dup clusters are shallow (pairs/cliques), so 3-5 rounds
+typical.  Each round is one shuffle (join on node) + one aggregate; labels
+are cached and the loop stops on a driver-side convergence count, which is
+exactly the kind of control flow DataFrames can't express declaratively
+(and why the oracle uses a recursive CTE instead).
+
+Scale notes: state is one (node, label) row per node — shuffles are
+node-count-sized, never edge-squared; `.localCheckpoint` every few rounds
+truncates the growing lineage so plan compilation doesn't dominate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Component id (minimum reachable node id) for every node in ``edges``.
+
+    Returns (node, component).  Nodes appear if they occur in any edge;
+    callers wanting singleton components union the full node set afterwards
+    (see q_dedup_components).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    ).cache()
+
+    for i in range(max_iter):
+        # neighbour minimum: for each node, the smallest label among peers
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).cache()
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        # labels only ever decrease, so the label sum strictly drops while
+        # anything changes — one scan-side aggregate, no join, per round
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        old_sum = labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == old_sum:
+            break
+    return labels.select("node", F.col("label").alias("component"))

@@ -354,3 +354,70 @@ def q_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(SentenceSplit(F.col("text").outer())).select(
         "doc_id", "sentence_idx", "sentence", "n_tokens"
     )
+
+
+@register(
+    "q_dedup_components",
+    """
+    WITH RECURSIVE
+    w0 AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+           FROM w0, LATERAL (SELECT unnest(range(1, greatest(len(words) - 1, 1))) AS i)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    jacc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             FROM sh a JOIN sh b USING (shingle)
+             WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    jedges AS (SELECT id_a, id_b FROM jacc
+               JOIN sizes sa ON sa.doc_id = id_a
+               JOIN sizes sb ON sb.doc_id = id_b
+               WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8),
+    pedges AS (SELECT min(doc_id) OVER (PARTITION BY substr(trim(text), 1, 120)) AS id_a,
+                      doc_id AS id_b
+               FROM documents
+               QUALIFY id_a <> id_b),
+    sym AS (SELECT id_a AS a, id_b AS b FROM jedges
+            UNION SELECT id_b, id_a FROM jedges
+            UNION SELECT id_a, id_b FROM pedges
+            UNION SELECT id_b, id_a FROM pedges),
+    walk(node, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.a, w.label FROM walk w JOIN sym s ON s.b = w.node
+    )
+    SELECT node AS doc_id, min(label) AS component,
+           (node = min(label)) AS is_canonical
+    FROM walk GROUP BY node
+    """,
+    "text", "dedup", "components",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTERING: near-dup pairs (word-3-gram Jaccard >= 0.8) plus
+    exact 120-char-prefix duplicates form an edge list; connected components
+    (iterative min-label propagation, operators/components.py) assign one
+    canonical doc per duplicate cluster; singletons are their own component.
+    The oracle replays the same graph with a recursive CTE — the declarative
+    twin of the iterative DataFrame loop."""
+    from ..operators.components import connected_components
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    jedges = D.shingle_pairs_jaccard(docs, "doc_id", "text", k=3, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    wprefix = Window.partitionBy(F.substring(F.trim(F.col("text")), 1, 120))
+    pedges = (
+        docs.select(
+            F.min("doc_id").over(wprefix).alias("id_a"), F.col("doc_id").alias("id_b")
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    comp = connected_components(jedges.union(pedges), src="id_a", dst="id_b")
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("is_canonical"),
+        )
+    )

@@ -37,7 +37,10 @@ def test_oracle_sql_uses_known_tables():
     """Every physical table referenced by an oracle must be one the driver
     registers as a DuckDB view (CTE names and LATERAL subqueries excluded)."""
     table_re = re.compile(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE)
-    cte_re = re.compile(r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s+AS\s*\(", re.IGNORECASE)
+    # CTE names, including recursive CTEs with column lists: name(col, ...) AS (
+    cte_re = re.compile(
+        r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(", re.IGNORECASE
+    )
     for name, sql in entrymod.oracle_sql().items():
         ctes = {c.lower() for c in cte_re.findall(sql)}
         for t in table_re.findall(sql):

@@ -316,3 +316,26 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert out["fresh"]["px"] == 1.0        # 2 min old: inside tolerance
     assert out["stale"]["px"] is None       # 32 min old: nulled
     assert out["stale"]["ts_right"] is None
+
+
+def test_connected_components_shapes(spark):
+    from databricks_feature_store_flight_school_spark.operators.components import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter > 1), triangle 10-11-12, pair 20-21
+    edges = spark.createDataFrame(
+        [
+            Row(src=2, dst=1), Row(src=2, dst=3), Row(src=3, dst=4),
+            Row(src=10, dst=11), Row(src=11, dst=12), Row(src=10, dst=12),
+            Row(src=21, dst=20),
+        ]
+    )
+    got = sorted(
+        (r["node"], r["component"]) for r in connected_components(edges).collect()
+    )
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    ]
