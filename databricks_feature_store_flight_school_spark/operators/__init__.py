@@ -1,4 +1,5 @@
 from .asof import asof_join
+from .components import connected_components
 from .dedup import (
     content_hash,
     content_hash_dedup,
@@ -19,6 +20,7 @@ __all__ = [
     "arrow_cosine_topk",
     "asof_join",
     "bucketed_table",
+    "connected_components",
     "content_hash",
     "content_hash_dedup",
     "cosine_topk",
