@@ -173,3 +173,32 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cosine_sim") >= 0.35)
         .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
     )
+
+
+@register(
+    "q_array_hof",
+    """
+    SELECT vec_id,
+           len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.1)) AS n_large,
+           (len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.25)) > 0) AS any_gt_025,
+           (len(list_filter(CAST(embedding AS DOUBLE[]), x -> abs(x) >= 0.3)) = 0) AS all_lt_03,
+           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS sq_norm
+    FROM embeddings
+    """,
+    "vectors", "arrays", "hof",
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order predicates (exists / forall / filter / transform+
+    aggregate) over the embedding column — the expression family every
+    array-typed pipeline leans on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = V.to_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0.1)).alias("n_large"),
+        F.exists(v, lambda x: x > 0.25).alias("any_gt_025"),
+        F.forall(v, lambda x: F.abs(x) < 0.3).alias("all_lt_03"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("sq_norm"),
+    )
