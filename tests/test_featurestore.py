@@ -508,3 +508,63 @@ def test_pit_lookup_tolerance(spark, client):
     out = {r["event_ts"]: r["balance"] for r in ts.load_df().collect()}
     assert out[d(2024, 3, 2)] == 90.0
     assert out[d(2024, 6, 1)] is None
+
+
+def test_mixed_pit_and_plain_lookups_chain(spark, client):
+    """A training set mixing a PIT lookup and a plain key lookup folds both
+    join types into one plan with correct per-row results."""
+    import datetime as dt
+
+    d = dt.datetime
+    client = _pit_client(spark, client)
+    client.create_feature_table(
+        "static_profile",
+        keys="customer_id",
+        df=spark.createDataFrame(
+            [Row(customer_id=1, tier="gold"), Row(customer_id=2, tier="basic")]
+        ),
+    )
+    inputs = spark.createDataFrame(
+        [
+            Row(customer_id=1, event_ts=d(2024, 2, 15), y=1.0),
+            Row(customer_id=2, event_ts=d(2024, 2, 1), y=0.0),
+        ]
+    )
+    ts = client.create_training_set(
+        inputs,
+        [
+            FeatureLookup(
+                "balance_history",
+                lookup_key="customer_id",
+                timestamp_lookup_key="event_ts",
+            ),
+            FeatureLookup("static_profile", lookup_key="customer_id"),
+        ],
+        label="y",
+    )
+    out = {r["customer_id"]: (r["balance"], r["tier"]) for r in ts.load_df().collect()}
+    assert out[1] == (150.0, "gold")   # as-of 2/15 -> 2/1 observation
+    assert out[2] == (500.0, "basic")  # as-of 2/1 -> 1/15 observation
+
+
+def test_pit_lookup_feature_subset(spark, client):
+    """PIT lookup with explicit feature_names only attaches those columns."""
+    import datetime as dt
+
+    d = dt.datetime
+    client = _pit_client(spark, client)
+    inputs = spark.createDataFrame([Row(customer_id=1, event_ts=d(2024, 2, 15))])
+    ts = client.create_training_set(
+        inputs,
+        [
+            FeatureLookup(
+                "balance_history",
+                lookup_key="customer_id",
+                feature_names=["balance"],
+                timestamp_lookup_key="event_ts",
+            )
+        ],
+    )
+    df = ts.load_df()
+    assert set(df.columns) == {"customer_id", "event_ts", "balance"}
+    assert df.collect()[0]["balance"] == 150.0
