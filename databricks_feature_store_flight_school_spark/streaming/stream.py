@@ -198,3 +198,14 @@ def stream_to_feature_table(
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover - safety net
         q.stop()
+
+
+def streaming_dedup(
+    stream: DataFrame, key_cols: list[str], watermark: str = "2 hours", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup: dropDuplicates on a watermarked
+    stream keeps one state entry per key, evicted once the watermark passes —
+    the unbounded-stream form of exact dedup (at-least-once sources ->
+    effectively-once sinks).  Keys older than the watermark horizon can
+    reappear; size the watermark to the source's redelivery window."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates([*key_cols, ts_col])

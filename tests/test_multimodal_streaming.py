@@ -237,3 +237,41 @@ def test_stream_to_feature_table_converges_to_batch(spark, sf_dir, tmp_path):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
+    """Replaying the same events through a watermarked dropDuplicates yields
+    each key once."""
+    import datetime as dt
+
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        streaming_dedup,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [StructField("event_id", LongType()), StructField("ts", TimestampType())]
+    )
+    rows = [(i, dt.datetime(2024, 1, 1, 10, i % 5)) for i in range(10)]
+    src = str(tmp_path / "dup_src")
+    # write the same batch twice -> duplicated source files
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect()]
+    assert sorted(got) == list(range(10))  # each id exactly once
