@@ -43,6 +43,7 @@ class FeatureStoreClient:
         description: str = "",
         partition_columns: list[str] | None = None,
         timestamp_keys: str | list[str] | None = None,
+        cluster_columns: str | list[str] | None = None,
     ) -> FeatureTableMeta:
         """Register a feature table (FS:207-218).  ``schema`` may come from a
         DataFrame (``df.schema`` is what the reference passes); providing
@@ -57,6 +58,8 @@ class FeatureStoreClient:
         if isinstance(timestamp_keys, str):
             timestamp_keys = [timestamp_keys]
         timestamp_keys = list(timestamp_keys or [])
+        if isinstance(cluster_columns, str):
+            cluster_columns = [cluster_columns]
         missing = [k for k in keys + timestamp_keys if k not in schema.fieldNames()]
         if missing:
             raise ValueError(f"primary key(s) {missing} not in schema")
@@ -68,6 +71,7 @@ class FeatureStoreClient:
                 description=description,
                 partition_columns=partition_columns or [],
                 timestamp_keys=timestamp_keys,
+                cluster_columns=list(cluster_columns or []),
             )
         )
         if df is not None:

@@ -47,6 +47,10 @@ class FeatureTableMeta:
     # (keys, timestamp_keys) — merges upsert per timestamped observation, and
     # FeatureLookup(timestamp_lookup_key=...) retrieves as-of a lookup time.
     timestamp_keys: list[str] = field(default_factory=list)
+    # Physical layout: range-partition + sort every snapshot by these
+    # columns (Z-order-lite).  Parquet min/max footer stats then skip row
+    # groups on key predicates, and merge/lookup shuffles find presorted runs.
+    cluster_columns: list[str] = field(default_factory=list)
 
     @property
     def primary_keys(self) -> list[str]:

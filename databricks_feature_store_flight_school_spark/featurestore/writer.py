@@ -110,6 +110,11 @@ def write_snapshot(
 
     new_version = meta.current_version + 1
     out = _version_dir(table_dir, new_version)
+    cluster = [c for c in getattr(meta, "cluster_columns", []) if c in merged.columns]
+    if cluster:
+        # range partition + in-file sort: parquet min/max stats become
+        # selective on the cluster key (row-group skipping at read time)
+        merged = merged.repartitionByRange(*cluster).sortWithinPartitions(*cluster)
     writer = merged.write.mode("overwrite")
     if meta.partition_columns:
         writer = writer.partitionBy(*meta.partition_columns)

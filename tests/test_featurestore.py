@@ -568,3 +568,36 @@ def test_pit_lookup_feature_subset(spark, client):
     df = ts.load_df()
     assert set(df.columns) == {"customer_id", "event_ts", "balance"}
     assert df.collect()[0]["balance"] == 150.0
+
+
+def test_cluster_columns_sort_within_files(spark, client):
+    """cluster_columns: every parquet file of the snapshot is sorted by the
+    cluster key (footer min/max stats become selective)."""
+    import glob
+    import os
+
+    df = spark.range(500).select(
+        (F.col("id") * 37 % 500).alias("customer_id"), F.col("id").alias("v")
+    ).repartition(6)
+    client.create_feature_table(
+        "clustered", keys="customer_id", df=df, cluster_columns="customer_id"
+    )
+    vdir = os.path.join(client.registry.table_dir("clustered"), "v000001")
+    files = glob.glob(os.path.join(vdir, "*.parquet"))
+    assert files
+    seen = 0
+    for f in files:
+        vals = [r["customer_id"] for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals), f
+        seen += len(vals)
+    assert seen == 500
+    # merge writes preserve the clustering
+    client.write_table(
+        "clustered",
+        spark.createDataFrame([Row(customer_id=9999, v=1)]),
+        mode="merge",
+    )
+    vdir2 = os.path.join(client.registry.table_dir("clustered"), "v000002")
+    for f in glob.glob(os.path.join(vdir2, "*.parquet")):
+        vals = [r["customer_id"] for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals), f
