@@ -127,3 +127,18 @@ def test_lastcall_hash_bucket_deterministic(flow):
     b = {r["customerID"]: r["LastCallEscalated"] for r in inf.collect()}
     assert a == b
     assert set(map(type, a.values())) <= {bool}
+
+
+def test_infer_schema_ingest_matches_declared(spark, tmp_path_factory):
+    """The reference's inferSchema read (kept for parity) must produce the
+    same cleaned frame as the declared-schema single-pass read."""
+    base = tmp_path_factory.mktemp("telco_infer")
+    csv_path = _write_fixture(str(base / "telco.csv"), n=60, seed=7)
+    declared = telco.clean_telco(telco.ingest_telco_csv(spark, csv_path))
+    inferred = telco.clean_telco(
+        telco.ingest_telco_csv(spark, csv_path, infer_schema=True)
+    )
+    assert declared.columns == inferred.columns
+    a = sorted(map(tuple, declared.collect()))
+    b = sorted(map(tuple, inferred.collect()))
+    assert a == b
