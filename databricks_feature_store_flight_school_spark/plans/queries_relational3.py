@@ -919,3 +919,61 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_bucket")
     )
+
+
+@register(
+    "q_status_transitions",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders)
+    SELECT prev_status, o_orderstatus AS next_status, count(*) AS transitions
+    FROM seq WHERE prev_status IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "window", "agg", "analytics",
+)
+def q_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style transition counts: consecutive order statuses per
+    customer (lag window) aggregated into a transition matrix."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = load_table(spark, sf_dir, "orders").select(
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+        F.col("o_orderstatus").alias("next_status"),
+    )
+    return (
+        seq.where(F.col("prev_status").isNotNull())
+        .groupBy("prev_status", "next_status")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+        .orderBy("prev_status", "next_status")
+    )
+
+
+@register(
+    "q_group_size_profile",
+    """
+    SELECT lines_per_order, count(*) AS order_count
+    FROM (SELECT l_orderkey, count(*) AS lines_per_order
+          FROM lineitem GROUP BY l_orderkey)
+    GROUP BY lines_per_order
+    ORDER BY lines_per_order
+    """,
+    "agg", "profiling", "skew",
+)
+def q_group_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size distribution (double aggregation): how many orders have N
+    line items — the data-profiling query behind skew decisions (a heavy
+    tail here means the join/agg key needs salting or AQE skew handling)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("lines_per_order"))
+        .groupBy("lines_per_order")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("lines_per_order")
+    )
