@@ -977,3 +977,77 @@ def q_group_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("lines_per_order")
     )
+
+
+@register(
+    "q_small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice), 2) AS small_qty_revenue,
+           count(*) AS small_qty_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.5 * avg(l_quantity) AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_threshold
+    """,
+    "join", "agg", "subquery",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below half
+    the per-part average — a correlated aggregate subquery, decorrelated the
+    scalable way: ONE groupBy(l_partkey) pre-aggregate, then a join back to
+    the fact instead of a per-row subquery re-execution.  At 100 TB the
+    per-part average table is |part|-sized (dimension scale), so it
+    broadcasts; the fact table is scanned once, not once per row.
+    Reference ships no subqueries (SURVEY.md §2.12) — this is the driver-set
+    extension shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("qty_threshold")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        li.join(F.broadcast(part.where(F.col("p_brand") == "Brand#1").select("p_partkey")),
+                F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(per_part), F.col("t_partkey") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("small_qty_lines"),
+        )
+    )
+
+
+@register(
+    "q_groupwise_min_joinback",
+    """
+    SELECT p.p_type, p.p_partkey, p.p_name, p.p_retailprice AS min_price
+    FROM part p
+    JOIN (SELECT p_type, min(p_retailprice) AS mn
+          FROM part GROUP BY p_type) m
+      ON m.p_type = p.p_type AND p.p_retailprice = m.mn
+    ORDER BY p.p_type, p.p_partkey
+    """,
+    "join", "agg", "subquery",
+)
+def q_groupwise_min_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp-free): recover the full row(s) achieving the
+    per-group minimum by joining the grouped MIN back to the base table —
+    the classic groupwise-minimum plan.  Unlike the window-rank variant
+    (q_window_topn_per_customer) this keeps ties and needs no per-partition
+    sort: aggregate once (map-side partial), broadcast the small
+    group->min table, one stage.  Reference has no aggregates at all
+    (SURVEY.md §2.4) — extension shape."""
+    part = load_table(spark, sf_dir, "part")
+    mins = part.groupBy(F.col("p_type").alias("m_type")).agg(
+        F.min("p_retailprice").alias("mn")
+    )
+    return (
+        part.join(
+            F.broadcast(mins),
+            (F.col("m_type") == F.col("p_type")) & (F.col("p_retailprice") == F.col("mn")),
+        )
+        .select("p_type", "p_partkey", "p_name", F.col("p_retailprice").alias("min_price"))
+        .orderBy("p_type", "p_partkey")
+    )
