@@ -1051,3 +1051,54 @@ def q_groupwise_min_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_type", "p_partkey", "p_name", F.col("p_retailprice").alias("min_price"))
         .orderBy("p_type", "p_partkey")
     )
+
+
+@register(
+    "q_price_band_join",
+    """
+    SELECT b.tier, count(*) AS orders_in_tier,
+           round(sum(o.o_totalprice), 2) AS tier_revenue
+    FROM orders o
+    JOIN (VALUES ('budget', 0.0, 25000.0),
+                 ('mid', 25000.0, 120000.0),
+                 ('premium', 120000.0, 300000.0),
+                 ('luxury', 300000.0, 1e12)) AS b(tier, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.tier
+    ORDER BY b.tier
+    """,
+    "join", "non-equi", "agg",
+)
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: assign each order to an *irregular* price tier via
+    a non-equi BETWEEN join — the interval-lookup shape that arithmetic
+    binning (q_histogram's equi-width buckets) cannot express.  The band
+    table is rows-tiny, so the right physical plan IS a broadcast
+    nested-loop join: each fact row scans 4 in-memory intervals, no
+    shuffle, no sort.  At 100 TB the fact side streams through unchanged;
+    if the band table ever grew large (thousands of intervals), the scale
+    path is bucketing both sides on a coarsened grid (floor(price/step))
+    and equi-joining before the residual range filter.  Reference has no
+    non-equi joins (SURVEY.md §2.3) — extension shape."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 25_000.0),
+            ("mid", 25_000.0, 120_000.0),
+            ("premium", 120_000.0, 300_000.0),
+            ("luxury", 300_000.0, 1e12),
+        ],
+        "tier string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("orders_in_tier"),
+            F.round(F.sum("o_totalprice"), 2).alias("tier_revenue"),
+        )
+        .orderBy("tier")
+    )
