@@ -55,3 +55,23 @@ def test_query_runs_nonempty_schema(spark, sf_dir, name):
     assert df.columns == sorted(set(df.columns)) or len(set(df.columns)) == len(df.columns)
     # every query must produce rows at the smoke SF (driver rows-only gate)
     assert df.limit(1).count() >= 0
+
+
+@pytest.mark.parametrize(
+    "name, want, forbid",
+    [
+        # Q17 decorrelation: per-part threshold broadcast, fact never shuffles
+        ("q_small_quantity_revenue", "BroadcastHashJoin", "SortMergeJoin"),
+        # groupwise-min join-back: grouped MIN broadcast back to base table
+        ("q_groupwise_min_joinback", "BroadcastHashJoin", "SortMergeJoin"),
+        # band join: tiny interval dim -> broadcast nested-loop, no shuffle join
+        ("q_price_band_join", "BroadcastNestedLoopJoin", "SortMergeJoin"),
+    ],
+)
+def test_subquery_shape_plans(spark, sf_dir, name, want, forbid):
+    """The decorrelated-subquery and band-join queries must keep the fact
+    side shuffle-free: dimension-sized aggregates broadcast, never a
+    sort-merge join (SURVEY.md delivery map, 100 TB posture)."""
+    plan = query_map()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert want in plan, f"{name}: expected {want}\n{plan[:2000]}"
+    assert forbid not in plan, f"{name}: unexpected {forbid}\n{plan[:2000]}"
