@@ -1102,3 +1102,37 @@ def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@register(
+    "q_boolean_aggregates",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_above_1k,
+           bool_or(o_totalprice > 400000) AS any_above_400k,
+           count(*) FILTER (o_orderstatus = 'F') AS finished_orders,
+           count(*) AS total_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "agg",
+)
+def q_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: ``bool_and``/``bool_or`` (ANSI EVERY/ANY)
+    plus a FILTER-clause conditional count (``count_if``).  All are plain
+    partial+final hash aggregates — each executor reduces its partition to
+    one boolean/long per group before the single shuffle, so the reduction
+    is map-side like any sum.  Reference has no aggregates (SURVEY.md §2.4)
+    — extension shape."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_above_1k"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_above_400k"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("finished_orders"),
+            F.count(F.lit(1)).alias("total_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
