@@ -18,6 +18,8 @@ truncates the growing lineage so plan compilation doesn't dominate.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -33,6 +35,10 @@ def connected_components(
     Returns (node, component).  Nodes appear if they occur in any edge;
     callers wanting singleton components union the full node set afterwards
     (see q_dedup_components).
+
+    Warns (RuntimeWarning) if ``max_iter`` rounds pass without convergence —
+    e.g. a chain graph with diameter > max_iter — since the truncated labels
+    are otherwise indistinguishable from converged output.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -45,6 +51,12 @@ def connected_components(
         .withColumn("label", F.col("node"))
     ).cache()
 
+    # labels only ever decrease, so the label sum strictly drops while
+    # anything changes; carrying the previous round's sum forward makes
+    # convergence ONE driver action per superstep (the initial sum below is
+    # the only extra action, amortized over the whole loop).
+    old_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for i in range(max_iter):
         # neighbour minimum: for each node, the smallest label among peers
         neighbor_min = (

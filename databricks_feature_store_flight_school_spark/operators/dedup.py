@@ -68,13 +68,18 @@ def shingle_pairs_jaccard(
     text_col: str,
     k: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard >= threshold.
 
     ``max_doc_freq`` drops shingles appearing in more than N docs before the
     self-join — the skew/scale guard (a stopword-ish shingle shared by 1M
-    docs would otherwise explode into 10^12 pairs).
+    docs would otherwise explode into 10^12 pairs).  ON BY DEFAULT: a join
+    key with document frequency f contributes f^2/2 pairs, so one corpus-wide
+    stop-shingle turns the near-linear plan quadratic.  Pass ``None`` only
+    for small-corpus exact ground truth; note shingle sizes (the Jaccard
+    denominator) are computed AFTER the filter, so dropped shingles don't
+    count toward either document's size.
     """
     sh = (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))

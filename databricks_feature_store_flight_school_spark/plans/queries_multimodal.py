@@ -77,11 +77,11 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_frame_sample_stats",
     """
     SELECT doc_id,
-           ((greatest(octet_length(encode(text)) // 1024, 1) + 3) // 4) AS frames_kept,
+           ((greatest(octet_length(encode(text)) // 1024, 1) + 3) // 4)::BIGINT AS frames_kept,
            list_sum(list_transform(
                generate_series(0, greatest(octet_length(encode(text)) // 1024, 1) - 1, 4),
                i -> least(1024, octet_length(encode(text)) - i * 1024)
-           )) AS frame_bytes_total
+           ))::BIGINT AS frame_bytes_total
     FROM documents
     """,
     "multimodal", "mapInPandas",

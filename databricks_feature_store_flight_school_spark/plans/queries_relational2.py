@@ -113,8 +113,8 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_priority_shipmode",
     """
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate > o.o_orderdate
@@ -466,9 +466,9 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_null_functions",
     """
     SELECT count(*) AS total,
-           sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS zero_discounts,
+           sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)::BIGINT AS zero_discounts,
            round(sum(coalesce(nullif(l_discount, 0.0), 0.01)), 4) AS floored_discount_sum,
-           sum(CASE WHEN l_tax IS NOT NULL THEN 1 ELSE 0 END) AS tax_not_null
+           sum(CASE WHEN l_tax IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS tax_not_null
     FROM lineitem
     """,
     "functions", "nulls",

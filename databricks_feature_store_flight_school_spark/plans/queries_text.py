@@ -183,8 +183,10 @@ def q_content_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ngram_jaccard_neardup",
     """
     WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
-    sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-           FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words) - 1, 1))) AS i)),
+    sh0 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+            FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words) - 1, 1))) AS i)),
+    sh AS (SELECT doc_id, shingle FROM sh0
+           QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS intersection
               FROM sh a JOIN sh b USING (shingle)
@@ -294,7 +296,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.lang,
            count(*) AS kept_docs,
            round(avg(s.quality), 6) AS avg_quality,
-           sum(s.char_count) AS total_chars
+           sum(s.char_count)::BIGINT AS total_chars
     FROM survivors d JOIN scored s ON s.doc_id = d.doc_id
     GROUP BY s.lang
     ORDER BY s.lang
@@ -361,8 +363,10 @@ def q_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH RECURSIVE
     w0 AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
-    sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-           FROM w0, LATERAL (SELECT unnest(range(1, greatest(len(words) - 1, 1))) AS i)),
+    sh1 AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+            FROM w0, LATERAL (SELECT unnest(range(1, greatest(len(words) - 1, 1))) AS i)),
+    sh AS (SELECT doc_id, shingle FROM sh1
+           QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     jacc AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
              FROM sh a JOIN sh b USING (shingle)

@@ -31,8 +31,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
             out[c] = s.astype("float64").round(9)
-        elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_bool_dtype(s):
-            out[c] = s.astype("float64")  # unify int widths / bool across engines
+        elif pd.api.types.is_integer_dtype(s):
+            # Unify int WIDTHS only (int32 vs int64); deliberately do NOT
+            # widen to float — the driver's value hash distinguishes int64
+            # from float64, so a DuckDB HUGEINT (sum over integers, surfaced
+            # as float64/object by fetchdf) must be caught here, not masked.
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype(str)
         elif pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.astype("datetime64[us]").astype(str)
         else:
