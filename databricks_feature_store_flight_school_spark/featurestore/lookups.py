@@ -96,7 +96,11 @@ class TrainingSet:
             if names is None:
                 meta = self._client.get_feature_table(lookup.table_name)
                 snapshot = self._client.read_table(lookup.table_name)
-                names = [c for c in snapshot.columns if c not in meta.keys]
+                ts_keys = list(getattr(meta, "timestamp_keys", []) or [])
+                names = [
+                    c for c in snapshot.columns
+                    if c not in meta.keys and c not in ts_keys
+                ]
             cols.extend(names)
         return cols
 

@@ -65,6 +65,8 @@ def log_model(path: str, predictor: Predictor, training_set: TrainingSet) -> Non
                 "table_name": lk.table_name,
                 "lookup_key": lk.lookup_key,
                 "feature_names": lk.feature_names,
+                "timestamp_lookup_key": lk.timestamp_lookup_key,
+                "lookup_tolerance_seconds": lk.lookup_tolerance_seconds,
             }
             for lk in training_set.feature_lookups
         ],
@@ -102,6 +104,11 @@ def score_batch(
             table_name=d["table_name"],
             lookup_key=d["lookup_key"],
             feature_names=d["feature_names"],
+            # PIT specs MUST survive the log/score roundtrip: dropping them
+            # silently degrades scoring to a plain left join against full
+            # feature history (row fan-out + train/serve skew).
+            timestamp_lookup_key=d.get("timestamp_lookup_key"),
+            lookup_tolerance_seconds=d.get("lookup_tolerance_seconds"),
         )
         for d in spec["feature_lookups"]
     ]

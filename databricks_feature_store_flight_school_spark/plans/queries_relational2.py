@@ -431,11 +431,11 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_linenumber,
            round(sum(abs(l_extendedprice - l_retail)), 4) AS abs_diff_sum,
-           round(sum(ceil(l_quantity / 7.0)), 2) AS ceil_sum,
-           round(sum(floor(l_quantity / 7.0)), 2) AS floor_sum,
+           round(sum(ceil(l_quantity / 7.0)), 2)::BIGINT AS ceil_sum,
+           round(sum(floor(l_quantity / 7.0)), 2)::BIGINT AS floor_sum,
            round(sum(sqrt(l_quantity)), 6) AS sqrt_sum,
            round(sum(ln(l_extendedprice)), 6) AS ln_sum,
-           round(sum(CAST(l_quantity AS BIGINT) % 5), 2) AS mod_sum
+           round(sum(CAST(l_quantity AS BIGINT) % 5), 2)::BIGINT AS mod_sum
     FROM (SELECT l_linenumber, l_quantity, l_extendedprice,
                  l_quantity * 1000.0 AS l_retail
           FROM lineitem)

@@ -570,6 +570,69 @@ def test_pit_lookup_feature_subset(spark, client):
     assert df.collect()[0]["balance"] == 150.0
 
 
+def test_log_model_preserves_pit_lookup_specs(spark, client, tmp_path):
+    """PIT specs (timestamp_lookup_key, lookup_tolerance_seconds) must survive
+    the log_model -> score_batch roundtrip.  Dropping them degrades scoring to
+    a plain left join against FULL feature history: row fan-out (3 history
+    rows for customer 1 -> 3 scored rows) and train/serve skew — the exact
+    failure class PIT retrieval exists to prevent (FS:342-363)."""
+    import datetime as dt
+
+    d = dt.datetime
+    client = _pit_client(spark, client)
+    inputs = spark.createDataFrame(
+        [
+            Row(customer_id=1, event_ts=d(2024, 2, 15), churn=True),
+            Row(customer_id=1, event_ts=d(2024, 6, 1), churn=False),
+            Row(customer_id=2, event_ts=d(2024, 2, 1), churn=False),
+        ]
+    )
+    ts = client.create_training_set(
+        inputs,
+        [
+            FeatureLookup(
+                "balance_history",
+                lookup_key="customer_id",
+                timestamp_lookup_key="event_ts",
+                lookup_tolerance_seconds=365 * 86400,
+            )
+        ],
+        label="churn",
+    )
+    # feature_names=None must resolve to non-key, non-timestamp columns only
+    assert ts.feature_columns() == ["balance"]
+
+    model = LinearThresholdModel(weights={"balance": 1.0}, threshold=120.0)
+    mpath = str(tmp_path / "pit_model")
+    client.log_model(mpath, model, ts)
+
+    # the serialized graph carries the PIT fields verbatim
+    import json as _json
+    with open(f"{mpath}/lookup_graph.json") as fh:
+        graph = _json.load(fh)
+    lk = graph["feature_lookups"][0]
+    assert lk["timestamp_lookup_key"] == "event_ts"
+    assert lk["lookup_tolerance_seconds"] == 365 * 86400
+
+    batch = spark.createDataFrame(
+        [
+            Row(customer_id=1, event_ts=d(2024, 2, 15)),  # as-of -> 150.0 > 120
+            Row(customer_id=1, event_ts=d(2024, 6, 1)),   # as-of -> 90.0 <= 120
+            Row(customer_id=2, event_ts=d(2024, 2, 1)),   # as-of -> 500.0 > 120
+        ]
+    )
+    scored = client.score_batch(mpath, batch)
+    rows = scored.collect()
+    # no fan-out: one scored row per input row, despite 3 history rows for id 1
+    assert len(rows) == 3
+    out = {(r["customer_id"], r["event_ts"]): r["prediction"] for r in rows}
+    assert out == {
+        (1, d(2024, 2, 15)): True,
+        (1, d(2024, 6, 1)): False,
+        (2, d(2024, 2, 1)): True,
+    }
+
+
 def test_cluster_columns_sort_within_files(spark, client):
     """cluster_columns: every parquet file of the snapshot is sorted by the
     cluster key (footer min/max stats become selective)."""

@@ -99,6 +99,11 @@ def main() -> int:
             diff = (a != b) & ~(a.isna() & b.isna())
             nbad = int(diff.any(axis=1).sum())
             print(f"FAIL  {name}: {nbad}/{len(a)} rows differ")
+            if nbad == 0:
+                # equals() failed but no cell differs -> dtype-only mismatch
+                for c in a.columns:
+                    if a[c].dtype != b[c].dtype:
+                        print(f"  dtype {c}: spark={a[c].dtype} oracle={b[c].dtype}")
             bad = diff.any(axis=1)
             print("  spark:", a[bad].head(3).to_dict("records"))
             print("  oracle:", b[bad].head(3).to_dict("records"))
