@@ -78,9 +78,17 @@ def connected_components(
         # labels only ever decrease, so the label sum strictly drops while
         # anything changes — one scan-side aggregate, no join, per round
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        old_sum = labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
         if new_sum == old_sum:
+            converged = True
             break
+        old_sum = new_sum
+    if not converged:
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "returned labels may be truncated (raise max_iter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", F.col("label").alias("component"))

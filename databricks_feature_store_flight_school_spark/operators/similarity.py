@@ -229,6 +229,83 @@ def ivf_topk(
     )
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 24,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-dup PAIRS above a cosine threshold via banded hyperplane LSH —
+    the 100 TB twin of the all-pairs form (q_embedding_neardup_pairs):
+    candidates come only from same-bucket collisions, then exact cosine
+    verifies each candidate, so output pairs are never false positives and
+    recall tunes with (n_planes, n_tables).
+
+    Banding math: a pair at angle θ collides in one table with
+    p = (1 - θ/π)^n_planes and in ANY of L tables with 1-(1-p)^L.  At the
+    default threshold 0.35 (θ≈69.5°, p≈0.614): 4 planes × 24 tables gives
+    ≈0.97 expected recall; higher-similarity pairs approach 1.0.
+
+    Scale design (vs the O(n²) baseline):
+    - candidate generation shuffles only (id, table, bucket) rows — vectors
+      do NOT travel through the self-join; they re-attach by id afterwards;
+    - the per-(table, bucket) self-join replaces the full cross join: cost
+      Σ bucket²  instead of  n², and bucket sizes are bounded by plane count;
+    - plane literals fold into the plan (no broadcast, no Python worker);
+    - ``distinct`` on candidate ids dedups multi-table collisions BEFORE the
+      expensive exact-cosine verify.
+    Output: (id_a, id_b, cosine_sim) with id_a < id_b, verified exact.
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"]
+    v = _prep(df, id_col, vec_col, "x")
+    buckets = F.array(
+        *[
+            hyperplane_bucket(
+                F.col("x_vec"), random_planes(dim, n_planes, seed + t)
+            )
+            for t in range(n_tables)
+        ]
+    )
+    tagged = v.select(
+        "x_id", F.posexplode(buckets).alias("table", "bucket")
+    )
+    cand = (
+        tagged.select(F.col("x_id").alias("id_a"), "table", "bucket")
+        .join(
+            tagged.select(F.col("x_id").alias("id_b"), "table", "bucket"),
+            on=["table", "bucket"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = v.select(
+        F.col("x_id").alias("id_a"),
+        F.col("x_vec").alias("va"),
+        F.col("x_norm").alias("na"),
+    )
+    b = v.select(
+        F.col("x_id").alias("id_b"),
+        F.col("x_vec").alias("vb"),
+        F.col("x_norm").alias("nb"),
+    )
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom > 0, dot(F.col("va"), F.col("vb")) / denom)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine_sim", sim)
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

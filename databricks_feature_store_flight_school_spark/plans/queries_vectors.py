@@ -176,6 +176,25 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lsh_neardup_pairs",
+    None,  # approximate (recall depends on plane draws) -> rows-only
+    "vectors", "dedup", "neardup", "lsh", "rows-only",
+)
+def q_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH twin of q_embedding_neardup_pairs — the 100 TB path for
+    threshold near-dup PAIRS: same schema (id_a, id_b, cosine_sim), but
+    candidates come from per-(table, bucket) self-joins instead of the full
+    O(n²) cross join, then exact cosine verifies each candidate (no false
+    positives; recall ≥0.9 vs the exact pairs is asserted in
+    tests/test_operators.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.lsh_neardup_pairs(emb, "vec_id", "embedding", threshold=0.35, dim=64)
+    return out.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    )
+
+
+@register(
     "q_array_hof",
     """
     SELECT vec_id,

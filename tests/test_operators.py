@@ -246,6 +246,35 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert r16 == 1.0, f"full probe must equal exact search: {r16:.2f}"
 
 
+def test_lsh_neardup_pairs_recall(spark, sf_dir):
+    """Banded-LSH pairs must be a SUBSET of the exact threshold pairs (exact
+    cosine verify -> zero false positives) with recall >= 0.9, and every
+    emitted similarity must equal the exact one bit-for-bit."""
+    from databricks_feature_store_flight_school_spark.operators.similarity import (
+        lsh_neardup_pairs,
+    )
+    from databricks_feature_store_flight_school_spark.plans.queries_vectors import (
+        q_embedding_neardup_pairs,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in q_embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = {
+        (r["id_a"], r["id_b"]): round(r["cosine_sim"], 6)
+        for r in lsh_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.35, dim=64
+        ).collect()
+    }
+    assert set(approx) <= set(exact), "LSH emitted a false-positive pair"
+    assert all(approx[p] == exact[p] for p in approx)
+    recall = len(approx) / len(exact) if exact else 1.0
+    assert recall >= 0.9, f"LSH pairs recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
 def test_md5_fingerprint_matches_manual(spark):
     import hashlib
 
@@ -339,3 +368,29 @@ def test_connected_components_shapes(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     ]
+
+
+def test_connected_components_warns_on_max_iter(spark):
+    """A chain longer than max_iter can't converge: the truncated labels must
+    come with a RuntimeWarning, not pass silently as converged output."""
+    import warnings as _w
+
+    from databricks_feature_store_flight_school_spark.operators.components import (
+        connected_components,
+    )
+
+    # chain 0-1-2-...-8: min-label takes ~diameter rounds to reach the far end
+    chain = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(8)])
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        connected_components(chain, max_iter=2, checkpoint_every=100).collect()
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "did not converge" in str(w.message)
+        for w in caught
+    )
+
+    # and a converged run emits no warning
+    with _w.catch_warnings(record=True) as caught2:
+        _w.simplefilter("always")
+        connected_components(chain, max_iter=20).collect()
+    assert not [w for w in caught2 if issubclass(w.category, RuntimeWarning)]
