@@ -140,13 +140,38 @@ class FeatureStoreClient:
             broadcast=broadcast,
         )
 
-    def log_model(self, path: str, predictor, training_set: TrainingSet) -> None:
+    def log_model(
+        self,
+        path: str | None,
+        predictor,
+        training_set: TrainingSet,
+        registered_model_name: str | None = None,
+    ) -> str:
+        """Persist predictor + lookup graph.  With ``registered_model_name``
+        the artifact lands in the warehouse model registry and the returned
+        ``models:/<name>/<version>`` URI is what ``score_batch`` takes —
+        the reference's fs.log_model(..., registered_model_name=...) ->
+        fs.score_batch('models:/...', ...) flow (FS:342-363).  Without it,
+        ``path`` is the artifact directory (back-compat)."""
+        if registered_model_name is not None:
+            vdir, version = scoring.register_model_version(
+                self.registry.warehouse, registered_model_name
+            )
+            scoring.log_model(vdir, predictor, training_set)
+            return f"models:/{registered_model_name}/{version}"
+        if path is None:
+            raise ValueError("provide path= or registered_model_name=")
         scoring.log_model(path, predictor, training_set)
+        return path
 
     def score_batch(
-        self, model_path: str, df: DataFrame, result_type: str = "boolean"
+        self, model_uri: str, df: DataFrame, result_type: str = "boolean"
     ) -> DataFrame:
-        return scoring.score_batch(self, model_path, df, result_type=result_type)
+        """Score a key frame with a logged model — ``model_uri`` may be a
+        ``models:/name/version`` (or ``.../latest``) registry URI or a plain
+        artifact path (FS:363)."""
+        path = scoring.resolve_model_uri(self.registry.warehouse, model_uri)
+        return scoring.score_batch(self, path, df, result_type=result_type)
 
     # -- online publish (S9) ------------------------------------------------
 

@@ -23,9 +23,11 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import re
 from dataclasses import dataclass
 from typing import Protocol, runtime_checkable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
@@ -53,6 +55,112 @@ class LinearThresholdModel:
         for col, w in self.weights.items():
             score = score + features[col].astype("float64") * w
         return score > self.threshold
+
+
+@dataclass
+class TrainedLogisticModel:
+    """Numpy logistic regression — the engine's stand-in for the reference's
+    *trained* GradientBoostingClassifier (FS:326-342), closing the gap where
+    :class:`LinearThresholdModel` only ever carried fixed weights.
+
+    Deterministic by construction: features are z-scored with the training
+    moments, weights start at zero, and full-batch gradient descent runs a
+    fixed ``n_iter`` in float64 — same sorted training frame in, same weights
+    out, so train->log->score parity is testable bit-for-bit.
+
+    Scale note: *fitting* is driver-side on a bounded pandas frame (the
+    caller samples/limits the training set — model fitting is not the
+    engine's distributed path; the reference trains driver-side too,
+    FS:326).  *Scoring* is distributed: the fitted weights ship inside the
+    pickled artifact and apply per Arrow batch (U2).
+    """
+
+    feature_names: list[str]
+    weights: np.ndarray
+    bias: float
+    mean: np.ndarray
+    std: np.ndarray
+    threshold: float = 0.5
+
+    @classmethod
+    def fit(
+        cls,
+        features: pd.DataFrame,
+        labels: pd.Series,
+        lr: float = 0.5,
+        n_iter: int = 200,
+        threshold: float = 0.5,
+    ) -> "TrainedLogisticModel":
+        names = list(features.columns)
+        X = features.to_numpy(dtype="float64")
+        y = labels.to_numpy(dtype="float64")
+        mean = X.mean(axis=0)
+        std = X.std(axis=0)
+        std = np.where(std == 0.0, 1.0, std)
+        Z = (X - mean) / std
+        w = np.zeros(Z.shape[1])
+        b = 0.0
+        n = len(y)
+        for _ in range(n_iter):
+            p = 1.0 / (1.0 + np.exp(-(Z @ w + b)))
+            grad = p - y
+            w -= lr * (Z.T @ grad) / n
+            b -= lr * grad.mean()
+        return cls(
+            feature_names=names, weights=w, bias=b, mean=mean, std=std,
+            threshold=threshold,
+        )
+
+    def predict_proba(self, features: pd.DataFrame) -> pd.Series:
+        X = features[self.feature_names].to_numpy(dtype="float64")
+        Z = (X - self.mean) / self.std
+        p = 1.0 / (1.0 + np.exp(-(Z @ self.weights + self.bias)))
+        return pd.Series(p, index=features.index)
+
+    def predict(self, features: pd.DataFrame) -> pd.Series:
+        return self.predict_proba(features) > self.threshold
+
+
+_MODELS_DIR = "_models"
+_MODEL_URI_RE = re.compile(r"^models:/([^/]+)/(\d+|latest)$")
+
+
+def register_model_version(warehouse: str, name: str) -> tuple[str, int]:
+    """Allocate the next version directory for ``models:/<name>`` under the
+    warehouse — the engine's model registry (the reference's
+    ``registered_model_name=`` on fs.log_model, FS:342-349).  Returns
+    (version_dir, version); versions are 1-based like MLflow's."""
+    root = os.path.join(warehouse, _MODELS_DIR, name)
+    os.makedirs(root, exist_ok=True)
+    versions = [int(d[1:]) for d in os.listdir(root) if re.fullmatch(r"v\d+", d)]
+    version = max(versions, default=0) + 1
+    vdir = os.path.join(root, f"v{version}")
+    os.makedirs(vdir)
+    return vdir, version
+
+
+def resolve_model_uri(warehouse: str, uri_or_path: str) -> str:
+    """``models:/name/3`` (or ``models:/name/latest``) -> artifact directory;
+    anything else is treated as a filesystem path (back-compat).  Mirrors the
+    reference's versioned-URI scoring entry point
+    ``fs.score_batch('models:/feature_store_telco_churn/1', ...)`` (FS:363)."""
+    m = _MODEL_URI_RE.match(uri_or_path)
+    if not m:
+        return uri_or_path
+    name, version = m.groups()
+    root = os.path.join(warehouse, _MODELS_DIR, name)
+    if version == "latest":
+        versions = sorted(
+            (int(d[1:]) for d in os.listdir(root) if re.fullmatch(r"v\d+", d))
+            if os.path.isdir(root) else []
+        )
+        if not versions:
+            raise FileNotFoundError(f"no versions registered for models:/{name}")
+        version = versions[-1]
+    vdir = os.path.join(root, f"v{version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"model not found: models:/{name}/{version}")
+    return vdir
 
 
 def log_model(path: str, predictor: Predictor, training_set: TrainingSet) -> None:

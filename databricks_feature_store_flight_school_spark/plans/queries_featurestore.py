@@ -249,3 +249,60 @@ def q_fs_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         label="label",
     )
     return ts.load_df().select("c_custkey", "label", "last_price")
+
+
+@register(
+    "q_fs_score_batch_trained",
+    None,  # weights come from numeric training -> not SQL-expressible; rows-only
+    "featurestore", "scoring", "trained-model", "model-registry", "rows-only",
+)
+def q_fs_score_batch_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference scoring loop with a genuinely *trained* model
+    (FS:326-363): assemble a training set via lookups, fit a numpy logistic
+    regression driver-side, log it to the warehouse model registry with
+    ``registered_model_name``, then score a key-only batch through the
+    versioned URI ``models:/<name>/<version>`` — the engine reconstructs the
+    lookup joins from the artifact and applies the fitted weights per Arrow
+    batch.
+
+    Rows-only: the trained weights are deterministic but numeric, so no
+    DuckDB twin; train->score parity is asserted bit-for-bit in
+    tests/test_featurestore.py (driver-side numpy predictions == cluster
+    predictions on the same features)."""
+    from ..featurestore.scoring import TrainedLogisticModel
+
+    fs = _client(spark)
+    fs.create_feature_table(
+        "profile_t", keys="c_custkey",
+        df=_profile_features(spark, sf_dir).select("c_custkey", "acctbal"),
+    )
+    fs.create_feature_table(
+        "orders_t", keys="c_custkey",
+        df=_order_features(spark, sf_dir).select("c_custkey", "total_spend"),
+    )
+    inference = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_acctbal") < 1000).alias("label")
+    )
+    ts = fs.create_training_set(
+        inference,
+        [
+            FeatureLookup("profile_t", "c_custkey", ["acctbal"]),
+            FeatureLookup("orders_t", "c_custkey", ["total_spend"]),
+        ],
+        label="label",
+        exclude_columns="c_custkey",
+    )
+    # driver-side fit on the (bounded) training frame, sorted for determinism
+    train_pdf = (
+        ts.load_df()
+        .select("acctbal", "total_spend", "label")
+        .orderBy("acctbal", "total_spend")
+        .toPandas()
+    )
+    model = TrainedLogisticModel.fit(
+        train_pdf[["acctbal", "total_spend"]], train_pdf["label"]
+    )
+    uri = fs.log_model(None, model, ts, registered_model_name="churn_logit")
+
+    batch = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return fs.score_batch(uri, batch, result_type="boolean")

@@ -664,3 +664,73 @@ def test_cluster_columns_sort_within_files(spark, client):
     for f in glob.glob(os.path.join(vdir2, "*.parquet")):
         vals = [r["customer_id"] for r in spark.read.parquet(f).collect()]
         assert vals == sorted(vals), f
+
+
+# -- trained model + registry URIs (FS:326-363) -----------------------------
+
+def test_trained_model_registry_roundtrip(spark, client):
+    """train -> log(registered_model_name) -> score via models:/name/version:
+    cluster predictions must equal driver-side numpy predictions bit-for-bit,
+    and versions must bump / resolve via 'latest'."""
+    import numpy as np
+    import pandas as pd
+
+    from databricks_feature_store_flight_school_spark.featurestore.scoring import (
+        TrainedLogisticModel,
+        resolve_model_uri,
+    )
+
+    feat = spark.createDataFrame(
+        [Row(customer_id=i, age=20 + i * 3, spend=float(100 - i * 7)) for i in range(20)]
+    )
+    client.create_feature_table("trainfeat", keys="customer_id", df=feat)
+    inputs = spark.range(20).select(
+        F.col("id").alias("customer_id"), (F.col("id") % 2 == 0).alias("label")
+    )
+    ts = client.create_training_set(
+        inputs, [FeatureLookup("trainfeat", "customer_id")],
+        label="label", exclude_columns="customer_id",
+    )
+    pdf = ts.load_df().orderBy("age").toPandas()
+    model = TrainedLogisticModel.fit(pdf[["age", "spend"]], pdf["label"])
+
+    uri1 = client.log_model(None, model, ts, registered_model_name="demo_logit")
+    assert uri1 == "models:/demo_logit/1"
+    uri2 = client.log_model(None, model, ts, registered_model_name="demo_logit")
+    assert uri2 == "models:/demo_logit/2"
+    assert resolve_model_uri(
+        client.registry.warehouse, "models:/demo_logit/latest"
+    ) == resolve_model_uri(client.registry.warehouse, uri2)
+    with pytest.raises(FileNotFoundError):
+        resolve_model_uri(client.registry.warehouse, "models:/demo_logit/9")
+    with pytest.raises(FileNotFoundError):
+        resolve_model_uri(client.registry.warehouse, "models:/nope/latest")
+
+    batch = spark.range(20).select(F.col("id").alias("customer_id"))
+    scored = client.score_batch(uri1, batch, result_type="boolean")
+    got = {r["customer_id"]: r["prediction"] for r in scored.collect()}
+
+    # driver-side truth on the same joined features
+    feats_pdf = feat.toPandas().set_index("customer_id")
+    want = model.predict(feats_pdf[["age", "spend"]])
+    assert got == {cid: bool(want[cid]) for cid in feats_pdf.index}
+
+    # training is deterministic: same sorted frame -> identical weights
+    model2 = TrainedLogisticModel.fit(pdf[["age", "spend"]], pdf["label"])
+    assert np.array_equal(model.weights, model2.weights) and model.bias == model2.bias
+    # the fit actually learned signal: even ids (label=True) score higher
+    proba = model.predict_proba(feats_pdf[["age", "spend"]])
+    assert proba[[i for i in range(20) if i % 2 == 0]].mean() > proba[
+        [i for i in range(20) if i % 2 == 1]
+    ].mean()
+
+
+def test_log_model_requires_path_or_name(spark, client):
+    feat = _demo_df(spark)
+    client.create_feature_table("lmreq", keys="customer_id", df=feat)
+    ts = client.create_training_set(
+        spark.range(3).select(F.col("id").alias("customer_id")),
+        [FeatureLookup("lmreq", "customer_id")],
+    )
+    with pytest.raises(ValueError, match="path= or registered_model_name"):
+        client.log_model(None, LinearThresholdModel(weights={}), ts)
