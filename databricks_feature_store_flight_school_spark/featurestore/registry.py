@@ -23,6 +23,13 @@ import time
 from dataclasses import asdict, dataclass, field
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published a snapshot between this writer's read and its
+    publish attempt.  The losing writer's upserts were NOT applied — re-read
+    the table and retry the merge (optimistic concurrency, the parquet-
+    snapshot analog of Delta's ConcurrentAppendException)."""
+
+
 def _sanitize(name: str) -> str:
     """Identifier hygiene, same rule as the reference's user-id cleanup
     (includes/setup.py:50): strip non-alphanumerics, lowercase."""
@@ -112,6 +119,51 @@ class Registry:
         return sorted(
             f[: -len(".json")] for f in os.listdir(self._dir) if f.endswith(".json")
         )
+
+    def publish_version(
+        self,
+        name: str,
+        expected_version: int,
+        staging_dir: str,
+        final_dir: str,
+        schema_json: str,
+    ) -> FeatureTableMeta:
+        """Compare-and-swap publish of a staged snapshot: atomically verify
+        ``current_version == expected_version``, rename the staged data into
+        place, and flip the registry pointer — all under a per-table lock
+        file.  A writer that lost the race gets :class:`ConcurrentWriteError`
+        (and its staging dir removed) instead of silently clobbering the
+        winner's rows.  Single-writer-per-table is still the recommended
+        operating mode; this guard turns violations into loud failures."""
+        import shutil
+
+        lock = os.path.join(self._dir, f".{_sanitize(name)}.lock")
+        for _ in range(200):  # ~10 s of 50 ms retries, then give up loudly
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                time.sleep(0.05)
+        else:
+            shutil.rmtree(staging_dir, ignore_errors=True)
+            raise TimeoutError(f"could not acquire registry lock for {name}")
+        try:
+            cur = self.get(name)
+            if cur.current_version != expected_version:
+                shutil.rmtree(staging_dir, ignore_errors=True)
+                raise ConcurrentWriteError(
+                    f"feature table {name} moved from v{expected_version} to "
+                    f"v{cur.current_version} during this write; upserts NOT "
+                    "applied — re-read and retry the merge"
+                )
+            os.rename(staging_dir, final_dir)
+            cur.current_version = expected_version + 1
+            cur.schema_json = schema_json
+            self._write(cur)
+            return cur
+        finally:
+            os.remove(lock)
 
     def _write(self, meta: FeatureTableMeta) -> None:
         # atomic publish: write sidecar tmp file, rename over the target

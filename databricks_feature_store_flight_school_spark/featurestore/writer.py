@@ -108,8 +108,14 @@ def write_snapshot(
     else:
         merged = df
 
-    new_version = meta.current_version + 1
-    out = _version_dir(table_dir, new_version)
+    expected = meta.current_version
+    new_version = expected + 1
+    # Stage into a unique dir, then CAS-publish: two racing writers would
+    # otherwise both target v{N+1} and the loser's parquet job would clobber
+    # the winner's committed files BEFORE the registry check could notice.
+    staging = os.path.join(
+        table_dir, f".staging-v{new_version:06d}-{os.getpid()}-{id(df):x}"
+    )
     cluster = [c for c in getattr(meta, "cluster_columns", []) if c in merged.columns]
     if cluster:
         # range partition + in-file sort: parquet min/max stats become
@@ -118,12 +124,18 @@ def write_snapshot(
     writer = merged.write.mode("overwrite")
     if meta.partition_columns:
         writer = writer.partitionBy(*meta.partition_columns)
-    writer.parquet(out)
+    writer.parquet(staging)
 
-    meta.current_version = new_version
-    meta.schema_json = merged.schema.json()
-    registry.update(meta)
-    return meta
+    updated = registry.publish_version(
+        meta.name,
+        expected_version=expected,
+        staging_dir=staging,
+        final_dir=_version_dir(table_dir, new_version),
+        schema_json=merged.schema.json(),
+    )
+    meta.current_version = updated.current_version
+    meta.schema_json = updated.schema_json
+    return updated
 
 
 def _validate_source(df: DataFrame, keys: list[str], table: str) -> None:
@@ -197,12 +209,20 @@ def compact_snapshot(
     if num_files is None:
         num_files = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 16))
     compacted = current.coalesce(num_files)
-    new_version = meta.current_version + 1
-    out = _version_dir(registry.table_dir(meta.name), new_version)
+    expected = meta.current_version
+    new_version = expected + 1
+    table_dir = registry.table_dir(meta.name)
+    staging = os.path.join(table_dir, f".staging-v{new_version:06d}-compact-{os.getpid()}")
     writer = compacted.write.mode("overwrite")
     if meta.partition_columns:
         writer = writer.partitionBy(*meta.partition_columns)
-    writer.parquet(out)
-    meta.current_version = new_version
-    registry.update(meta)
-    return meta
+    writer.parquet(staging)
+    updated = registry.publish_version(
+        meta.name,
+        expected_version=expected,
+        staging_dir=staging,
+        final_dir=_version_dir(table_dir, new_version),
+        schema_json=meta.schema_json,
+    )
+    meta.current_version = updated.current_version
+    return updated

@@ -734,3 +734,56 @@ def test_log_model_requires_path_or_name(spark, client):
     )
     with pytest.raises(ValueError, match="path= or registered_model_name"):
         client.log_model(None, LinearThresholdModel(weights={}), ts)
+
+
+# -- optimistic concurrency (S8 writer race) --------------------------------
+
+def test_concurrent_merge_writers_cas(spark, client):
+    """Two writers that read the same current_version: the second to publish
+    must raise ConcurrentWriteError — not silently drop the winner's upserts
+    — and the winner's committed snapshot must survive untouched."""
+    from databricks_feature_store_flight_school_spark.featurestore import writer as W
+    from databricks_feature_store_flight_school_spark.featurestore.registry import (
+        ConcurrentWriteError,
+    )
+
+    client.create_feature_table("race", keys="customer_id", df=_demo_df(spark))
+    # both writers snapshot table state at v1
+    stale_meta = client.get_feature_table("race")
+
+    # writer A commits first: customer 1 -> gender 'A'
+    client.write_table(
+        "race",
+        spark.createDataFrame([Row(customer_id=1, gender="A", senior=True)]),
+        mode="merge",
+    )
+    assert client.get_feature_table("race").current_version == 2
+
+    # writer B (holding the stale v1 meta) now tries to publish its merge
+    with pytest.raises(ConcurrentWriteError, match="moved from v1 to v2"):
+        W.write_snapshot(
+            client.registry,
+            stale_meta,
+            spark.createDataFrame([Row(customer_id=2, gender="B", senior=True)]),
+            mode="merge",
+        )
+
+    # winner's write intact, loser applied nothing, no staging junk left
+    rows = {r["customer_id"]: r["gender"] for r in client.read_table("race").collect()}
+    assert rows[1] == "A" and rows[2] == "M"
+    assert client.get_feature_table("race").current_version == 2
+    import os
+    leftovers = [
+        d for d in os.listdir(client.registry.table_dir("race"))
+        if d.startswith(".staging")
+    ]
+    assert leftovers == []
+
+    # the loser retries against fresh state and succeeds
+    client.write_table(
+        "race",
+        spark.createDataFrame([Row(customer_id=2, gender="B", senior=True)]),
+        mode="merge",
+    )
+    rows = {r["customer_id"]: r["gender"] for r in client.read_table("race").collect()}
+    assert rows[1] == "A" and rows[2] == "B"
