@@ -203,9 +203,14 @@ def stream_to_feature_table(
 def streaming_dedup(
     stream: DataFrame, key_cols: list[str], watermark: str = "2 hours", ts_col: str = "ts"
 ) -> DataFrame:
-    """Streaming exactly-once-per-key dedup: dropDuplicates on a watermarked
-    stream keeps one state entry per key, evicted once the watermark passes —
-    the unbounded-stream form of exact dedup (at-least-once sources ->
-    effectively-once sinks).  Keys older than the watermark horizon can
-    reappear; size the watermark to the source's redelivery window."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates([*key_cols, ts_col])
+    """Streaming once-per-key dedup within the watermark window:
+    ``dropDuplicatesWithinWatermark`` keys state on ``key_cols`` ALONE — a
+    replay of the same key with a *different* timestamp (the common
+    at-least-once redelivery shape) is still dropped, and each key's state
+    entry is evicted once the watermark passes its first-seen event time.
+    The unbounded-stream form of exact dedup (at-least-once sources ->
+    effectively-once sinks).  A key reappearing after the watermark horizon
+    is treated as new; size the watermark to the source's redelivery window."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

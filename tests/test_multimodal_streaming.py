@@ -258,10 +258,12 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
         [StructField("event_id", LongType()), StructField("ts", TimestampType())]
     )
     rows = [(i, dt.datetime(2024, 1, 1, 10, i % 5)) for i in range(10)]
+    # redelivery with a DIFFERENT timestamp (at-least-once redelivery shape):
+    # state keys on event_id alone, so these must still dedup
+    replay = [(i, ts + dt.timedelta(minutes=1)) for i, ts in rows]
     src = str(tmp_path / "dup_src")
-    # write the same batch twice -> duplicated source files
     spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
-    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(replay, schema).write.mode("append").parquet(src)
 
     stream = spark.readStream.schema(schema).parquet(src)
     deduped = streaming_dedup(stream, ["event_id"], watermark="1 hour")
