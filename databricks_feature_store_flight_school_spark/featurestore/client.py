@@ -185,9 +185,10 @@ class FeatureStoreClient:
     ) -> None:
         """Copy a feature table to a row-oriented store over JDBC — the
         engine's ``fs.publish_table(..., online_store=AmazonRdsMySqlSpec)``
-        (Sean_Original.py:374-387).  Requires a JDBC driver jar on the Spark
-        classpath; untested here (no RDBMS in the harness), shape-parity only.
-        """
+        (Sean_Original.py:374-387).  Pass the JDBC driver class via
+        ``properties={'driver': ...}``; verified end-to-end against embedded
+        Derby in tests/test_sinks.py (publish -> JDBC read-back -> row
+        compare), swap the URL/driver for MySQL/Postgres in production."""
         df = self.read_table(name)
         w = df.write.format("jdbc").option("url", jdbc_url).mode(mode)
         w = w.option("dbtable", table or name)

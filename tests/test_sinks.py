@@ -66,3 +66,50 @@ def test_partitioned_path_write_prunes(spark, sf_dir, tmp_path):
     assert back.count() == want
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan
+
+
+def test_publish_table_jdbc_roundtrip(spark, tmp_path):
+    """S9 online publish, VERIFIED against a real RDBMS: publish a feature
+    table over JDBC to embedded Derby (the in-JVM stand-in for the
+    reference's AmazonRdsMySqlSpec target, Sean_Original.py:374-387), read it
+    back over JDBC, and compare rows.  Re-publish must replace (the online
+    mirror tracks the offline table)."""
+    from pyspark.sql import Row
+
+    from databricks_feature_store_flight_school_spark.featurestore import (
+        FeatureStoreClient,
+    )
+
+    fs = FeatureStoreClient(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [
+            Row(customer_id=1, churn_risk=0.25, segment="consumer", senior=True),
+            Row(customer_id=2, churn_risk=0.75, segment="corporate", senior=False),
+        ]
+    )
+    fs.create_feature_table("online_feat", keys="customer_id", df=df)
+
+    url = f"jdbc:derby:{tmp_path}/online_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    fs.publish_table("online_feat", url, properties=props)
+
+    back = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "online_feat").options(**props).load()
+    )
+    key = lambda r: r["customer_id"]  # noqa: E731
+    assert sorted(back.collect(), key=key) == sorted(df.collect(), key=key)
+
+    # offline update -> re-publish replaces the online mirror
+    fs.write_table(
+        "online_feat",
+        spark.createDataFrame([Row(customer_id=1, churn_risk=0.9)]),
+        mode="merge",
+    )
+    fs.publish_table("online_feat", url, properties=props)
+    back2 = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "online_feat").options(**props).load()
+    )
+    got = {r["customer_id"]: r["churn_risk"] for r in back2.collect()}
+    assert got == {1: 0.9, 2: 0.75}
