@@ -267,3 +267,56 @@ def q_json_schema_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_interval_join",
+    """
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+    """,
+    "events", "join", "interval",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval attribution join: every purchase paired with the same
+    user's clicks in the preceding 30 minutes — the batch twin of
+    streaming/stream.py::streaming_interval_join (identical expression tree;
+    streaming/batch parity asserted in tests/test_multimodal_streaming.py).
+
+    Plan shape: the equality conjunct (user_id) keys a SortMergeJoin — the
+    range conjuncts ride along as join filters, so there is no nested-loop
+    blowup; both sides shuffle once on user_id.  At 100 TB the same plan
+    holds (clicks/purchases co-partition by user), and skewed power-users
+    split via AQE skew-join."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        _ts_str(F.col("p_ts")).alias("purchase_ts"),
+        "click_id",
+        _ts_str(F.col("c_ts")).alias("click_ts"),
+    )

@@ -214,3 +214,37 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join within a time interval: each left row pairs
+    with right rows of the same ``key`` whose timestamp falls in
+    ``[left_ts - lookback, left_ts]`` — the attribution-join shape (purchase
+    <- preceding clicks).
+
+    Both sides are watermarked and the join condition carries the time bound,
+    so Spark derives a state-eviction horizon for BOTH buffers: a buffered
+    right row is dropped once the left watermark passes (right_ts + lookback);
+    state stays bounded on unbounded streams.  Column names must be disjoint
+    apart from ``key`` (pre-project with aliases).
+
+    Batch twin: q_interval_join (plans/queries_events.py) — identical
+    expression tree on the static frame, checked against DuckDB; the
+    streaming/batch parity test is tests/test_multimodal_streaming.py.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond).drop(r[key])

@@ -277,3 +277,37 @@ def test_streaming_dedup_drops_replayed_events(spark, tmp_path):
     q.awaitTermination(120)
     got = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_out").collect()]
     assert sorted(got) == list(range(10))  # each id exactly once
+
+
+def test_streaming_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join (purchase <- preceding clicks) must emit
+    exactly the batch interval join's pairs."""
+    from databricks_feature_store_flight_school_spark.plans.queries_events import (
+        q_interval_join,
+    )
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_interval_join,
+    )
+
+    ev = read_event_stream(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = streaming_interval_join(
+        p, c, key="user_id", left_ts="p_ts", right_ts="c_ts", lookback="30 minutes"
+    )
+    run_stream_to_memory(joined, "ssj_out", output_mode="append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT purchase_id, click_id FROM ssj_out").collect()
+    }
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in q_interval_join(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
