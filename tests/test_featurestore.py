@@ -787,3 +787,73 @@ def test_concurrent_merge_writers_cas(spark, client):
     )
     rows = {r["customer_id"]: r["gender"] for r in client.read_table("race").collect()}
     assert rows[1] == "A" and rows[2] == "B"
+
+
+def test_merge_into_delta_contract(spark, monkeypatch):
+    """delta-spark is absent here, so pin the Delta MERGE wiring with a fake
+    module: condition string, updateAll/insertAll chain, execute, and the
+    schema.autoMerge conf must all fire exactly as a real DeltaTable would
+    see them."""
+    import sys
+    import types
+
+    from databricks_feature_store_flight_school_spark.featurestore.writer import (
+        merge_into_delta,
+    )
+
+    calls = {}
+
+    class FakeMerge:
+        def whenMatchedUpdateAll(self):
+            calls["matched"] = True
+            return self
+
+        def whenNotMatchedInsertAll(self):
+            calls["not_matched"] = True
+            return self
+
+        def execute(self):
+            calls["executed"] = True
+
+    class FakeTable:
+        def alias(self, a):
+            calls["target_alias"] = a
+            return self
+
+        def merge(self, src, cond):
+            calls["condition"] = cond
+            calls["source"] = src
+            return FakeMerge()
+
+    class FakeDeltaTable:
+        @staticmethod
+        def forPath(s, path):
+            calls["path"] = path
+            return FakeTable()
+
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = FakeDeltaTable
+    fake_delta = types.ModuleType("delta")
+    fake_delta.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake_delta)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+
+    src = spark.createDataFrame([Row(customer_id=1, v=2)])
+    merge_into_delta(spark, "/tmp/delta/tbl", src, ["customer_id", "obs_ts"])
+
+    assert calls["path"] == "/tmp/delta/tbl"
+    assert calls["condition"] == "t.customer_id <=> s.customer_id AND t.obs_ts <=> s.obs_ts"
+    assert calls["matched"] and calls["not_matched"] and calls["executed"]
+    assert calls["target_alias"] == "t"
+    assert spark.conf.get("spark.databricks.delta.schema.autoMerge.enabled") == "true"
+
+
+def test_merge_into_delta_raises_without_package(spark):
+    from databricks_feature_store_flight_school_spark.featurestore.writer import (
+        merge_into_delta,
+    )
+
+    with pytest.raises(RuntimeError, match="delta-spark is not installed"):
+        merge_into_delta(
+            spark, "/tmp/x", spark.createDataFrame([Row(customer_id=1)]), ["customer_id"]
+        )
