@@ -1,0 +1,251 @@
+"""Fourth relational batch: the last four TPC-H query shapes (Q8, Q13, Q20,
+Q21), completing 22/22 on the driver's simplified star schema.  Where the
+schema lacks a column the original uses (partsupp, commit/receipt dates,
+p_mfgr), the predicate is adapted but the *plan shape* — the thing the engine
+must execute well at 100 TB — is preserved and noted per query.  Same oracle
+conventions as queries_relational.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources import load_table
+from .catalog import register
+
+
+@register(
+    "q_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT year(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "join", "agg", "subquery",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): an 8-way join where one
+    nation's share of regional revenue is a conditional-sum / sum ratio per
+    order year.  Every dimension (part, customer->nation->region chain,
+    supplier->nation) broadcasts; the only shuffle is the final small
+    groupBy on year.  The p_type and r_name filters are pushed into the
+    dimension scans so the fact join shrinks before it widens."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    c = load_table(spark, sf_dir, "customer")
+    # customer-side nation restricted to the market region
+    cn = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == l.l_partkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(sn), F.col("sn_key") == s.s_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderpriority NOT LIKE '1-%'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    "join", "agg", "outer",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    with an extra non-key join predicate (priority NOT LIKE), so customers
+    with zero qualifying orders survive with c_count = 0, then a second
+    aggregation over the first's result.  Two shuffles by design (custkey,
+    then c_count) — the second input is already tiny.  count(o_orderkey)
+    counts non-null matches only, exactly the outer-join-aware semantics the
+    original exercises."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        ~F.col("o_orderpriority").like("1-%")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q_part_promotion_suppliers",
+    """
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT sp.l_suppkey
+        FROM (
+            SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS qty
+            FROM lineitem l
+            WHERE l.l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l.l_suppkey, l.l_partkey
+        ) sp
+        WHERE sp.qty > 0.5 * (
+            SELECT max(sp2.qty)
+            FROM (
+                SELECT l2.l_suppkey, l2.l_partkey, sum(l2.l_quantity) AS qty
+                FROM lineitem l2
+                WHERE l2.l_partkey IN (
+                          SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+                  AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l2.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY l2.l_suppkey, l2.l_partkey
+            ) sp2
+            WHERE sp2.l_partkey = sp.l_partkey
+        )
+    )
+    ORDER BY s.s_name
+    """,
+    "join", "subquery", "semi",
+)
+def q_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers stocking promotion parts), adapted to the
+    partsupp-free schema: 'availqty > half of shipped volume' becomes
+    'supplier shipped more than half of the TOP supplier's volume for that
+    part in the window'.  The plan shape is intact: a name-LIKE part filter
+    feeding an IN, a grouped per-(supplier, part) aggregate, a correlated
+    per-part threshold (decorrelated to a groupwise-max join, Q2/Q17 style),
+    and a final semi join back to supplier.  The per-part max is a second
+    small aggregate over the same grouped result — computed once, broadcast."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    red = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    sp = (
+        load_table(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    per_part_max = sp.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        F.max("qty").alias("max_qty")
+    )
+    qualified = (
+        sp.join(F.broadcast(per_part_max), F.col("pp_key") == F.col("l_partkey"))
+        .where(F.col("qty") > 0.5 * F.col("max_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualified, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q_waiting_suppliers",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    "join", "subquery", "semi", "anti",
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the sole late
+    supplier on a multi-supplier order.  'Late' is adapted to the
+    commit/receipt-free schema as shipping >90 days after the order date.
+
+    The oracle states it as correlated EXISTS / NOT EXISTS; the Spark plan
+    uses the standard decorrelated rewrite — ONE extra aggregate per order
+    (distinct suppliers, distinct LATE suppliers) instead of two correlated
+    per-row probes of the fact table.  That turns what a naive engine runs as
+    two additional lineitem self-joins into a single reusable shuffle on
+    l_orderkey, the rewrite you want at 100 TB."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    lo = l.join(
+        o.select("o_orderkey", "o_orderdate"), F.col("o_orderkey") == F.col("l_orderkey")
+    ).withColumn("is_late", late)
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    sole_late = per_order.where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    return (
+        lo.where(F.col("is_late"))
+        .join(sole_late, F.col("po_key") == F.col("l_orderkey"))
+        .join(s, s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
