@@ -425,3 +425,143 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("is_canonical"),
         )
     )
+
+
+@register(
+    "q_tfidf_top_terms",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, tf, df,
+           round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf,
+           rank
+    FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+               ) AS rank
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    WHERE rank <= 3
+    """,
+    "text", "tfidf",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic corpus-weighting step of
+    an LLM-data pipeline (keyword extraction / doc signatures).
+
+    Plan shape: one explode + (doc, term) count, a term-keyed doc-frequency
+    aggregate REUSED from the tf result (no second corpus scan), the corpus
+    size as a 1-row broadcast cross join, and a per-doc top-k window.  Ranking
+    is by the integer pair (tf DESC, df ASC, term) — the same ordering
+    tfidf induces for a fixed corpus, but immune to cross-engine float
+    last-ulp differences; the float tfidf score is still computed and
+    emitted by both engines, rounded at 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "q_vocab_stats",
+    """
+    SELECT term,
+           count(*) AS tf_total,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM (
+        SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS term
+        FROM documents
+    )
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY tf_total DESC, term
+    LIMIT 50
+    """,
+    "text", "vocab",
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: total term frequency + document frequency for the
+    top-50 terms (the vocabulary-building pass of tokenizer training).  One
+    explode, one term-keyed aggregate with map-side partial counts; the
+    distinct doc count rides the same shuffle via count(DISTINCT).  Ties in
+    tf_total break on the term itself, so the LIMIT is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term") != "")
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("tf_total").desc(), "term")
+        .limit(50)
+    )
+
+
+@register(
+    "q_stratified_sample",
+    """
+    SELECT source,
+           count(*) AS sampled_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           min(doc_id) AS first_doc
+    FROM documents
+    WHERE doc_id % 10 = 3
+    GROUP BY source
+    ORDER BY source
+    """,
+    "text", "sampling",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% systematic sample (doc_id mod bucket) with per-source
+    stratum statistics — the reproducible-sampling primitive for corpus
+    inspection and eval-set carving.  Unlike TABLESAMPLE/rand(), the mod
+    predicate is a pushable deterministic filter: it reaches the parquet scan
+    and the sample is identical on every engine and every run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") % 10 == 3)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )

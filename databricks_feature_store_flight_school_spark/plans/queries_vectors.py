@@ -221,3 +221,102 @@ def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x), 6
         ).alias("sq_norm"),
     )
+
+
+@register(
+    "q_embedding_centroids",
+    """
+    SELECT label, i - 1 AS dim_idx,
+           round(avg(e), 6) AS centroid,
+           count(*) AS n_vectors
+    FROM (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+    WHERE i <= 8
+    GROUP BY label, i
+    ORDER BY label, dim_idx
+    """,
+    "vectors", "agg",
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (first 8 dims flattened to rows) — the
+    class-prototype aggregation behind clustering seeds, label smearing and
+    centroid-based retrieval.  posexplode turns the vector column into
+    (label, dim, value) rows; one groupBy(label, dim) computes every centroid
+    component with map-side partial sums — no driver collect, no UDF, and the
+    shuffle carries scalars, never whole vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode(V.to_double(F.col("embedding"))).alias("i", "e"))
+        .where(F.col("i") < 8)
+        .groupBy("label", F.col("i").alias("dim_idx"))
+        .agg(
+            F.round(F.avg("e"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim_idx")
+    )
+
+
+@register(
+    "q_vector_quantize",
+    """
+    SELECT vec_id,
+           round(maxabs, 6) AS maxabs,
+           round(sqrt(err / 64.0), 6) AS rms_quant_err
+    FROM (
+        SELECT vec_id, maxabs,
+               list_reduce(
+                   list_prepend(0.0, list_transform(
+                       e, x -> pow(x - round(x * (127.0 / maxabs)) / (127.0 / maxabs), 2)
+                   )),
+                   (acc, x) -> acc + x
+               ) AS err
+        FROM (
+            SELECT vec_id,
+                   CAST(embedding AS DOUBLE[]) AS e,
+                   list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+            FROM embeddings
+        )
+        WHERE maxabs > 0
+    )
+    ORDER BY vec_id
+    """,
+    "vectors", "quantize",
+)
+def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization audit: per-vector scale
+    (127 / max|x|) and the RMS round-trip error — the compression step a
+    100 TB embedding store runs before ANN serving (4x smaller, dot products
+    in int8 SIMD).  Pure Column higher-order functions: quantize, dequantize
+    and the error reduction all stay in the scan stage; nothing shuffles
+    (the final ORDER BY is presentation-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = V.to_double(F.col("embedding"))
+    maxabs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.col("maxabs")
+    err = F.aggregate(
+        F.transform(
+            F.col("e"),
+            lambda x: F.pow(x - F.round(x * scale) / scale, F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # err must see the RAW maxabs: computing it in the same select that
+    # re-aliases "maxabs" to its rounded form would resolve the name against
+    # the rounded output column and shift the scale.
+    return (
+        emb.select("vec_id", e.alias("e"), maxabs.alias("maxabs"))
+        .where(F.col("maxabs") > 0)
+        .select("vec_id", "maxabs", err.alias("err"))
+        .select(
+            "vec_id",
+            F.round("maxabs", 6).alias("maxabs"),
+            F.round(F.sqrt(F.col("err") / F.lit(64.0)), 6).alias("rms_quant_err"),
+        )
+        .orderBy("vec_id")
+    )
