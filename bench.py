@@ -65,6 +65,13 @@ def main() -> None:
 
     # warm the JVM + parquet footers once, outside timing
     _force(qmap[names[0]](spark, sf_dir))
+    # warm the Python worker pool once, outside timing: the first pandas-UDF
+    # stage of a session pays worker spawn + numpy/pandas import (~2s); a
+    # long-lived cluster's workers are resident (spark.python.worker.reuse),
+    # so steady-state is what the multimodal queries should measure.
+    spark.range(2).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     per_query: dict[str, float] = {}
     total = 0.0
