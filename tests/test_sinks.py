@@ -113,3 +113,84 @@ def test_publish_table_jdbc_roundtrip(spark, tmp_path):
     )
     got = {r["customer_id"]: r["churn_risk"] for r in back2.collect()}
     assert got == {1: 0.9, 2: 0.75}
+
+
+def test_multi_format_roundtrip(spark, sf_dir, tmp_path):
+    """sources/io.py: every Spark-native format round-trips values and — for
+    the self-describing columnar ones — the exact schema."""
+    from databricks_feature_store_flight_school_spark.sources.io import (
+        read_files,
+        write_files,
+    )
+
+    src = load_table(spark, sf_dir, "nation")
+    want = sorted(r["n_name"] for r in src.collect())
+
+    for fmt in ("parquet", "orc"):
+        p = str(tmp_path / fmt)
+        write_files(src, p, fmt=fmt)
+        back = read_files(spark, p, fmt=fmt)
+        assert back.schema == src.schema, fmt  # columnar formats carry schema
+        assert sorted(r["n_name"] for r in back.collect()) == want, fmt
+
+    # CSV: declared schema (scale path) must round-trip values and types
+    p = str(tmp_path / "csv")
+    write_files(src, p, fmt="csv")
+    back = read_files(spark, p, fmt="csv", schema=src.schema)
+    assert back.schema == src.schema
+    assert sorted(r["n_name"] for r in back.collect()) == want
+    # CSV: reference-shaped inferring read (SU:206) recovers the values
+    inferred = read_files(spark, p, fmt="csv", infer=True)
+    assert sorted(r["n_name"] for r in inferred.collect()) == want
+
+    # JSON: schema-less read must be an explicit opt-in (it costs a scan)
+    p = str(tmp_path / "json")
+    write_files(src, p, fmt="json")
+    back = read_files(spark, p, fmt="json", schema=src.schema)
+    assert sorted(r["n_name"] for r in back.collect()) == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="infer=True"):
+        read_files(spark, p, fmt="json")
+
+    # text: one string column named value
+    p = str(tmp_path / "text")
+    write_files(src.select(F.col("n_name").alias("value")), p, fmt="text")
+    back = read_files(spark, p, fmt="text")
+    assert sorted(r["value"] for r in back.collect()) == want
+
+
+def test_orc_filter_pushdown(spark, sf_dir, tmp_path):
+    """ORC scans take Catalyst filter pushdown exactly like parquet: the
+    predicate must appear as a pushed filter in the physical scan."""
+    from databricks_feature_store_flight_school_spark.sources.io import (
+        read_files,
+        write_files,
+    )
+
+    p = str(tmp_path / "orc_push")
+    write_files(load_table(spark, sf_dir, "orders"), p, fmt="orc")
+    df = read_files(spark, p, fmt="orc").where(F.col("o_orderkey") == 42).select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_partitioned_write_prunes_across_formats(spark, sf_dir, tmp_path):
+    """partition_by produces the col=value layout whose pruning works the
+    same for parquet and ORC: reading one partition must not scan the rest."""
+    from databricks_feature_store_flight_school_spark.sources.io import (
+        read_files,
+        write_files,
+    )
+
+    src = load_table(spark, sf_dir, "orders")
+    for fmt in ("parquet", "orc"):
+        p = str(tmp_path / f"{fmt}_parts")
+        write_files(src, p, fmt=fmt, partition_by=["o_orderstatus"])
+        one = read_files(spark, p, fmt=fmt).where(F.col("o_orderstatus") == "F")
+        want = src.where(F.col("o_orderstatus") == "F").count()
+        assert one.count() == want
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "o_orderstatus=F" in plan or "PartitionFilters" in plan, fmt
