@@ -169,6 +169,7 @@ def stream_to_feature_table(
     table_name: str,
     query_name: str = "feature_ingest",
     timeout_sec: int = 120,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Streaming feature ingestion: merge each micro-batch of a streaming
     aggregation into a registered feature table (foreachBatch -> the engine's
@@ -181,6 +182,14 @@ def stream_to_feature_table(
     upserts them by primary key.  Late data is bounded by the upstream
     watermark; per-batch dedup is the writer's validation (one row per key
     per micro-batch is guaranteed by the grouped aggregation itself).
+
+    ``checkpoint_dir`` makes the pipeline RESTARTABLE: source offsets (e.g.
+    which files were already ingested) and the aggregation state survive a
+    stop/start, so a relaunched query resumes from where the previous run
+    committed instead of recounting history — the recovery contract
+    tests/test_multimodal_streaming.py pins by deleting already-processed
+    input before the restart.  Without it Spark allocates a temp checkpoint
+    good for exactly one run.
     """
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -188,13 +197,15 @@ def stream_to_feature_table(
             return
         client.write_table(table_name, batch_df, mode="merge")
 
-    q = (
+    writer = (
         agg.writeStream.foreachBatch(upsert)
         .outputMode("update")
         .queryName(query_name)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination(timeout_sec)
     if q.isActive:  # pragma: no cover - safety net
         q.stop()

@@ -311,3 +311,68 @@ def test_streaming_interval_join_equals_batch(spark, sf_dir):
         for r in q_interval_join(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_checkpoint_restart_recovers_state(spark, tmp_path):
+    """Checkpointed restart: run 1 ingests file A; file A is then DELETED and
+    file B added; run 2 (same checkpoint) must (a) not fail over the missing
+    already-committed input, (b) resume the aggregation state, so final
+    counts equal the batch aggregate over A+B even though run 2 could only
+    ever read B.  Proves both offset tracking and state recovery — a fresh
+    run 2 would produce B-only counts for every key."""
+    import os
+
+    from databricks_feature_store_flight_school_spark.featurestore import (
+        FeatureStoreClient,
+    )
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        stream_to_feature_table,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    client = FeatureStoreClient(spark, str(tmp_path / "wh"))
+
+    batch_a = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "user_id long, value double"
+    )
+    batch_b = spark.createDataFrame(
+        [(1, 1.0), (3, 2.0)], "user_id long, value double"
+    )
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, value double").parquet(src)
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        stream_to_feature_table(
+            agg, client, "ckpt_features", checkpoint_dir=ckpt,
+            query_name="ckpt_ingest",
+        )
+
+    os.makedirs(src, exist_ok=True)
+    batch_a.toPandas().to_parquet(src + "/a.parquet")
+    from pyspark.sql.types import StructType
+
+    client.create_feature_table(
+        "ckpt_features",
+        keys="user_id",
+        schema=StructType.fromDDL("user_id long, event_count long, total_value double"),
+    )
+    run_once()
+    got1 = {
+        r["user_id"]: (r["event_count"], r["total_value"])
+        for r in client.read_table("ckpt_features").collect()
+    }
+    assert got1 == {1: (2, 15.0), 2: (1, 7.0)}
+
+    os.remove(src + "/a.parquet")  # run 2 cannot re-read A; only the checkpoint knows it
+    batch_b.toPandas().to_parquet(src + "/b.parquet")
+    run_once()
+    got2 = {
+        r["user_id"]: (r["event_count"], r["total_value"])
+        for r in client.read_table("ckpt_features").collect()
+    }
+    # state recovered: user 1 = A's 2 events + B's 1; user 2 untouched; user 3 new
+    assert got2 == {1: (3, 16.0), 2: (1, 7.0), 3: (1, 2.0)}
