@@ -565,3 +565,51 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(trim(lower(text)), ' ')) AS term
+        FROM documents
+    ),
+    counts AS (
+        SELECT term, count(*) AS occurrences
+        FROM toks WHERE term <> '' GROUP BY term
+    ),
+    total AS (SELECT sum(occurrences) AS n FROM counts)
+    SELECT term, occurrences,
+           round(occurrences * 100.0 / n, 6) AS pct_of_corpus
+    FROM counts CROSS JOIN total
+    WHERE occurrences * 50 > n
+    ORDER BY occurrences DESC, term
+    """,
+    "text", "heavy-hitters",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters: tokens exceeding 1/50th of all token occurrences
+    (the stopword-discovery / vocabulary-pruning pass).  One explode + one
+    term-keyed count with map-side combine; the corpus total is a 1-row
+    broadcast.  This is the exactness baseline that
+    tests/test_operators.py pins Spark's single-pass approximate
+    ``stat.freqItems`` sketch against (every exact hitter must appear in the
+    sketch's candidate set — the classic no-false-negative guarantee)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("occurrences"))
+    total = counts.agg(F.sum("occurrences").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("occurrences") * 50 > F.col("n"))
+        .select(
+            "term",
+            "occurrences",
+            F.round(F.col("occurrences") * 100.0 / F.col("n"), 6).alias(
+                "pct_of_corpus"
+            ),
+        )
+        .orderBy(F.col("occurrences").desc(), "term")
+    )

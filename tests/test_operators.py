@@ -394,3 +394,25 @@ def test_connected_components_warns_on_max_iter(spark):
         _w.simplefilter("always")
         connected_components(chain, max_iter=20).collect()
     assert not [w for w in caught2 if issubclass(w.category, RuntimeWarning)]
+
+
+def test_freq_items_sketch_covers_exact_heavy_hitters(spark, sf_dir):
+    """Spark's single-pass approximate frequent-items sketch
+    (DataFrame.stat.freqItems, Karp-Papadimitriou-Shenker) must contain every
+    EXACT heavy hitter from q_heavy_hitters — the sketch's no-false-negative
+    guarantee: support 1/50 can only over-report, never miss."""
+    from databricks_feature_store_flight_school_spark.functions import text as T
+    from databricks_feature_store_flight_school_spark.plans.catalog import query_map
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    exact = {
+        r["term"] for r in query_map()["q_heavy_hitters"](spark, sf_dir).collect()
+    }
+    assert exact, "test needs a non-empty exact heavy-hitter set"
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    ).where(F.col("term") != "")
+    sketch = set(toks.stat.freqItems(["term"], support=1.0 / 50).collect()[0][0])
+    assert exact <= sketch, f"sketch missed exact hitters: {exact - sketch}"
