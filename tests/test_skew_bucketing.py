@@ -116,3 +116,70 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering: after zorder_write on (o_custkey, o_totalprice),
+    parquet footer min/max must be selective on BOTH columns — a narrow band
+    on either dimension overlaps only a fraction of files.  A single-column
+    sort layout is the control: perfect on its own key, useless on the other."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from databricks_feature_store_flight_school_spark.operators.layout import (
+        zorder_write,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    zdir = str(tmp_path / "zorder")
+    ldir = str(tmp_path / "linear")
+    zorder_write(orders, zdir, "o_custkey", "o_totalprice", num_files=8)
+    (
+        orders.repartitionByRange(8, F.col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def file_ranges(d, col):
+        out = []
+        for f in sorted(Path(d).glob("*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            out.append((lo, hi))
+        return out
+
+    def overlapping(ranges, lo, hi):
+        return sum(1 for a, b in ranges if not (b < lo or a > hi))
+
+    # a ~12% band on each dimension
+    ck = [r["o_custkey"] for r in orders.select("o_custkey").collect()]
+    tp = [r["o_totalprice"] for r in orders.select("o_totalprice").collect()]
+    ck.sort(); tp.sort()
+    ck_band = (ck[len(ck) // 2], ck[len(ck) // 2 + len(ck) // 8])
+    tp_band = (tp[len(tp) // 2], tp[len(tp) // 2 + len(tp) // 8])
+
+    z_ck = overlapping(file_ranges(zdir, "o_custkey"), *ck_band)
+    z_tp = overlapping(file_ranges(zdir, "o_totalprice"), *tp_band)
+    l_ck = overlapping(file_ranges(ldir, "o_custkey"), *ck_band)
+    l_tp = overlapping(file_ranges(ldir, "o_totalprice"), *tp_band)
+
+    # control: linear layout is perfect on its key, blind on the other
+    assert l_ck <= 2
+    assert l_tp == 8
+    # z-order: BOTH dimensions skip (strictly better than the blind axis)
+    assert z_ck < 8 and z_tp < 8
+    assert z_ck + z_tp < l_ck + l_tp + 8  # strictly better combined than control
+
+    # and the data round-trips
+    assert spark.read.parquet(zdir).count() == orders.count()
