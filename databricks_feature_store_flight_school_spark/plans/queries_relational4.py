@@ -249,3 +249,50 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+@register(
+    "q_sketch_rollup",
+    None,  # sketch estimates are implementation-defined -> rows-only
+    "agg", "sketch", "rows-only",
+)
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level MERGEABLE-summary rollup — the pattern that makes 100 TB
+    distinct-count/quantile dashboards cheap: leaf aggregates build
+    Datasketches HLL (distinct customers) and KLL (account-balance quantile)
+    sketches per nation; the region level merges the *sketches*
+    (hll_union_agg / kll merge), never re-touching the fact rows.  Accuracy
+    vs the exact aggregates is pinned in tests/test_operators.py."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("cust_hll"),
+            F.kll_sketch_agg_double("c_acctbal").alias("bal_kll"),
+        )
+    )
+    # KLL exposes a scalar two-sketch merge (not an aggregate): collect the
+    # handful of nation sketches per region and fold them — the collected
+    # list is dimension-sized (nations per region), never fact-sized.
+    merged_kll = F.aggregate(
+        F.slice(F.col("klls"), 2, F.size(F.col("klls"))),
+        F.element_at(F.col("klls"), 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("cust_hll")).alias("est_customers"),
+            F.collect_list("bal_kll").alias("klls"),
+        )
+        .select(
+            "n_regionkey",
+            "est_customers",
+            F.kll_sketch_get_quantile_double(merged_kll, F.lit(0.5)).alias(
+                "est_median_bal"
+            ),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -416,3 +416,34 @@ def test_freq_items_sketch_covers_exact_heavy_hitters(spark, sf_dir):
     ).where(F.col("term") != "")
     sketch = set(toks.stat.freqItems(["term"], support=1.0 / 50).collect()[0][0])
     assert exact <= sketch, f"sketch missed exact hitters: {exact - sketch}"
+
+
+def test_sketch_rollup_matches_exact_within_error(spark, sf_dir):
+    """The two-level sketch rollup (q_sketch_rollup) must land within the
+    sketches' published error of the exact per-region answers: HLL distinct
+    within 3%, KLL median between the exact 40th and 60th percentiles."""
+    from databricks_feature_store_flight_school_spark.plans.catalog import query_map
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    got = {
+        r["n_regionkey"]: (r["est_customers"], r["est_median_bal"])
+        for r in query_map()["q_sketch_rollup"](spark, sf_dir).collect()
+    }
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = c.join(n, n.n_nationkey == c.c_nationkey)
+    exact = {
+        r["n_regionkey"]: (r["exact_customers"], r["p40"], r["p60"])
+        for r in joined.groupBy("n_regionkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("exact_customers"),
+            F.expr("percentile(c_acctbal, 0.4)").alias("p40"),
+            F.expr("percentile(c_acctbal, 0.6)").alias("p60"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and got
+    for rk, (est_n, est_med) in got.items():
+        exact_n, p40, p60 = exact[rk]
+        assert abs(est_n - exact_n) <= max(1, 0.03 * exact_n), (rk, est_n, exact_n)
+        assert p40 <= est_med <= p60, (rk, est_med, p40, p60)
