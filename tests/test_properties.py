@@ -92,3 +92,69 @@ def test_salted_join_parity_property(spark, left, right, salt):
         for row in salted_join(l, r, on="k", how="inner", salt=salt).collect()
     )
     assert salted == plain
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_zorder_interleave_bijective_and_monotone(spark, pairs):
+    """Morton interleave property: the Column-expression z-value must equal
+    the Python-model interleave (bit i of a -> bit 2i, bit i of b -> bit
+    2i+1) for arbitrary 16-bit inputs — bijectivity follows from matching
+    the model on de-interleave too."""
+    from databricks_feature_store_flight_school_spark.operators.layout import (
+        _interleave_bits,
+    )
+
+    def model(a: int, b: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame([Row(a=a, b=b) for a, b in pairs])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", _interleave_bits(F.col("a"), F.col("b"), 16).alias("z")
+        ).collect()
+    }
+    for a, b in pairs:
+        assert got[(a, b)] == model(a, b)
+
+
+@given(
+    vec=st.lists(
+        st.floats(
+            min_value=-10.0,
+            max_value=10.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=2,
+        max_size=16,
+    ).filter(lambda v: max(abs(x) for x in v) > 1e-6)
+)
+@settings(**_SETTINGS)
+def test_int8_quantization_error_bound(spark, vec):
+    """Symmetric int8 quantization invariant: every element's round-trip
+    error is bounded by half a quantization step (0.5 * maxabs / 127), so the
+    per-vector RMS error q_vector_quantize reports can never exceed it."""
+    from databricks_feature_store_flight_school_spark.functions.vectors import to_double
+
+    df = spark.createDataFrame([Row(v=[float(x) for x in vec])])
+    e = to_double(F.col("v"))
+    maxabs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / maxabs
+    worst = F.array_max(
+        F.transform(e, lambda x: F.abs(x - F.round(x * scale) / scale))
+    )
+    row = df.select(worst.alias("worst"), maxabs.alias("m")).collect()[0]
+    assert row["worst"] <= 0.5 * row["m"] / 127.0 * (1 + 1e-9)
