@@ -263,3 +263,38 @@ def merge_into_delta(
         .whenNotMatchedInsertAll()
         .execute()
     )
+
+
+def vacuum_snapshots(
+    registry: Registry,
+    meta: FeatureTableMeta,
+    keep_last: int = 3,
+) -> list[int]:
+    """Retention GC — the VACUUM analog for the parquet-snapshot format:
+    delete version directories older than the ``keep_last`` most recent,
+    returning the version numbers removed.
+
+    Every merge/overwrite/compaction writes a full new ``v{N}`` directory, so
+    history grows linearly with write count; at 100 TB that is the dominant
+    storage cost.  Deletion never touches the registry pointer (the current
+    version is always retained; ``keep_last`` is clamped to >= 1), so
+    concurrent readers of RETAINED versions are unaffected — readers of a
+    vacuumed version fail on their next scan exactly as with Delta VACUUM,
+    which is why retention should exceed the longest-running query.
+    Leftover ``.staging-*`` dirs from crashed writers are swept too.
+    """
+    import shutil
+
+    keep_last = max(1, keep_last)
+    table_dir = registry.table_dir(meta.name)
+    removed: list[int] = []
+    cutoff = meta.current_version - keep_last
+    for v in range(1, cutoff + 1):
+        vdir = _version_dir(table_dir, v)
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)
+            removed.append(v)
+    for entry in os.listdir(table_dir):
+        if entry.startswith(".staging-"):
+            shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
+    return removed

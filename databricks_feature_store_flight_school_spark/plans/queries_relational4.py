@@ -296,3 +296,37 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "q_regression_aggregates",
+    """
+    SELECT l_returnflag,
+           regr_count(l_extendedprice, l_quantity) AS n_pairs,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_unit,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS base_price,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS fit_r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "agg", "stats", "regression",
+)
+def q_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares as AGGREGATES (regr_slope /
+    regr_intercept / regr_r2): the closed-form per-segment trend fit that
+    would otherwise tempt a grouped-map pandas UDF.  Same one-pass
+    (n, Σx, Σy, Σxy, Σx²) partial+final merge as corr/covar — fully
+    distributed, no Python, mergeable across partitions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).alias("n_pairs"),
+            F.round(F.regr_slope(y, x), 6).alias("price_per_unit"),
+            F.round(F.regr_intercept(y, x), 6).alias("base_price"),
+            F.round(F.regr_r2(y, x), 6).alias("fit_r2"),
+        )
+        .orderBy("l_returnflag")
+    )

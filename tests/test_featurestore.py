@@ -857,3 +857,40 @@ def test_merge_into_delta_raises_without_package(spark):
         merge_into_delta(
             spark, "/tmp/x", spark.createDataFrame([Row(customer_id=1)]), ["customer_id"]
         )
+
+
+def test_vacuum_snapshots_retention(spark, client):
+    """vacuum_snapshots: old version dirs are removed, the retained window
+    still time-travels, reading a vacuumed version fails, and the current
+    pointer is always kept (keep_last clamps to >= 1)."""
+    import os
+
+    from databricks_feature_store_flight_school_spark.featurestore.writer import (
+        vacuum_snapshots,
+    )
+    from pyspark.sql import Row
+
+    df1 = spark.createDataFrame([Row(k=1, v=1.0)])
+    client.create_feature_table("vac", keys="k", df=df1)
+    for i in range(2, 6):  # versions 2..5
+        client.write_table("vac", spark.createDataFrame([Row(k=1, v=float(i))]), mode="merge")
+    meta = client.get_feature_table("vac")
+    assert meta.current_version == 5
+
+    removed = vacuum_snapshots(client.registry, meta, keep_last=2)
+    assert removed == [1, 2, 3]
+    tdir = client.registry.table_dir("vac")
+    assert sorted(d for d in os.listdir(tdir) if d.startswith("v")) == [
+        "v000004", "v000005",
+    ]
+    # retained window still time-travels; current read unaffected
+    assert client.read_table("vac", version=4).collect()[0]["v"] == 4.0
+    assert client.read_table("vac").collect()[0]["v"] == 5.0
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        client.read_table("vac", version=2).collect()
+
+    # keep_last clamps: the current version can never be vacuumed
+    assert vacuum_snapshots(client.registry, meta, keep_last=0) == [4]
+    assert client.read_table("vac").collect()[0]["v"] == 5.0
