@@ -320,3 +320,95 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         _ts_str(F.col("c_ts")).alias("click_ts"),
     )
+
+
+@register(
+    "q_funnel_steps",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS s_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, min(e.ts) AS v_ts FROM events e
+          JOIN s ON s.user_id = e.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.s_ts GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+          JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.v_ts GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS signup_users,
+           (SELECT count(*) FROM v) AS viewed_after_signup,
+           (SELECT count(*) FROM p) AS purchased_after_view
+    """,
+    "events", "funnel", "agg",
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup -> first later view -> first later purchase):
+    users surviving each ORDERED step, where each stage anchors on the
+    previous stage's first qualifying timestamp.  Each stage is one
+    user-keyed aggregate joined to the (shrinking) previous stage — the
+    user-dimension joins broadcast, and the event table is scanned per stage
+    with the event_type filter pushed down, never self-joined row-to-row."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .join(F.broadcast(s), "user_id")
+        .where(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(v), "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("signup_users"))
+        .crossJoin(F.broadcast(v.agg(F.count(F.lit(1)).alias("viewed_after_signup"))))
+        .crossJoin(
+            F.broadcast(p.agg(F.count(F.lit(1)).alias("purchased_after_view")))
+        )
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    """
+    WITH firsts AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+           date_diff('day', date_trunc('day', f.first_ts), date_trunc('day', e.ts)) // 7
+               AS weeks_since,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "events", "retention", "agg",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by the ISO week of their first
+    event, activity bucketed by whole weeks since that first event, distinct
+    actives per (cohort, week).  The per-user first-event table is
+    dimension-sized and broadcast back onto the fact — one event scan, one
+    distinct-count shuffle; no per-user windows over the full stream."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    weeks_since = F.floor(
+        F.datediff(F.date_trunc("day", F.col("ts")), F.date_trunc("day", F.col("first_ts")))
+        / 7
+    ).cast("long")
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            weeks_since.alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )

@@ -613,3 +613,129 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("occurrences").desc(), "term")
     )
+
+
+@register(
+    "q_doc_chunking",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents)
+    SELECT doc_id,
+           i AS chunk_index,
+           least(64, len(words) - i * 48) AS n_tokens,
+           md5(array_to_string(list_slice(words, i * 48 + 1, i * 48 + 64), ' ')) AS chunk_md5
+    FROM w, LATERAL (SELECT unnest(range(0, (len(words) - 1) // 48 + 1)) AS i)
+    WHERE len(words) > 0
+    """,
+    "text", "chunking",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: 64-token windows with stride 48 (16-token
+    overlap), one output row per chunk with an md5 over the joined tokens.
+    Pure Column expressions — split once, ``sequence`` of chunk starts,
+    posexplode, ``slice``; the fan-out is a narrow map (no shuffle), which is
+    what lets a 100 TB corpus chunk at scan speed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    with_starts = docs.select(
+        "doc_id",
+        toks.alias("words"),
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(48))
+        ).alias("chunk_index", "start"),
+    ).where(F.size(F.col("words")) > 0)
+    chunk = F.slice(F.col("words"), F.col("start") + 1, 64)
+    return with_starts.select(
+        "doc_id",
+        "chunk_index",
+        F.least(F.lit(64), F.size("words") - F.col("start")).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@register(
+    "q_repetition_score",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    sh AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+           FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words) - 1, 1))) AS i)
+           WHERE len(words) >= 3)
+    SELECT doc_id,
+           count(*) AS total_3grams,
+           count(DISTINCT g) AS distinct_3grams,
+           round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6) AS repetition
+    FROM sh
+    GROUP BY doc_id
+    """,
+    "text", "quality",
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repetition quality signal: the fraction of a document's word
+    3-grams that are repeats of an earlier 3-gram in the SAME document
+    (1 - distinct/total).  All per-row array expressions — the only shuffle
+    is none at all: totals and distincts come from ``size`` /
+    ``array_distinct`` on the let-bound shingle array, never a groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    # let-bind the token array (same trick as word_shingles) so the lambda
+    # does not re-split the document per element
+    all_grams = F.flatten(
+        F.transform(
+            F.array(toks),
+            lambda t: F.transform(
+                F.sequence(F.lit(0), F.size(t) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i + 1),
+                    F.element_at(t, i + 2),
+                    F.element_at(t, i + 3),
+                ),
+            ),
+        )
+    )
+    base = docs.where(F.size(toks) >= 3).select("doc_id", all_grams.alias("grams"))
+    total = F.size("grams")
+    distinct = F.size(F.array_distinct("grams"))
+    return base.select(
+        "doc_id",
+        total.cast("long").alias("total_3grams"),
+        distinct.cast("long").alias("distinct_3grams"),
+        F.round(1.0 - distinct * F.lit(1.0) / total, 6).alias("repetition"),
+    )
+
+
+@register(
+    "q_benchmark_contamination",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+                  || words[i+3] AS g
+           FROM w, LATERAL (SELECT unnest(range(1, greatest(len(words) - 2, 1))) AS i)
+           WHERE len(words) >= 4),
+    bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+    SELECT sh.doc_id, count(*) AS contaminated_4grams
+    FROM sh JOIN bench USING (g)
+    WHERE sh.doc_id % 50 <> 0
+    GROUP BY sh.doc_id
+    """,
+    "text", "contamination", "dedup",
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (the decontamination pass every serious
+    training corpus runs): count each training document's distinct word
+    4-grams that also appear in the held-out set (here: every 50th doc).
+    The benchmark n-gram set is dimension-sized and BROADCAST; the corpus
+    side explodes shingles in a narrow map, so the only shuffle is the final
+    per-doc count — contamination checking at 100 TB is a broadcast join,
+    not a corpus self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.where(T.token_count("text") >= 4).select(
+        "doc_id", F.explode(T.word_shingles("text", 4)).alias("g")
+    )
+    bench = sh.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    return (
+        sh.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("contaminated_4grams"))
+    )
