@@ -238,6 +238,7 @@ def lsh_neardup_pairs(
     n_tables: int = 24,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup PAIRS above a cosine threshold via banded hyperplane LSH —
     the 100 TB twin of the all-pairs form (q_embedding_neardup_pairs):
@@ -257,7 +258,14 @@ def lsh_neardup_pairs(
       Σ bucket²  instead of  n², and bucket sizes are bounded by plane count;
     - plane literals fold into the plan (no broadcast, no Python worker);
     - ``distinct`` on candidate ids dedups multi-table collisions BEFORE the
-      expensive exact-cosine verify.
+      expensive exact-cosine verify;
+    - ``max_bucket_size`` guards the quadratic term (the same skew guard as
+      the Jaccard shingle join): a degenerate bucket — e.g. a near-constant
+      embedding direction collapsing a whole corpus slice onto one sign
+      pattern — would cost bucket² on its own.  Overfull buckets are dropped
+      from candidate generation (their pairs can still surface via the other
+      L-1 tables, so recall degrades gracefully instead of the job dying);
+      pass None to disable.
     Output: (id_a, id_b, cosine_sim) with id_a < id_b, verified exact.
     """
     if dim is None:
@@ -289,6 +297,11 @@ def lsh_neardup_pairs(
     tagged = v.select(
         "x_id", F.posexplode(_signatures(F.col("x_vec"))).alias("table", "bucket")
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("table", "bucket")
+        tagged = tagged.withColumn("__bn", F.count(F.lit(1)).over(w)).where(
+            F.col("__bn") <= max_bucket_size
+        ).drop("__bn")
     cand = (
         tagged.select(F.col("x_id").alias("id_a"), "table", "bucket")
         .join(
