@@ -75,3 +75,45 @@ def test_subquery_shape_plans(spark, sf_dir, name, want, forbid):
     plan = query_map()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert want in plan, f"{name}: expected {want}\n{plan[:2000]}"
     assert forbid not in plan, f"{name}: unexpected {forbid}\n{plan[:2000]}"
+
+
+SQL_SURFACE = [
+    # the oracle strings double as ANSI SQL the ENGINE runs directly: same
+    # rows through spark.sql over registered views as through the DataFrame
+    # plans.  Representative subset (67/77 dialect-clean oracles pass; the
+    # excluded ones use DuckDB-only routines: json_extract_string,
+    # quantile_cont, sha256, epoch, list lambdas, day-unit date_diff).
+    "q_flagship_regional_revenue",
+    "q_pricing_summary",
+    "q_local_supplier_volume",
+    "q_groupby_having",
+    "q_cube",
+    "q_semi_join",
+    "q_anti_join",
+    "q_union",
+    "q_window_topn_per_customer",
+    "q_moving_average",
+    "q_above_nation_average",
+    "q_customer_order_distribution",
+    "q_market_share",
+    "q_funnel_steps",
+    "q_fs_training_set",
+]
+
+
+@pytest.mark.parametrize("name", SQL_SURFACE)
+def test_sql_surface_equals_dataframe_plan(spark, sf_dir, name):
+    """S2 (spark.sql reads) at full query complexity: the catalog's ANSI
+    oracle SQL, executed BY SPARK over registered temp views, must produce
+    exactly the rows the DataFrame plan produces."""
+    from databricks_feature_store_flight_school_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    a = query_map()[name](spark, sf_dir).toPandas()
+    b = spark.sql(QUERIES[name].oracle).toPandas()
+    for df in (a, b):
+        df.sort_index(axis=1, inplace=True)
+    a = a.sort_values(by=list(a.columns), kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(by=list(b.columns), kind="mergesort").reset_index(drop=True)
+    assert a.shape == b.shape
+    assert (a.astype(str).values == b.astype(str).values).all(), name
