@@ -58,6 +58,9 @@ class FeatureTableMeta:
     # columns (Z-order-lite).  Parquet min/max footer stats then skip row
     # groups on key predicates, and merge/lookup shuffles find presorted runs.
     cluster_columns: list[str] = field(default_factory=list)
+    # Free-form table properties (e.g. incremental.py's last_refresh_ts
+    # watermark).  Absent from pre-existing registry JSON -> defaults empty.
+    properties: dict = field(default_factory=dict)
 
     @property
     def primary_keys(self) -> list[str]:

@@ -894,3 +894,70 @@ def test_vacuum_snapshots_retention(spark, client):
     # keep_last clamps: the current version can never be vacuumed
     assert vacuum_snapshots(client.registry, meta, keep_last=0) == [4]
     assert client.read_table("vac").collect()[0]["v"] == 5.0
+
+
+def test_incremental_refresh_only_recomputes_changed_keys(spark, client):
+    """incremental.refresh_changed_keys: (a) results always equal the full
+    recompute, (b) only changed keys are recomputed (unchanged keys keep the
+    row written by the PREVIOUS refresh batch), (c) the watermark advances
+    and an empty delta is a no-op."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from databricks_feature_store_flight_school_spark.featurestore.incremental import (
+        refresh_changed_keys,
+    )
+
+    def ts(day):
+        return dt.datetime(2024, 1, day)
+
+    batch = {"n": 0}
+
+    def compute(src):
+        # per-key aggregate + a batch tag proving WHEN the row was computed
+        return src.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v"), 2).alias("total"),
+            F.lit(batch["n"]).alias("computed_in_batch"),
+        )
+
+    rows1 = [Row(k=1, v=1.0, ts=ts(1)), Row(k=1, v=2.0, ts=ts(2)),
+             Row(k=2, v=5.0, ts=ts(2))]
+    src1 = spark.createDataFrame(rows1)
+    client.create_feature_table(
+        "inc", keys="k", schema=compute(src1).schema, description="incremental"
+    )
+
+    batch["n"] = 1
+    stats1 = refresh_changed_keys(client, "inc", src1, "ts", compute)
+    assert stats1["full_refresh"] and stats1["changed_keys"] == 2
+
+    got1 = {r["k"]: r for r in client.read_table("inc").collect()}
+    assert got1[1]["n_events"] == 2 and got1[1]["total"] == 3.0
+    assert got1[2]["n_events"] == 1
+
+    # second batch touches ONLY key 1 (new row after the watermark)
+    rows2 = rows1 + [Row(k=1, v=10.0, ts=ts(5))]
+    src2 = spark.createDataFrame(rows2)
+    batch["n"] = 2
+    stats2 = refresh_changed_keys(client, "inc", src2, "ts", compute)
+    assert not stats2["full_refresh"] and stats2["changed_keys"] == 1
+
+    got2 = {r["k"]: r for r in client.read_table("inc").collect()}
+    # changed key: recomputed over FULL history in batch 2
+    assert got2[1]["n_events"] == 3 and got2[1]["total"] == 13.0
+    assert got2[1]["computed_in_batch"] == 2
+    # unchanged key: untouched row still from batch 1
+    assert got2[2]["computed_in_batch"] == 1 and got2[2]["total"] == 5.0
+
+    # equals the full recompute (cost changed, results did not)
+    full = {r["k"]: (r["n_events"], r["total"]) for r in compute(src2).collect()}
+    assert {k: (r["n_events"], r["total"]) for k, r in got2.items()} == full
+
+    # empty delta -> no-op, watermark stays
+    batch["n"] = 3
+    stats3 = refresh_changed_keys(client, "inc", src2, "ts", compute)
+    assert stats3["changed_keys"] == 0 and stats3["watermark"] == stats2["watermark"]
+    got3 = {r["k"]: r["computed_in_batch"] for r in client.read_table("inc").collect()}
+    assert got3 == {1: 2, 2: 1}
