@@ -376,3 +376,105 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Materialise the IVF index: corpus vectors written as parquet
+    PARTITIONED BY their coarse-quantizer cell (``bucket=<i>/`` directories),
+    centroids persisted as JSON beside the data.  Returns the centroids.
+
+    This is the write-once half of the ANN serving story: build cost is one
+    corpus pass (narrow assignment map + partitioned write); every later
+    query batch probes only its ``nprobe`` cell directories — the scan reads
+    |corpus| * nprobe / n_centroids bytes, enforced by partition pruning
+    (asserted from the plan in tests/test_operators.py)."""
+    import json
+    import os
+
+    centroids = train_ivf_centroids(
+        corpus, vec_col, n_centroids=n_centroids, seed=seed
+    )
+    c = _prep(corpus, id_col, vec_col, "neighbor").withColumn(
+        "bucket",
+        F.array_position(
+            (d := _centroid_dots(F.col("neighbor_vec"), centroids)), F.array_max(d)
+        ).cast("int"),
+    )
+    (
+        c.select("neighbor_id", "neighbor_vec", "neighbor_norm", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "cells"))
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump(centroids, fh)
+    return centroids
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Query a persisted IVF index (see :func:`ivf_build_index`): rank exact
+    cosine inside each query's ``nprobe`` nearest cells.  The cell filter is
+    an IN-list on the PARTITION column, so pruning happens at file listing —
+    unprobed cells are never opened."""
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        centroids = json.load(fh)
+    cells = spark.read.parquet(os.path.join(path, "cells"))
+
+    q = (
+        _prep(queries, id_col, vec_col, "query")
+        .select(
+            "query_id",
+            "query_vec",
+            "query_norm",
+            F.posexplode(_centroid_dots(F.col("query_vec"), centroids)).alias(
+                "pos", "cdot"
+            ),
+        )
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("cdot").desc(), "pos")
+            ),
+        )
+        .where(F.col("probe_rank") <= nprobe)
+        .select(
+            "query_id", "query_vec", "query_norm",
+            (F.col("pos") + 1).cast("int").alias("bucket"),
+        )
+    )
+    # partition pruning needs the bucket list driver-side (an IN filter on
+    # the partition column); the query set is small by contract, so this
+    # collect is bounded by |queries| * nprobe ints.
+    probed = sorted({r["bucket"] for r in q.select("bucket").distinct().collect()})
+    scored = (
+        cells.where(F.col("bucket").isin(probed))
+        .join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine_sim", _pair_cosine())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

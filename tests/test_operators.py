@@ -447,3 +447,36 @@ def test_sketch_rollup_matches_exact_within_error(spark, sf_dir):
         exact_n, p40, p60 = exact[rk]
         assert abs(est_n - exact_n) <= max(1, 0.03 * exact_n), (rk, est_n, exact_n)
         assert p40 <= est_med <= p60, (rk, est_med, p40, p60)
+
+
+def test_ivf_persisted_index_prunes_partitions_and_matches_inmemory(
+    spark, sf_dir, tmp_path
+):
+    """ivf_build_index / ivf_probe_index: the persisted index returns the
+    same neighbours as the in-memory ivf_topk (same centroids, same probes),
+    and the probe scan's plan proves PARTITION pruning — only the probed
+    cell directories are read."""
+    from databricks_feature_store_flight_school_spark.operators.similarity import (
+        ivf_build_index,
+        ivf_probe_index,
+        ivf_topk,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf")
+    ivf_build_index(emb, idx, "vec_id", "embedding", n_centroids=16, seed=42)
+
+    got = ivf_probe_index(spark, idx, queries, "vec_id", "embedding", k=5, nprobe=2)
+    want = ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_centroids=16,
+                    nprobe=2, seed=42)
+    as_set = lambda df: {
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "bucket" in pf and "IN" in pf.upper()
