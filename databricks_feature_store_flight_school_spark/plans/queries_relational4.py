@@ -330,3 +330,151 @@ def q_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_window_ignore_nulls",
+    """
+    WITH flagged AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CASE WHEN o_totalprice > 200000 THEN o_totalprice END AS big_price
+        FROM orders
+        WHERE o_custkey < 50
+    )
+    SELECT o_custkey, o_orderkey,
+           round(lag(big_price IGNORE NULLS) OVER w, 2) AS prev_big_price,
+           round(last_value(big_price IGNORE NULLS) OVER
+                 (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_last_big
+    FROM flagged
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    "window", "nulls",
+)
+def q_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation — the gap-bridging form of lag /
+    last_value: each order sees the most recent PRECEDING big-ticket price,
+    skipping orders that had none (null).  The sparse-event forward-fill
+    primitive (same mechanics as observation carry-forward in PIT feature
+    pipelines)."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    big = F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # lag(x IGNORE NULLS) == last non-null over the strictly-preceding frame
+    prev = F.last("big_price", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = F.last("big_price", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.withColumn("big_price", big)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(prev, 2).alias("prev_big_price"),
+            F.round(running, 2).alias("running_last_big"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "q_string_agg",
+    """
+    SELECT n.n_name,
+           string_agg(DISTINCT c.c_mktsegment, ',' ORDER BY c.c_mktsegment) AS segments,
+           count(DISTINCT c.c_mktsegment) AS n_segments
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_custkey < 200
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    "agg", "strings",
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): the distinct market segments per
+    nation, sorted then joined — deterministic despite partial-aggregation
+    order because the sort happens AFTER collect (array_sort o collect_set),
+    exactly how a distributed engine must phrase ordered concatenation."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 200)
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "q_date_spine_gapfill",
+    """
+    WITH months AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '1998-01-01 00:00:00',
+            TIMESTAMP '1998-12-01 00:00:00',
+            INTERVAL 1 MONTH)) AS month_start
+    ),
+    rev AS (
+        SELECT date_trunc('month', o_orderdate) AS month_start,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        WHERE o_custkey < 20
+          AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT strftime(m.month_start, '%Y-%m-%d') AS month,
+           coalesce(rev.revenue, 0.0) AS revenue,
+           coalesce(rev.n_orders, 0) AS n_orders
+    FROM months m LEFT JOIN rev ON rev.month_start = m.month_start
+    ORDER BY month
+    """,
+    "dates", "gapfill", "join",
+)
+def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense calendar spine + gap fill: generate every month of 1998 with
+    ``sequence``/explode, left-join the sparse revenue aggregate, zero-fill
+    the holes — the report-completeness idiom (a month with no orders must
+    appear as 0, not vanish).  The spine is 12 rows: generated driver-free,
+    joined broadcast."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_custkey") < 20)
+        & (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    rev = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    spine = load_table(spark, sf_dir, "region").limit(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1998-01-01").cast("timestamp_ntz"),
+                F.lit("1998-12-01").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    return (
+        spine.join(F.broadcast(rev), "month_start", "left")
+        .select(
+            F.date_format("month_start", "yyyy-MM-dd").alias("month"),
+            F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
