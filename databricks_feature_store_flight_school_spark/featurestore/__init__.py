@@ -1,10 +1,11 @@
 from .client import FeatureStoreClient
 from .decorators import feature_table
-from .lookups import FeatureLookup, TrainingSet
+from .lookups import FeatureFunction, FeatureLookup, TrainingSet
 from .registry import FeatureTableMeta
 
 __all__ = [
     "FeatureStoreClient",
+    "FeatureFunction",
     "FeatureLookup",
     "FeatureTableMeta",
     "TrainingSet",

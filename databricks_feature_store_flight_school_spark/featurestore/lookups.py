@@ -55,6 +55,24 @@ class FeatureLookup:
         return [k] if isinstance(k, str) else list(k)
 
 
+@dataclass(frozen=True)
+class FeatureFunction:
+    """ON-DEMAND feature: computed at retrieval time from request/looked-up
+    columns instead of stored in a table (the engine's analog of the feature
+    function concept in the reference's API family).
+
+    ``expr`` is a Spark SQL expression over the training-set columns at the
+    point the function is applied — functions run AFTER all table lookups,
+    in list order, so later functions can reference earlier outputs.  Being
+    an expression (not a Python closure), it serializes losslessly through
+    ``log_model`` and replays identically in ``score_batch``: the
+    train/serve-skew-free way to ship request-time features.
+    """
+
+    output_name: str
+    expr: str
+
+
 @dataclass
 class TrainingSet:
     """A lookup-join plan: (input frame, lookups, label, exclusions).
@@ -73,8 +91,16 @@ class TrainingSet:
     def load_df(self) -> DataFrame:
         assert self._client is not None, "TrainingSet requires a client"
         out = self.df
+        # table lookups first (joins), then on-demand functions in list
+        # order — a function may reference any looked-up column or an
+        # earlier function's output
         for lookup in self.feature_lookups:
+            if isinstance(lookup, FeatureFunction):
+                continue
             out = _apply_lookup(self._client, out, lookup, self.broadcast)
+        for lookup in self.feature_lookups:
+            if isinstance(lookup, FeatureFunction):
+                out = out.withColumn(lookup.output_name, F.expr(lookup.expr))
         drop = [c for c in self.exclude_columns if c in out.columns]
         if drop:
             out = out.drop(*drop)
@@ -92,6 +118,9 @@ class TrainingSet:
         scoring UDF consumes (J4)."""
         cols: list[str] = []
         for lookup in self.feature_lookups:
+            if isinstance(lookup, FeatureFunction):
+                cols.append(lookup.output_name)
+                continue
             names = lookup.feature_names
             if names is None:
                 meta = self._client.get_feature_table(lookup.table_name)

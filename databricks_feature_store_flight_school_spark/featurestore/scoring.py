@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .lookups import FeatureLookup, TrainingSet
+from .lookups import FeatureFunction, FeatureLookup, TrainingSet
 
 
 @runtime_checkable
@@ -169,7 +169,9 @@ def log_model(path: str, predictor: Predictor, training_set: TrainingSet) -> Non
     os.makedirs(path, exist_ok=True)
     spec = {
         "feature_lookups": [
-            {
+            {"output_name": lk.output_name, "expr": lk.expr}
+            if isinstance(lk, FeatureFunction)
+            else {
                 "table_name": lk.table_name,
                 "lookup_key": lk.lookup_key,
                 "feature_names": lk.feature_names,
@@ -208,7 +210,9 @@ def score_batch(
         predictor = pickle.load(fh)
 
     lookups = [
-        FeatureLookup(
+        FeatureFunction(output_name=d["output_name"], expr=d["expr"])
+        if "output_name" in d
+        else FeatureLookup(
             table_name=d["table_name"],
             lookup_key=d["lookup_key"],
             feature_names=d["feature_names"],

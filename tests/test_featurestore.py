@@ -961,3 +961,55 @@ def test_incremental_refresh_only_recomputes_changed_keys(spark, client):
     assert stats3["changed_keys"] == 0 and stats3["watermark"] == stats2["watermark"]
     got3 = {r["k"]: r["computed_in_batch"] for r in client.read_table("inc").collect()}
     assert got3 == {1: 2, 2: 1}
+
+
+def test_feature_function_on_demand_and_log_score_roundtrip(spark, client, tmp_path):
+    """FeatureFunction: on-demand features computed at retrieval time from
+    looked-up + request columns, applied after lookups in list order (later
+    functions see earlier outputs), and REPLAYED identically through
+    log_model -> score_batch (no train/serve skew)."""
+    from pyspark.sql import Row
+
+    from databricks_feature_store_flight_school_spark.featurestore import (
+        FeatureFunction,
+        FeatureLookup,
+    )
+    from databricks_feature_store_flight_school_spark.featurestore.scoring import (
+        LinearThresholdModel,
+        log_model,
+    )
+
+    feats = spark.createDataFrame(
+        [Row(cid=1, monthly=50.0), Row(cid=2, monthly=80.0)]
+    )
+    client.create_feature_table("ff_monthly", keys="cid", df=feats)
+    inp = spark.createDataFrame(
+        [Row(cid=1, months=4, label=False), Row(cid=2, months=2, label=True)]
+    )
+    ts = client.create_training_set(
+        inp,
+        [
+            FeatureLookup("ff_monthly", lookup_key="cid"),
+            FeatureFunction("total_spend", "monthly * months"),
+            FeatureFunction("log_spend", "round(ln(total_spend), 6)"),
+        ],
+        label="label",
+    )
+    got = {r["cid"]: r for r in ts.load_df().collect()}
+    assert got[1]["total_spend"] == 200.0 and got[2]["total_spend"] == 160.0
+    import math
+
+    assert got[1]["log_spend"] == round(math.log(200.0), 6)
+    assert ts.feature_columns() == ["monthly", "total_spend", "log_spend"]
+
+    # roundtrip: the functions must replay inside score_batch
+    model = LinearThresholdModel(
+        weights={"total_spend": 1.0}, threshold=180.0
+    )
+    mpath = str(tmp_path / "ff_model")
+    log_model(mpath, model, ts)
+    scored = {
+        r["cid"]: r["prediction"]
+        for r in client.score_batch(mpath, inp.drop("label")).collect()
+    }
+    assert scored == {1: True, 2: False}  # 200 > 180 > 160
