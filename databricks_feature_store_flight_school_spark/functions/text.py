@@ -170,3 +170,72 @@ def md5_fingerprint(col: Column | str, k: int = 3, hex_len: int = 16) -> Column:
     ad-hoc use; hot paths should tokenize in a prior projection and call
     md5_fingerprint_words (see its docstring for why)."""
     return md5_fingerprint_words(tokens(col), k=k, hex_len=hex_len)
+
+
+# --- Gopher-style rule signals (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1) ---------
+# Every signal is a pure Column expression so the rule pass runs inside the
+# parquet scan stage; the SQL twins compute the identical arithmetic.
+
+#: stopword list for the "contains common words" rule (deliberately small —
+#: the rule mechanism, not the lexicon, is the engine deliverable)
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "with", "to")
+
+#: rule thresholds: (min_words, max_words, min_mean_wl, max_mean_wl,
+#: min_stopword_fraction, max_word_len)
+GOPHER_BOUNDS = {
+    "min_words": 10,
+    "max_words": 120,
+    "min_mean_wl": 2.5,
+    "max_mean_wl": 6.5,
+    "min_stop_frac": 0.05,
+    "max_word_len": 8,
+}
+
+
+def mean_word_len(col: Column | str) -> Column:
+    """Exact mean word length for single-space-separated text, computed
+    arithmetically — total chars minus the (n-1) separators, over the word
+    count — so the Spark and DuckDB twins agree bit-for-bit with no
+    higher-order-function evaluation in the scan."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    wc = F.size(F.split(c, " "))
+    return (F.length(c) - wc + 1).cast("double") / wc
+
+
+def max_word_len(col: Column | str) -> Column:
+    return F.array_max(F.transform(tokens(col), F.length))
+
+
+def stopword_fraction(
+    col: Column | str, words: tuple[str, ...] = GOPHER_STOPWORDS
+) -> Column:
+    return stopword_count(col, words).cast("double") / token_count(col)
+
+
+# --- PII redaction ----------------------------------------------------------
+# Pattern order matters: SSN before phone, so the broader phone class never
+# claims the tail of an SSN.  Patterns are RE2-safe (no backrefs/lookaround)
+# so the Java (Spark) and RE2 (DuckDB oracle) engines agree.
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{4}\b", "[PHONE]"),
+)
+
+
+def pii_hits(col: Column | str, pattern: str) -> Column:
+    """Occurrence count of one PII pattern (pre-redaction audit metric)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Chain-replace every PII_PATTERNS class with its placeholder tag.
+    regexp_replace is global in both Spark and (with the 'g' flag the oracle
+    passes) DuckDB, so multiplicity survives the twin check."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, tag)
+    return c

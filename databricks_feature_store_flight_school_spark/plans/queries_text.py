@@ -739,3 +739,129 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("contaminated_4grams"))
     )
+
+
+_GW = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+_GB = T.GOPHER_BOUNDS
+
+@register(
+    "q_gopher_quality_rules",
+    f"""
+    SELECT source,
+           count(*) AS total_docs,
+           sum(CASE WHEN wc < {_GB['min_words']} OR wc > {_GB['max_words']}
+                    THEN 1 ELSE 0 END)::BIGINT AS fail_word_count,
+           sum(CASE WHEN mwl < {_GB['min_mean_wl']} OR mwl > {_GB['max_mean_wl']}
+                    THEN 1 ELSE 0 END)::BIGINT AS fail_mean_word_len,
+           sum(CASE WHEN stop_frac < {_GB['min_stop_frac']}
+                    THEN 1 ELSE 0 END)::BIGINT AS fail_stopwords,
+           sum(CASE WHEN maxw > {_GB['max_word_len']}
+                    THEN 1 ELSE 0 END)::BIGINT AS fail_max_word,
+           sum(CASE WHEN wc BETWEEN {_GB['min_words']} AND {_GB['max_words']}
+                     AND mwl BETWEEN {_GB['min_mean_wl']} AND {_GB['max_mean_wl']}
+                     AND stop_frac >= {_GB['min_stop_frac']}
+                     AND maxw <= {_GB['max_word_len']}
+                    THEN 1 ELSE 0 END)::BIGINT AS pass_all
+    FROM (
+      SELECT source,
+             wc,
+             (length(t) - wc + 1)::DOUBLE / wc AS mwl,
+             len(list_filter(words, w -> lower(w) IN ({_GW})))::DOUBLE / wc AS stop_frac,
+             list_aggregate(list_transform(words, w -> length(w)), 'max') AS maxw
+      FROM (SELECT source, trim(text) AS t,
+                   string_split(trim(text), ' ') AS words,
+                   len(string_split(trim(text), ' ')) AS wc
+            FROM documents)
+    )
+    GROUP BY source
+    ORDER BY source
+    """,
+    "text", "quality", "gopher",
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-filter rules (word-count bounds, mean-word-length
+    band, stopword-presence floor, max-word-length cap) as pure Column
+    arithmetic, aggregated to per-source failure counts.  At 100 TB every
+    signal evaluates inside the parquet scan stage — the only shuffle is the
+    tiny per-source rollup.  Thresholds live in functions/text.py
+    GOPHER_BOUNDS so the engine and the oracle can never drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = T.GOPHER_BOUNDS
+    sig = docs.select(
+        "source",
+        T.token_count("text").alias("wc"),
+        T.mean_word_len("text").alias("mwl"),
+        T.stopword_fraction("text").alias("stop_frac"),
+        T.max_word_len("text").alias("maxw"),
+    )
+    wc_fail = (F.col("wc") < b["min_words"]) | (F.col("wc") > b["max_words"])
+    mwl_fail = (F.col("mwl") < b["min_mean_wl"]) | (F.col("mwl") > b["max_mean_wl"])
+    stop_fail = F.col("stop_frac") < b["min_stop_frac"]
+    maxw_fail = F.col("maxw") > b["max_word_len"]
+    as_cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        sig.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            as_cnt(wc_fail).alias("fail_word_count"),
+            as_cnt(mwl_fail).alias("fail_mean_word_len"),
+            as_cnt(stop_fail).alias("fail_stopwords"),
+            as_cnt(maxw_fail).alias("fail_max_word"),
+            as_cnt(~wc_fail & ~mwl_fail & ~stop_fail & ~maxw_fail).alias("pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+_PII_SSN, _PII_EMAIL, _PII_PHONE = (p for p, _ in T.PII_PATTERNS)
+
+@register(
+    "q_pii_redaction",
+    f"""
+    SELECT c_mktsegment,
+           count(*) AS customers,
+           sum(len(regexp_extract_all(raw, '{_PII_EMAIL}')))::BIGINT AS emails_found,
+           sum(len(regexp_extract_all(raw, '{_PII_PHONE}')))::BIGINT AS phones_found,
+           sum(length(raw) - length(
+                 regexp_replace(regexp_replace(regexp_replace(raw,
+                   '{_PII_SSN}', '[SSN]', 'g'),
+                   '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{_PII_PHONE}', '[PHONE]', 'g')))::BIGINT AS chars_removed
+    FROM (
+      SELECT c_mktsegment,
+             'user' || CAST(c_custkey AS VARCHAR) || '@mail.example.com call 555-'
+               || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+               || CASE WHEN c_custkey % 3 = 0 THEN ' alt 555-9999' ELSE '' END AS raw
+      FROM customer
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    "text", "pii", "redaction",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing audit — the redaction pass every training corpus runs
+    before the tokenizer.  The synthetic contact strings are constructed
+    identically on both sides (the testdata corpus contains no real PII, so
+    the query builds a deterministic one from customer keys), then
+    functions/text.py redact_pii chain-replaces SSN/email/phone classes.
+    Pure regexp Column expressions — scan-stage work, one tiny rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.com call 555-"),
+        F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(" alt 555-9999")).otherwise(F.lit("")),
+    )
+    base = c.select("c_mktsegment", raw.alias("raw"))
+    return (
+        base.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.sum(T.pii_hits("raw", _PII_EMAIL)).alias("emails_found"),
+            F.sum(T.pii_hits("raw", _PII_PHONE)).alias("phones_found"),
+            F.sum(F.length("raw") - F.length(T.redact_pii("raw"))).alias("chars_removed"),
+        )
+        .orderBy("c_mktsegment")
+    )
