@@ -28,8 +28,13 @@ BPE_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenisation of trimmed text (documents are single-space
-    separated; `split` on the literal space keeps Spark/DuckDB aligned)."""
+    """Whitespace tokenisation of trimmed text.  Splits on the LITERAL single
+    space: the documents fixture is single-space separated (pinned by
+    tests/test_operators.py::test_documents_fixture_single_space_invariant),
+    and the literal split keeps Spark/DuckDB twins bit-aligned.  Text from
+    outside the fixture contract (tabs/newlines/runs of spaces) would yield
+    empty-string "words" that inflate counts — normalize with
+    ``regexp_replace(col, r'\\s+', ' ')`` first for such corpora."""
     return F.split(F.trim(F.col(col) if isinstance(col, str) else col), " ")
 
 
@@ -214,9 +219,13 @@ def stopword_fraction(
 
 
 # --- PII redaction ----------------------------------------------------------
-# Pattern order matters: SSN before phone, so the broader phone class never
-# claims the tail of an SSN.  Patterns are RE2-safe (no backrefs/lookaround)
-# so the Java (Spark) and RE2 (DuckDB oracle) engines agree.
+# Ordering is defensive, not load-bearing, for the CURRENT patterns: the
+# phone class \b\d{3}-\d{4}\b cannot match any substring of a well-formed
+# SSN (the 2-digit middle group blocks it; verified empirically).  SSN is
+# still listed first so a future broader phone pattern (e.g. optional area
+# code) cannot silently claim SSN tails.  Patterns are RE2-safe (no
+# backrefs/lookaround) so the Java (Spark) and RE2 (DuckDB oracle) engines
+# agree.
 
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),

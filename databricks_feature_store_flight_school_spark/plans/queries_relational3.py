@@ -676,10 +676,14 @@ def q_sessionize_by_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ts reads as TIMESTAMP_NTZ from parquet, which has no direct cast to
+    # long; hop through TIMESTAMP (session tz is pinned UTC -> deterministic,
+    # matches the oracle's epoch(ts)).
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
     gaps = ev.withColumn(
         "new_session",
         F.when(
-            (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")) <= 600,
+            (epoch_s - F.lag(epoch_s).over(w)) <= 600,
             0,
         ).otherwise(1),
     )

@@ -820,6 +820,7 @@ _PII_SSN, _PII_EMAIL, _PII_PHONE = (p for p, _ in T.PII_PATTERNS)
     f"""
     SELECT c_mktsegment,
            count(*) AS customers,
+           sum(len(regexp_extract_all(raw, '{_PII_SSN}')))::BIGINT AS ssns_found,
            sum(len(regexp_extract_all(raw, '{_PII_EMAIL}')))::BIGINT AS emails_found,
            sum(len(regexp_extract_all(raw, '{_PII_PHONE}')))::BIGINT AS phones_found,
            sum(length(raw) - length(
@@ -831,6 +832,11 @@ _PII_SSN, _PII_EMAIL, _PII_PHONE = (p for p, _ in T.PII_PATTERNS)
       SELECT c_mktsegment,
              'user' || CAST(c_custkey AS VARCHAR) || '@mail.example.com call 555-'
                || lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+               || CASE WHEN c_custkey % 2 = 0 THEN ' ssn '
+                  || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-'
+                  || lpad(CAST((c_custkey * 3) % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END
                || CASE WHEN c_custkey % 3 = 0 THEN ' alt 555-9999' ELSE '' END AS raw
       FROM customer
     )
@@ -843,15 +849,28 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing audit — the redaction pass every training corpus runs
     before the tokenizer.  The synthetic contact strings are constructed
     identically on both sides (the testdata corpus contains no real PII, so
-    the query builds a deterministic one from customer keys), then
-    functions/text.py redact_pii chain-replaces SSN/email/phone classes.
-    Pure regexp Column expressions — scan-stage work, one tiny rollup."""
+    the query builds a deterministic one from customer keys) and carry all
+    THREE PII classes — an SSN segment on even keys exercises the full
+    replacement chain, not just email+phone — then functions/text.py
+    redact_pii chain-replaces SSN/email/phone classes.  Pure regexp Column
+    expressions — scan-stage work, one tiny rollup."""
     c = load_table(spark, sf_dir, "customer")
     raw = F.concat(
         F.lit("user"),
         F.col("c_custkey").cast("string"),
         F.lit("@mail.example.com call 555-"),
         F.lpad(((F.col("c_custkey") * 7) % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(
+                F.lit(" ssn "),
+                F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad(((F.col("c_custkey") * 3) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
         F.when(F.col("c_custkey") % 3 == 0, F.lit(" alt 555-9999")).otherwise(F.lit("")),
     )
     base = c.select("c_mktsegment", raw.alias("raw"))
@@ -859,6 +878,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("customers"),
+            F.sum(T.pii_hits("raw", _PII_SSN)).alias("ssns_found"),
             F.sum(T.pii_hits("raw", _PII_EMAIL)).alias("emails_found"),
             F.sum(T.pii_hits("raw", _PII_PHONE)).alias("phones_found"),
             F.sum(F.length("raw") - F.length(T.redact_pii("raw"))).alias("chars_removed"),

@@ -480,3 +480,25 @@ def test_ivf_persisted_index_prunes_partitions_and_matches_inmemory(
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1][:200]
     assert "bucket" in pf and "IN" in pf.upper()
+
+
+def test_documents_fixture_single_space_invariant(spark, sf_dir):
+    """Pin the fixture contract functions/text.py tokens() relies on: the
+    documents corpus is single-space separated — no tabs, newlines, or runs
+    of spaces — so literal-space split produces no empty-string 'words' and
+    wc/stop_frac/mean-word-length match the Gopher rules' intent.  If the
+    testdata generator ever changes this, the failure points here instead of
+    silently drifting the quality signals (round-3 advice)."""
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad = docs.where(
+        F.col("text").rlike(r"\t|\n|\r| {2,}")
+        | (F.col("text") != F.trim(F.col("text")))
+    ).count()
+    assert bad == 0
+    # corollary: no empty tokens from the literal-space split
+    empties = docs.select(
+        F.size(F.filter(T.tokens("text"), lambda w: F.length(w) == 0)).alias("n")
+    ).agg(F.sum("n").alias("s")).collect()[0]["s"]
+    assert empties == 0
