@@ -58,6 +58,7 @@ def _load_all() -> None:
         queries_relational2,
         queries_relational3,
         queries_relational4,
+        queries_relational5,
         queries_text,
         queries_vectors,
     )

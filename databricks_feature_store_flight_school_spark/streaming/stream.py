@@ -40,6 +40,13 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Integer division — see sources/tables.py:load_table for why `/ 1000`
         # (double division) would put ~12% of timestamps 1 µs off the oracle.
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        # Watermarks track an event-time INSTANT, so Spark requires TIMESTAMP
+        # (LTZ) — EventTimeWatermark rejects TIMESTAMP_NTZ outright.  The
+        # session timezone is pinned to UTC (session.py), so this cast maps
+        # each wall-clock value to the same numeric instant and the streaming
+        # results stay comparable with the batch (NTZ) twins.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
