@@ -1,0 +1,208 @@
+"""Distributed k-means clustering and SemDeDup-style semantic deduplication
+over embedding columns (LLM-pipeline extensions, SURVEY.md §2.12).
+
+Scale design (Lloyd's on Spark, no MLlib/RDDs):
+
+- **assignment** is a narrow map: centroids travel as a closure of one
+  Arrow-batched numpy UDF (k x dim floats, kilobytes), each batch does a
+  single (batch x dim) @ (dim x k) matmul + argmax — no join, no shuffle.
+- **centroid update** is one groupBy: posexplode turns vectors into
+  (cluster, dim, value) rows, avg() runs with map-side partial aggregation,
+  and only k x dim scalars ever reach the driver per iteration.
+- **iterations** are driver-orchestrated (Lloyd's is inherently iterative),
+  but each pass is a full-parallel scan; lineage stays flat because every
+  iteration re-reads the source plan with new literal centroids.
+- **SemDeDup** (Abbas et al. 2023: cluster, then dedup WITHIN clusters)
+  turns all-pairs O(n²) cosine dedup into Σ cluster² with exact verify —
+  the same candidate-then-verify contract as the banded-LSH path
+  (operators/similarity.lsh_neardup_pairs), with cluster membership instead
+  of hash collisions generating candidates.  Multi-assignment (each vector
+  joins its ``n_assign`` nearest clusters) recovers near-boundary pairs the
+  hard partition would miss.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import dot, to_double
+from .similarity import _centroid_dots, _prep
+
+
+def _lit_vec(c: list[float]):
+    return F.array(*[F.lit(float(x)) for x in c])
+
+
+def l2_assign_nearest(
+    df: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Assign every vector to the nearest centroid by EUCLIDEAN distance,
+    entirely in Column expressions (centroids fold into the plan as
+    literals).  Ties break toward the lower cluster index — array_position
+    returns the FIRST occurrence of the min.
+
+    Output: (id, cluster [0-based], l2_dist).  This is the oracle-checkable
+    exactness baseline (DuckDB twin: list_distance + argmin QUALIFY); the
+    iterative fit below uses the Arrow path for speed.
+    """
+    v = to_double(F.col(vec_col))
+    dists = F.array(
+        *[
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(v, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            for c in centroids
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        (F.array_position((d := dists), F.array_min(d)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min(dists).alias("l2_dist"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iters: int = 3,
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd's) over the FULL corpus, distributed.
+
+    Deterministic: initial centroids are the k lowest-id vectors (no RNG),
+    assignment ties break toward the lower cluster index, and the centroid
+    update averages in deterministic (cluster, dim) groups.  Returns
+    unit-norm centroids (k x dim plain lists).
+
+    Driver footprint per iteration: k x dim floats (the updated centroids) —
+    never data rows.  Empty clusters keep their previous centroid.
+    """
+    seed_rows = (
+        df.select(F.col(id_col).alias("i"), to_double(F.col(vec_col)).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    cent = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    base = df.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+    for _ in range(n_iters):
+        # assignment + explode in ONE narrow pass (no re-join by id: the
+        # cluster column rides along with the vector it was computed from)
+        assigned = assign_clusters(base, "id", "v", cent.tolist(), keep_vec=True)
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cent.copy()
+        acc = np.zeros_like(cent)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in sums:
+            acc[r["cluster"], r["dim"]] = r["s"]
+            cnt[r["cluster"]] = r["n"]
+        for j in range(k):
+            if cnt[j] > 0:
+                m = acc[j] / cnt[j]
+                new[j] = m / max(np.linalg.norm(m), 1e-12)
+        cent = new
+    return cent.round(9).tolist()
+
+
+def assign_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Cosine (dot-on-unit-centroids) cluster assignment as ONE Arrow-batched
+    numpy matmul per batch.  Output: (id, cluster [0-based][, v]).  Narrow
+    map — centroids ship inside the serialized UDF, nothing shuffles."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def _nearest(vec: pd.Series) -> pd.Series:
+        V = np.stack(vec.values)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+
+    v = to_double(F.col(vec_col))
+    cols = [F.col(id_col).alias("id"), _nearest(v).alias("cluster")]
+    if keep_vec:
+        cols.append(v.alias("v"))
+    return df.select(*cols)
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    k: int = 8,
+    n_iters: int = 3,
+    n_assign: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup PAIRS: spherical-kmeans buckets
+    generate candidates (each vector joins its ``n_assign`` nearest
+    clusters), exact cosine verifies every candidate — no false positives;
+    recall vs the exact all-pairs form is asserted in tests.
+
+    Output: (id_a, id_b, cosine_sim), id_a < id_b, cosine_sim >= threshold.
+    """
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iters=n_iters)
+    v = _prep(df, id_col, vec_col, "x")
+    # multi-assignment: top-n_assign centroid dots per vector (posexplode +
+    # rank over k values — k is small, the window partitions by vector id)
+    dots = _centroid_dots(F.col("x_vec"), centroids)
+    tagged = (
+        v.select("x_id", F.posexplode(dots).alias("bucket", "cdot"))
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("x_id").orderBy(F.col("cdot").desc(), "bucket")
+            ),
+        )
+        .where(F.col("r") <= n_assign)
+        .select("x_id", "bucket")
+    )
+    cand = (
+        tagged.select(F.col("x_id").alias("id_a"), "bucket")
+        .join(tagged.select(F.col("x_id").alias("id_b"), "bucket"), "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = v.select(
+        F.col("x_id").alias("id_a"), F.col("x_vec").alias("va"), F.col("x_norm").alias("na")
+    )
+    b = v.select(
+        F.col("x_id").alias("id_b"), F.col("x_vec").alias("vb"), F.col("x_norm").alias("nb")
+    )
+
+    @F.pandas_udf("double")
+    def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack(va.values)
+        B = np.stack(vb.values)
+        return pd.Series((A * B).sum(axis=1))
+
+    denom = F.col("na") * F.col("nb")
+    sim = F.when(denom > 0, _pair_dot(F.col("va"), F.col("vb")) / denom)
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cosine_sim", sim)
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )

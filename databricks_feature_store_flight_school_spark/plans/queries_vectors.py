@@ -320,3 +320,98 @@ def q_vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "q_kmeans_assign",
+    """
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+               FROM embeddings WHERE vec_id < 8),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    scored AS (
+        SELECT v.vec_id, c.cid, list_distance(v.vec, c.cvec) AS dist
+        FROM v CROSS JOIN c
+    )
+    SELECT vec_id, cid AS cluster, round(dist, 6) AS l2_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+    "vectors", "clustering",
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means E-step) as pure Column
+    expressions: every vector against 8 fixed centroids (the lowest-id
+    embeddings), Euclidean argmin with first-wins ties — oracle-checkable
+    exactness baseline for the iterative fit (q_kmeans_clusters).  Centroids
+    fold into the plan as literals; assignment is a narrow map over the scan,
+    nothing shuffles."""
+    from ..operators.clustering import l2_assign_nearest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [
+        r["v"]
+        for r in emb.where(F.col("vec_id") < 8)
+        .select("vec_id", V.to_double(F.col("embedding")).alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    out = l2_assign_nearest(emb, "vec_id", "embedding", cents)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        "cluster",
+        F.round("l2_dist", 6).alias("l2_dist"),
+    )
+
+
+@register(
+    "q_kmeans_clusters",
+    None,  # iterative fit: centroid float accumulation is engine-specific
+    "vectors", "clustering", "rows-only",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (Lloyd's, k=8, 3 iterations,
+    deterministic lowest-id init): per-cluster membership counts and mean
+    cosine to the centroid.  Assignment is one Arrow matmul per batch;
+    the centroid update groupBy moves k x dim scalars, never vectors.
+    Numpy single-node parity is pinned in tests/test_operators.py."""
+    from ..operators.clustering import assign_clusters, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, "vec_id", "embedding", k=8, n_iters=3)
+    assigned = assign_clusters(emb, "vec_id", "embedding", cents, keep_vec=True)
+    cent_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in cents
+    ])
+    cvec = F.element_at(cent_arr, F.col("cluster") + 1)
+    cos = V.dot(F.col("v"), cvec) / V.norm(F.col("v"))  # centroids are unit-norm
+    return (
+        assigned.withColumn("cos_to_centroid", cos)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("cos_to_centroid"), 4).alias("mean_cos"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "q_semantic_dedup",
+    None,  # cluster-bucketed candidates: recall is probabilistic by design
+    "vectors", "dedup", "clustering", "rows-only",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: spherical-kmeans buckets
+    (k=8, multi-assign 3) generate candidates, exact cosine >= 0.35 verifies
+    — same schema and threshold as the exact all-pairs ground truth
+    (q_embedding_neardup_pairs) and the banded-LSH twin
+    (q_lsh_neardup_pairs); recall vs exact is asserted in
+    tests/test_operators.py.  Candidate cost is per-cluster-squared, not
+    corpus-squared."""
+    from ..operators.clustering import semantic_dedup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_pairs(emb, "vec_id", "embedding", threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))

@@ -502,3 +502,70 @@ def test_documents_fixture_single_space_invariant(spark, sf_dir):
         F.size(F.filter(T.tokens("text"), lambda w: F.length(w) == 0)).alias("n")
     ).agg(F.sum("n").alias("s")).collect()[0]["s"]
     assert empties == 0
+
+
+def test_kmeans_fit_matches_numpy(spark, sf_dir):
+    """Distributed Lloyd's must match a single-node numpy reference run from
+    the same deterministic init (lowest-id seeds, argmax ties to the lower
+    cluster): same assignments, same centroids to float tolerance."""
+    import numpy as np
+
+    from databricks_feature_store_flight_school_spark.operators.clustering import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    k, iters = 4, 3
+
+    cent = X[:k].copy()
+    cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for j in range(k):
+            m = X[assign == j]
+            if len(m):
+                mu = m.mean(axis=0)
+                cent[j] = mu / max(np.linalg.norm(mu), 1e-12)
+
+    got = np.array(kmeans_fit(emb, "vec_id", "embedding", k=k, n_iters=iters))
+    assert np.allclose(got, cent, atol=1e-6), "centroids diverge from numpy reference"
+
+    got_assign = {
+        r["id"]: r["cluster"]
+        for r in assign_clusters(emb, "vec_id", "embedding", got.tolist()).collect()
+    }
+    want_assign = np.argmax(X @ cent.T, axis=1)
+    assert all(
+        got_assign[r["vec_id"]] == want_assign[i] for i, r in enumerate(rows)
+    ), "assignments diverge from numpy reference"
+
+
+def test_semantic_dedup_recall(spark, sf_dir):
+    """SemDeDup pairs must be a SUBSET of the exact threshold pairs (exact
+    cosine verify -> zero false positives) with recall >= 0.9 under
+    multi-assignment, and every emitted similarity must match exact."""
+    from databricks_feature_store_flight_school_spark.operators.clustering import (
+        semantic_dedup_pairs,
+    )
+    from databricks_feature_store_flight_school_spark.plans.queries_vectors import (
+        q_embedding_neardup_pairs,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in q_embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = {
+        (r["id_a"], r["id_b"]): round(r["cosine_sim"], 6)
+        for r in semantic_dedup_pairs(emb, "vec_id", "embedding", threshold=0.35).collect()
+    }
+    assert set(approx) <= set(exact), "semantic dedup emitted a false-positive pair"
+    assert all(approx[p] == exact[p] for p in approx)
+    recall = len(approx) / len(exact) if exact else 1.0
+    assert recall >= 0.9, f"semantic dedup recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
