@@ -7,6 +7,15 @@ reported individually.  Each query is forced with a write to the ``noop``
 sink: unlike count() (which lets Catalyst prune projected expressions and
 under-measure narrow maps), noop executes the full plan — every expression,
 join, and shuffle — while paying zero sink cost.
+
+Cross-round comparability note: the driver regenerates /root/testdata between
+rounds.  Since round 4 the parquet files ship as a SINGLE row group per
+table, and parquet is only splittable at row-group granularity — so every
+scan is one task regardless of spark.sql.files.maxPartitionBytes, putting a
+serial ~0.4 s floor (warm) under each lineitem-reading query that multi-
+row-group data did not have.  Round-over-round totals should be read with
+that layout shift (and single-tenant host noise) in mind; the per-query
+seconds are the comparable signal.
 """
 
 from __future__ import annotations

@@ -106,6 +106,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    if master and master.startswith("local"):
+        # Single-JVM local mode: tasks are threads, so the sweet spot for
+        # post-shuffle partition size is far below the cluster default (64m
+        # would coalesce the whole sf0.1 shuffle into ONE task and serialize
+        # every downstream stage; measured ~10% on join-heavy queries).  On a
+        # real cluster (master from spark-submit) Spark's defaults stand —
+        # 1m advisory at 100 TB would explode partition counts.
+        builder = builder.config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m"
+        ).config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     return prepare(builder.getOrCreate())
