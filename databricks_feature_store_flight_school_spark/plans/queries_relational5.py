@@ -325,3 +325,229 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select("doc_id", F.round("score", 6).alias("bm25"), "rank")
     )
+
+
+@register(
+    "q_grouped_ols_pandas",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           regr_count(l_extendedprice, l_quantity) AS n_rows
+    FROM lineitem
+    WHERE l_orderkey < 1500
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "agg", "pandas-udf", "grouped-map", "regression",
+)
+def q_grouped_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS via GROUPED-MAP pandas (applyInPandas): each return-flag
+    group crosses to a Python worker as one Arrow batch and numpy fits the
+    line with the centered two-pass formula — the escape hatch for per-group
+    model fitting that closed-form aggregates can't express (here they can,
+    which is exactly what makes it oracle-checkable against regr_slope /
+    regr_intercept).
+
+    Numeric note: the centered two-pass moments (subtract the mean, then
+    accumulate) match DuckDB's Welford-style regr_* to well below the 1e-6
+    rounding; a naive Σxy - nx̄ȳ form would not.  100 TB note: grouped-map
+    materialises whole groups — bounded group count/size is the contract;
+    unbounded groups belong to the aggregate form (q_regression_aggregates).
+    """
+    import numpy as np
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_quantity"].to_numpy(dtype=float)
+        y = pdf["l_extendedprice"].to_numpy(dtype=float)
+        xc = x - x.mean()
+        slope = float((xc * (y - y.mean())).sum() / (xc * xc).sum())
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "slope": [round(slope, 6)],
+                "intercept": [round(float(y.mean() - slope * x.mean()), 6)],
+                "n_rows": [len(pdf)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1500)
+    return (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            fit, "l_returnflag string, slope double, intercept double, n_rows bigint"
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_histogram_bins",
+    """
+    SELECT bin_id,
+           round(bin_id * 30000.0, 2) AS bin_lo,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM (
+        SELECT o_totalprice,
+               CAST(least(floor(o_totalprice / 30000.0), 19) AS BIGINT) AS bin_id
+        FROM orders
+    )
+    GROUP BY bin_id
+    ORDER BY bin_id
+    """,
+    "agg", "histogram",
+)
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (20 bins of 30k, top bin open) over order totals
+    — the distribution-profiling primitive behind feature binning and data
+    audits.  Bin assignment is scan-side Column arithmetic, the groupBy
+    carries 20 keys: map-side partials make this a near-free full-table
+    profile at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_id = F.least(F.floor(F.col("o_totalprice") / 30000.0), F.lit(19)).cast(
+        "bigint"
+    )
+    return (
+        o.select("o_totalprice", bin_id.alias("bin_id"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .select(
+            "bin_id",
+            F.round(F.col("bin_id") * 30000.0, 2).alias("bin_lo"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+        .orderBy("bin_id")
+    )
+
+
+@register(
+    "q_hash_split",
+    """
+    SELECT source, split, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM (
+        SELECT source, doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    "llm-pipeline", "sampling",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (~80/10/10): the split
+    is a pure function of the stable document id (first md5 byte compared as
+    hex text — portable across engines, unlike engine-native hash()), so the
+    assignment is reproducible across runs, partitions, and engines, and
+    never needs a stored membership table.  Narrow map + 60-key groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select("source", "doc_id", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("source", "split")
+    )
+
+
+def _rrf_oracle() -> str:
+    bm25_inner = _bm25_oracle()
+    return f"""
+    WITH bm AS (
+        SELECT doc_id, rank AS r_bm FROM ({bm25_inner})
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0),
+    cos_scored AS (
+        SELECT e.vec_id AS doc_id,
+               list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.q) AS sim
+        FROM embeddings e CROSS JOIN qv
+        WHERE e.vec_id < (SELECT count(*) FROM documents)
+    ),
+    cs AS (
+        SELECT doc_id, rank AS r_cos FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY sim DESC, doc_id) AS rank
+            FROM cos_scored
+        ) WHERE rank <= 20
+    ),
+    fused AS (
+        SELECT coalesce(bm.doc_id, cs.doc_id) AS doc_id,
+               coalesce(1.0 / (60 + bm.r_bm), 0.0)
+                 + coalesce(1.0 / (60 + cs.r_cos), 0.0) AS rrf
+        FROM bm FULL OUTER JOIN cs ON bm.doc_id = cs.doc_id
+    )
+    SELECT doc_id, round(rrf, 6) AS rrf_score, rank
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+          FROM fused)
+    WHERE rank <= 15
+    """
+
+
+@register(
+    "q_hybrid_rrf",
+    _rrf_oracle(),
+    "text", "vectors", "ranking", "llm-pipeline",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 top-20 (lexical)
+    and the embedding-cosine top-20 (semantic, query = vector 0) fuse as
+    Σ 1/(60 + rank) — the standard RRF combiner for hybrid search.  Fusing
+    bounded top-k lists (not full rankings) is the scale-honest form: each
+    ranker's TakeOrderedAndProject bounds what crosses the join, and the
+    outer join + final rank run on ≤40 rows."""
+    from ..functions import vectors as V
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # bounded metadata lookup; aligns vec ids with doc ids
+    bm = q_bm25_scores(spark, sf_dir).select("doc_id", F.col("rank").alias("r_bm"))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    ]
+    qlit = F.array(*[F.lit(x) for x in qvec])
+    v = V.to_double(F.col("embedding"))
+    sim = V.dot(v, qlit) / (V.norm(v) * V.norm(qlit))
+    w = Window.orderBy(F.col("sim").desc(), "doc_id")
+    cs = (
+        emb.where(F.col("vec_id") < n_docs)
+        .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "doc_id")
+        .limit(20)
+        .withColumn("r_cos", F.row_number().over(w))
+        .select("doc_id", "r_cos")
+    )
+    fused = (
+        bm.join(cs, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(15)
+        .withColumn("rank", F.row_number().over(wf))
+        .select("doc_id", F.round("rrf", 6).alias("rrf_score"), "rank")
+    )
