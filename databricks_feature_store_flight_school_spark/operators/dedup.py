@@ -243,3 +243,63 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> Dat
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Maximal exactly-shared token spans (>= k consecutive tokens) between
+    document pairs — substring-level exact dedup (Lee et al. 2022),
+    relational form: k-shingle per position (lead window), equi-join on the
+    shingle, then gaps-and-islands along each (doc_a, doc_b) DIAGONAL
+    (pos_a - pos_b constant) merges consecutive matches into maximal spans.
+
+    ``max_shingle_df`` is the skew guard (same contract as the Jaccard
+    shingle join): shingles appearing at more than that many positions are
+    dropped from candidate generation, bounding the join's worst bucket at
+    the cost of missing spans made ONLY of ultra-common shingles.
+
+    Output: (doc_a, doc_b, start_a, start_b, span_tokens), 1-based starts,
+    doc_a < doc_b, span_tokens = island run + k - 1.
+    """
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    sp = F.lit(" ")
+    parts: list[Column] = [F.col("word")]
+    for i in range(1, k):
+        parts += [sp, F.lead("word", i).over(dw)]
+    sh = toks.select(
+        "doc_id", "pos", F.concat(*parts).alias("shingle")  # null-propagating
+    ).where(F.col("shingle").isNotNull())
+    if max_shingle_df is not None:
+        gw = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(gw))
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "shingle")
+    matches = a.join(b, "shingle").where(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    iw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = matches.select("doc_a", "doc_b", "pos_a", "pos_b", diag).withColumn(
+        "island", F.col("pos_a") - F.row_number().over(iw)
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + k - 1).cast("bigint").alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )

@@ -885,3 +885,66 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_duplicate_passages",
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS words FROM documents),
+    toks AS (SELECT doc_id, unnest(words) AS word,
+                    generate_subscripts(words, 1) AS pos
+             FROM w),
+    sh AS (
+        SELECT doc_id, pos,
+               word || ' ' || lead(word, 1) OVER dw || ' '
+                    || lead(word, 2) OVER dw || ' ' || lead(word, 3) OVER dw
+                   AS shingle
+        FROM toks WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    matches AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE a.shingle IS NOT NULL
+    ),
+    islands AS (
+        SELECT doc_a, doc_b, pos_a, pos_b,
+               pos_a - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+               ) AS island
+        FROM matches
+    )
+    SELECT doc_a, doc_b,
+           min(pos_a) AS start_a,
+           min(pos_b) AS start_b,
+           CAST(count(*) + 3 AS BIGINT) AS span_tokens
+    FROM islands
+    GROUP BY doc_a, doc_b, pos_a - pos_b, island
+    ORDER BY doc_a, doc_b, start_a, start_b
+    """,
+    "text", "dedup", "llm-pipeline",
+)
+def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-PASSAGE detection: maximal runs of >= 4 consecutive
+    shared tokens between document pairs — the substring-level dedup from
+    'Deduplicating Training Data Makes Language Models Better' (Lee et al.
+    2022), re-expressed relationally instead of via a suffix array:
+
+    1. 4-token shingles per position (lead window over one doc_id shuffle —
+       null-PROPAGATING concat, so tail positions drop out on both engines);
+    2. equi-join on the shingle string pairs up every shared 4-gram;
+    3. matches on the same (doc_a, doc_b) DIAGONAL (pos_a - pos_b constant)
+       with consecutive positions are one passage: gaps-and-islands over the
+       diagonal merges them into maximal spans (span_tokens = run + 3).
+
+    100 TB posture: the only fan-out is the shingle equi-join; a production
+    corpus adds the document-frequency guard the n-gram Jaccard join already
+    ships (operators/dedup.py — drop shingles whose posting list exceeds a
+    cap) to bound the worst bucket; everything else is windows over narrow
+    (doc, pos) rows.  The fixture's closed vocabulary makes cross-doc
+    4-gram collisions common enough to exercise every stage (~1.6k matches
+    at sf0.01)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicate_passage_spans(d, "doc_id", "text", k=4).orderBy(
+        "doc_a", "doc_b", "start_a", "start_b"
+    )

@@ -569,3 +569,32 @@ def test_semantic_dedup_recall(spark, sf_dir):
     assert all(approx[p] == exact[p] for p in approx)
     recall = len(approx) / len(exact) if exact else 1.0
     assert recall >= 0.9, f"semantic dedup recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
+
+
+def test_duplicate_passage_spans_crafted(spark):
+    """A known 6-token passage shared by two docs must come back as ONE
+    maximal span of 6 tokens at the right 1-based offsets; a doc pair with
+    no 4-gram overlap must not appear."""
+    from databricks_feature_store_flight_school_spark.operators.dedup import (
+        duplicate_passage_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three"),            # shared at pos 3..8
+        (2, f"{shared} nine ten"),                 # shared at pos 1..6
+        (3, "completely different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = duplicate_passage_spans(df, "doc_id", "text", k=4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"], r["span_tokens"]) == (3, 1, 6)
+
+    # skew guard: every 4-gram of the shared passage appears at 2 positions;
+    # a cap of 1 removes them all -> no spans survive
+    guarded = duplicate_passage_spans(
+        df, "doc_id", "text", k=4, max_shingle_df=1
+    ).collect()
+    assert guarded == []
