@@ -598,3 +598,59 @@ def test_duplicate_passage_spans_crafted(spark):
         df, "doc_id", "text", k=4, max_shingle_df=1
     ).collect()
     assert guarded == []
+
+
+def test_scd2_intervals_tile_history(spark, sf_dir):
+    """SCD2 invariants: per customer (ordered by valid_from, run order) each
+    interval's valid_to equals the next valid_from, exactly one open-ended
+    current interval exists, and n_orders conserves the order count."""
+    from databricks_feature_store_flight_school_spark.plans.queries_relational5 import (
+        q_scd2_intervals,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    rows = q_scd2_intervals(spark, sf_dir).collect()
+    assert rows
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    o = load_table(spark, sf_dir, "orders").where("o_custkey < 100")
+    n_orders = {
+        r["o_custkey"]: r["n"]
+        for r in o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for cust, ivs in by_cust.items():
+        assert sum(r["n_orders"] for r in ivs) == n_orders[cust]
+        opens = [r for r in ivs if r["is_current"]]
+        assert len(opens) == 1 and ivs[-1]["is_current"]
+        for prev, nxt in zip(ivs, ivs[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]
+            assert not prev["is_current"]
+
+
+def test_sequence_packing_conserves_and_orders(spark, sf_dir):
+    """Packing invariants: per source the bins' doc ranges are contiguous
+    and non-overlapping in doc_id order, token totals are conserved, and
+    bin ids are dense from 0."""
+    from databricks_feature_store_flight_school_spark.functions.text import token_count
+    from databricks_feature_store_flight_school_spark.plans.queries_relational5 import (
+        q_sequence_packing,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    rows = q_sequence_packing(spark, sf_dir).collect()
+    assert rows
+    d = load_table(spark, sf_dir, "documents")
+    want = {
+        r["source"]: r["t"]
+        for r in d.groupBy("source").agg(F.sum(token_count("text")).alias("t")).collect()
+    }
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, bins in by_src.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        assert [b["bin_id"] for b in bins] == list(range(len(bins)))
+        assert sum(b["total_tokens"] for b in bins) == want[src]
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev["last_doc"] < nxt["first_doc"]
