@@ -36,7 +36,11 @@ def test_oracle_keys_subset_of_queries():
 def test_oracle_sql_uses_known_tables():
     """Every physical table referenced by an oracle must be one the driver
     registers as a DuckDB view (CTE names and LATERAL subqueries excluded)."""
-    table_re = re.compile(r"\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE)
+    # negative lookbehind: `x IS [NOT] DISTINCT FROM y` is a comparison, not
+    # a table reference
+    table_re = re.compile(
+        r"(?<!DISTINCT\s)\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE
+    )
     # CTE names, including recursive CTEs with column lists: name(col, ...) AS (
     cte_re = re.compile(
         r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(", re.IGNORECASE
