@@ -551,3 +551,47 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(wf))
         .select("doc_id", F.round("rrf", 6).alias("rrf_score"), "rank")
     )
+
+
+@register(
+    "q_fuzzy_part_match",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY key_a, key_b
+    """,
+    "join", "fuzzy", "text",
+)
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching with BLOCKING: near-identical part names
+    (levenshtein edit distance <= 2) compared only within the same p_type
+    block — the record-linkage shape (blocking key bounds the quadratic
+    term, the string metric scores survivors).  Both engines ship the same
+    Wagner-Fischer levenshtein, so the twin is exact.  At 100 TB the
+    blocking key is the whole game: pairs per block ~ (block size)², so
+    block on the highest-selectivity stable attribute and add the same
+    posting-cap guard as the shingle joins for degenerate blocks."""
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "p_type",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        "p_type",
+    )
+    return (
+        a.join(b, "p_type")
+        .where(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= 2)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+        .orderBy("key_a", "key_b")
+    )
