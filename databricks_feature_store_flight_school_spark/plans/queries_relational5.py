@@ -595,3 +595,75 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
         .orderBy("key_a", "key_b")
     )
+
+
+@register(
+    "q_feature_drift_psi",
+    """
+    WITH binned AS (
+        SELECT CAST(least(floor(o_totalprice / 60000.0), 9) AS BIGINT) AS bin_id,
+               (o_orderdate <  TIMESTAMP '2000-01-01 00:00:00') AS is_ref,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1, 2
+    ),
+    pivoted AS (
+        SELECT bin_id,
+               sum(CASE WHEN is_ref THEN n ELSE 0 END) AS n_ref,
+               sum(CASE WHEN NOT is_ref THEN n ELSE 0 END) AS n_cur
+        FROM binned GROUP BY bin_id
+    ),
+    tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM pivoted),
+    frac AS (
+        SELECT bin_id,
+               greatest(n_ref * 1.0 / t_ref, 0.0001) AS f_ref,
+               greatest(n_cur * 1.0 / t_cur, 0.0001) AS f_cur
+        FROM pivoted CROSS JOIN tot
+    )
+    SELECT bin_id,
+           round(f_ref, 6) AS f_ref,
+           round(f_cur, 6) AS f_cur,
+           round((f_cur - f_ref) * ln(f_cur / f_ref), 6) AS psi_term
+    FROM frac
+    ORDER BY bin_id
+    """,
+    "agg", "drift", "mlops",
+)
+def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference window (orders before
+    2000) and the current window — the train/serve drift monitor a feature
+    store runs per feature: equi-width bins, per-window fractions floored at
+    1e-4 (the standard zero-bin guard), PSI term (f_cur - f_ref)·ln(f_cur/
+    f_ref) per bin (Σ terms > 0.2 = actionable drift).  One scan builds both
+    windows' histograms (conditional sums — no second pass); everything
+    after runs on 10 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_id = F.least(F.floor(F.col("o_totalprice") / 60000.0), F.lit(9)).cast("bigint")
+    is_ref = F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp_ntz")
+    pivoted = (
+        o.select(bin_id.alias("bin_id"), is_ref.alias("is_ref"))
+        .groupBy("bin_id")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = pivoted.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    f_ref = F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(0.0001))
+    f_cur = F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(0.0001))
+    return (
+        pivoted.crossJoin(F.broadcast(tot))
+        .select("bin_id", f_ref.alias("f_ref"), f_cur.alias("f_cur"))
+        .select(
+            "bin_id",
+            F.round("f_ref", 6).alias("f_ref"),
+            F.round("f_cur", 6).alias("f_cur"),
+            F.round(
+                (F.col("f_cur") - F.col("f_ref")) * F.log(F.col("f_cur") / F.col("f_ref")),
+                6,
+            ).alias("psi_term"),
+        )
+        .orderBy("bin_id")
+    )

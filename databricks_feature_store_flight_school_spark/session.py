@@ -31,6 +31,9 @@ _RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Columnar parquet reads for array<float> embedding columns.
     "spark.sql.parquet.enableVectorizedReader": "true",
+    # Python DataSource V2 filter pushdown (sources/pydatasource.py prunes
+    # whole files on source-equality filters).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -194,3 +194,40 @@ def test_partitioned_write_prunes_across_formats(spark, sf_dir, tmp_path):
         assert one.count() == want
         plan = one._jdf.queryExecution().executedPlan().toString()
         assert "o_orderstatus=F" in plan or "PartitionFilters" in plan, fmt
+
+
+def test_python_datasource_jsonl_docs(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 V2 API): partition-per-file reads,
+    schema-first, and EqualTo('source') pushdown prunes whole files before
+    tasks launch (observed via the partition count)."""
+    import json
+
+    from databricks_feature_store_flight_school_spark.sources.pydatasource import (
+        JsonlDocsDataSource,
+        JsonlDocsReader,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for src, ids in {"web": [1, 2], "books": [3], "code": [4, 5, 6]}.items():
+        with open(d / f"{src}.jsonl", "w") as fh:
+            for i in ids:
+                fh.write(json.dumps({"doc_id": i, "text": f"doc {i} from {src}"}) + "\n")
+
+    spark.dataSource.register(JsonlDocsDataSource)
+    df = spark.read.format("jsonl_docs").option("path", str(d)).load()
+    assert df.schema.simpleString() == "struct<doc_id:bigint,text:string,source:string>"
+    rows = {r["doc_id"]: r["source"] for r in df.collect()}
+    assert rows == {1: "web", 2: "web", 3: "books", 4: "code", 5: "code", 6: "code"}
+
+    # pushdown: a source-equality filter must prune to ONE file partition
+    reader = JsonlDocsReader({"path": str(d)})
+    from pyspark.sql.datasource import EqualTo
+
+    rest = list(reader.pushFilters([EqualTo(("source",), "code")]))
+    assert rest == []  # fully consumed
+    parts = reader.partitions()
+    assert len(parts) == 1 and parts[0].path.endswith("code.jsonl")
+
+    got = df.where(df.source == "code").count()
+    assert got == 3
