@@ -459,3 +459,40 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev_type", "next_type", "n", "p")
         .orderBy("prev_type", "next_type")
     )
+
+
+@register(
+    "q_variant_json",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "events", "json", "variant",
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    parse_json once into a Variant column, then typed variant_get paths —
+    the open-schema ingestion shape (parse at scan, bind types at use).
+    Unlike get_json_object (string re-parse per extraction), the variant
+    binary encoding parses each props document ONCE however many fields the
+    query pulls.  The oracle twin states the same result via DuckDB's JSON
+    extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -266,3 +266,77 @@ def streaming_interval_join(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
     )
     return l.join(r, cond).drop(r[key])
+
+
+# -- transformWithState (Spark 4 successor to applyInPandasWithState) ---------
+
+
+def user_stats_processor():
+    """Per-user running stats as a Spark 4 ``StatefulProcessor`` — the
+    transformWithStateInPandas twin of :func:`stateful_user_stats`.
+
+    Differences that matter at scale vs applyInPandasWithState:
+    - state is TYPED and FINE-GRAINED (a ValueState per composite here; list/
+      map state and per-key timers are also available) instead of one opaque
+      tuple, so the store tracks exactly what changed;
+    - requires the RocksDB state store provider, which scales state past
+      executor heap (changelog-checkpointed) — the 100 TB state story.
+
+    Emits one row per updated user per micro-batch (same contract as the
+    applyInPandasWithState form, so the parity test pins both to the batch
+    groupBy).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats",
+                "event_count bigint, total_value double, first_ts timestamp, last_ts timestamp",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            count, total, first_ts, last_ts = (
+                self._state.get() if self._state.exists() else (0, 0.0, None, None)
+            )
+            for pdf in rows:
+                count += len(pdf)
+                total += float(pdf["value"].sum())
+                lo, hi = pdf["ts"].min(), pdf["ts"].max()
+                first_ts = lo if first_ts is None else min(first_ts, lo)
+                last_ts = hi if last_ts is None else max(last_ts, hi)
+            self._state.update((count, total, first_ts, last_ts))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "event_count": [count],
+                    "total_value": [round(total, 2)],
+                    "first_ts": [first_ts],
+                    "last_ts": [last_ts],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStats()
+
+
+def stateful_user_stats_tws(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """transformWithStateInPandas form of :func:`stateful_user_stats`.
+    Caller must enable the RocksDB state store provider (see
+    tests/test_multimodal_streaming.py) — transformWithState requires it."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=user_stats_processor(),
+            outputStructType=USER_STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

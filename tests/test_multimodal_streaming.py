@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from databricks_feature_store_flight_school_spark.multimodal import (
@@ -376,3 +377,55 @@ def test_stream_checkpoint_restart_recovers_state(spark, tmp_path):
     }
     # state recovered: user 1 = A's 2 events + B's 1; user 2 untouched; user 3 new
     assert got2 == {1: (3, 16.0), 2: (1, 7.0), 3: (1, 2.0)}
+
+
+def test_transform_with_state_equals_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API, RocksDB store):
+    the last update per user must equal the batch groupBy — same contract
+    the applyInPandasWithState form is pinned to.
+
+    Skipped when google.protobuf is absent: transformWithState's driver-side
+    state protocol is protobuf-based, and this container does not ship the
+    package (pip install is off-limits).  The applyInPandasWithState twin
+    above carries the stateful-parity guarantee everywhere; this test arms
+    itself automatically in environments with protobuf."""
+    pytest.importorskip("google.protobuf")
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        read_event_stream,
+        run_stream_to_memory,
+        stateful_user_stats_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_event_stream(spark, sf_dir)
+        stats = stateful_user_stats_tws(stream, watermark="100 hours")
+        run_stream_to_memory(stats, "user_stats_tws", output_mode="update")
+        got = {
+            r["user_id"]: (r["event_count"], r["total_value"], r["first_ts"], r["last_ts"])
+            for r in spark.sql("SELECT * FROM user_stats_tws").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["event_count"], r["total_value"], r["first_ts"], r["last_ts"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert len(got) > 0
+    assert got == want
