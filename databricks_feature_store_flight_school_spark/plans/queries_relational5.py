@@ -667,3 +667,96 @@ def q_feature_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+@register(
+    "q_recursive_hierarchy",
+    """
+    WITH RECURSIVE walk(start_key, node, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 1000
+        UNION ALL
+        SELECT start_key, node // 10, depth + 1 FROM walk WHERE node > 0
+    )
+    SELECT depth_to_root,
+           count(*) AS n_customers,
+           min(start_key) AS first_key,
+           max(start_key) AS last_key
+    FROM (SELECT start_key, max(depth) AS depth_to_root
+          FROM walk GROUP BY start_key)
+    GROUP BY depth_to_root
+    ORDER BY depth_to_root
+    """,
+    "recursive", "hierarchy", "sql",
+)
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4): walk a synthetic
+    reporting chain (parent key = key div 10, root 0) from every customer
+    below 1000 and profile the depth distribution — the
+    transitive-closure/hierarchy-rollup shape (org charts, BOM explosions,
+    category trees) that previously needed a driver-side iteration loop
+    (cf. operators/components.py).  The engine iterates the recursion in
+    DISTRIBUTED steps; depth is bounded by the key chain (≤ 4 here), and
+    each step is a narrow map off the prior frontier."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("__rc_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(start_key, node, depth) AS (
+            SELECT c_custkey, c_custkey, 0 FROM __rc_customer WHERE c_custkey < 1000
+            UNION ALL
+            SELECT start_key, node div 10, depth + 1 FROM walk WHERE node > 0
+        )
+        SELECT depth_to_root,
+               count(*) AS n_customers,
+               min(start_key) AS first_key,
+               max(start_key) AS last_key
+        FROM (SELECT start_key, max(depth) AS depth_to_root
+              FROM walk GROUP BY start_key)
+        GROUP BY depth_to_root
+        ORDER BY depth_to_root
+        """
+    )
+
+
+@register(
+    "q_null_safe_join",
+    """
+    WITH d AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg
+        FROM customer WHERE c_custkey < 100
+    )
+    SELECT (a.seg IS NULL) AS key_is_null,
+           count(*) AS n_pairs,
+           count(DISTINCT a.c_custkey) AS n_left
+    FROM d a JOIN d b
+      ON a.seg IS NOT DISTINCT FROM b.seg AND a.c_custkey < b.c_custkey
+    GROUP BY 1
+    ORDER BY key_is_null
+    """,
+    "join", "nulls",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi join (eqNullSafe / IS NOT DISTINCT FROM): rows whose
+    derived key is NULL still pair with each other — the semantics ordinary
+    `=` silently drops.  Catalyst plans eqNullSafe as a HASH join (the
+    null-safe comparison is still an equi key), so the shape scales like any
+    other key join; the query pins that NULL-group pairs actually appear."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 100)
+    d = c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+            F.col("c_mktsegment")
+        ).alias("seg"),
+    )
+    a = d.select(F.col("c_custkey").alias("ck_a"), F.col("seg").alias("seg_a"))
+    b = d.select(F.col("c_custkey").alias("ck_b"), F.col("seg").alias("seg_b"))
+    return (
+        a.join(b, F.col("seg_a").eqNullSafe(F.col("seg_b")) & (F.col("ck_a") < F.col("ck_b")))
+        .groupBy(F.col("seg_a").isNull().alias("key_is_null"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("ck_a").alias("n_left"),
+        )
+        .orderBy("key_is_null")
+    )
