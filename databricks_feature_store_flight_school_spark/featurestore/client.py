@@ -113,6 +113,12 @@ class FeatureStoreClient:
             self.registry, self.registry.get(name), df, mode, validate=validate
         )
 
+    def delete_from_table(self, name: str, keys_df: DataFrame) -> FeatureTableMeta:
+        """Row-level DELETE by primary key (GDPR-erasure shape): commits a
+        new version without the matching keys; history stays time-travel
+        readable until vacuum_snapshots retires it."""
+        return writer.delete_keys(self.registry, self.registry.get(name), keys_df)
+
     # -- decorator binding --------------------------------------------------
 
     def feature_table(self, fn) -> FeatureComputation:

@@ -298,3 +298,52 @@ def vacuum_snapshots(
         if entry.startswith(".staging-"):
             shutil.rmtree(os.path.join(table_dir, entry), ignore_errors=True)
     return removed
+
+
+def delete_keys(
+    registry: Registry,
+    meta: FeatureTableMeta,
+    keys_df: DataFrame,
+) -> FeatureTableMeta:
+    """Row-level DELETE by primary key (the ``DELETE FROM t WHERE key IN
+    (...)`` analog; GDPR-erasure / entity-offboarding shape): the next
+    snapshot is the current one anti-joined against ``keys_df`` on the
+    table's merge keys.  Publishes through the same stage-then-CAS protocol
+    as write_snapshot, so it serializes against concurrent merges and is
+    time-travel-visible (the deleted rows remain in earlier versions until
+    ``vacuum_snapshots`` retires them — exactly Delta's DELETE + VACUUM
+    erasure contract).
+
+    ``keys_df`` must carry exactly the merge-key columns (extra columns are
+    ignored); deleting keys that do not exist is a no-op for those keys but
+    still commits a version, like Delta's DELETE."""
+    merge_keys = meta.merge_keys
+    missing = [k for k in merge_keys if k not in keys_df.columns]
+    if missing:
+        raise ValueError(f"keys_df is missing key column(s) {missing}")
+    if meta.current_version == 0:
+        raise ValueError(f"feature table {meta.name} has no data yet")
+    spark = keys_df.sparkSession
+    target = read_snapshot(spark, registry, meta)
+    remaining = target.join(
+        keys_df.select(*merge_keys).distinct(), on=merge_keys, how="left_anti"
+    )
+    expected = meta.current_version
+    new_version = expected + 1
+    table_dir = registry.table_dir(meta.name)
+    staging = os.path.join(
+        table_dir, f".staging-v{new_version:06d}-delete-{os.getpid()}"
+    )
+    writer = remaining.write.mode("overwrite")
+    if meta.partition_columns:
+        writer = writer.partitionBy(*meta.partition_columns)
+    writer.parquet(staging)
+    updated = registry.publish_version(
+        meta.name,
+        expected_version=expected,
+        staging_dir=staging,
+        final_dir=_version_dir(table_dir, new_version),
+        schema_json=meta.schema_json,
+    )
+    meta.current_version = updated.current_version
+    return updated

@@ -1013,3 +1013,36 @@ def test_feature_function_on_demand_and_log_score_roundtrip(spark, client, tmp_p
         for r in client.score_batch(mpath, inp.drop("label")).collect()
     }
     assert scored == {1: True, 2: False}  # 200 > 180 > 160
+
+
+def test_delete_from_table_keys(spark, client):
+    """Row-level DELETE: matching keys vanish from the new version, history
+    keeps them (time travel), nonexistent keys are a committed no-op, and a
+    keys_df without the key column is rejected."""
+    df = _demo_df(spark)
+    client.create_feature_table("del_demo", keys="customer_id", df=df)
+    client.write_table("del_demo", df, mode="overwrite")
+    base_version = client.get_feature_table("del_demo").current_version
+
+    keys = spark.createDataFrame([Row(customer_id=2)])
+    meta = client.delete_from_table("del_demo", keys)
+    assert meta.current_version == base_version + 1
+    left = {r["customer_id"] for r in client.read_table("del_demo").collect()}
+    assert left == {1, 3}
+    # history intact
+    old = {
+        r["customer_id"]
+        for r in client.read_table("del_demo", version=base_version).collect()
+    }
+    assert old == {1, 2, 3}
+    # deleting a key that does not exist still commits, data unchanged
+    meta = client.delete_from_table(
+        "del_demo", spark.createDataFrame([Row(customer_id=99)])
+    )
+    assert meta.current_version == base_version + 2
+    assert {r["customer_id"] for r in client.read_table("del_demo").collect()} == {1, 3}
+    # wrong keys_df shape is rejected
+    with pytest.raises(ValueError, match="missing key column"):
+        client.delete_from_table(
+            "del_demo", spark.createDataFrame([Row(other=1)])
+        )
