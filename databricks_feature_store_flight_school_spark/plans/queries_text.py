@@ -948,3 +948,80 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_passage_spans(d, "doc_id", "text", k=4).orderBy(
         "doc_a", "doc_b", "start_a", "start_b"
     )
+
+
+@register(
+    "q_term_pmi",
+    """
+    WITH dt AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS term
+        FROM documents
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+    df AS (
+        SELECT term, count(*) AS df FROM dt GROUP BY term
+        HAVING count(*) >= 100
+    ),
+    pairs AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               fa.df AS df_a, fb.df AS df_b, count(*) AS n_both
+        FROM dt a
+        JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+        JOIN df fa ON fa.term = a.term
+        JOIN df fb ON fb.term = b.term
+        GROUP BY a.term, b.term, fa.df, fb.df
+    ),
+    scored AS (
+        SELECT term_a, term_b, n_both,
+               ln((n_both * 1.0 / n_docs)
+                  / ((df_a * 1.0 / n_docs) * (df_b * 1.0 / n_docs))) AS pmi_raw
+        FROM pairs CROSS JOIN n
+    )
+    SELECT term_a, term_b, n_both, round(pmi_raw, 6) AS pmi, rank
+    FROM (SELECT *, row_number() OVER (ORDER BY pmi_raw DESC, term_a, term_b) AS rank
+          FROM scored)
+    WHERE rank <= 20
+    """,
+    "text", "cooccurrence", "llm-pipeline",
+)
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between frequent terms at document
+    granularity — the co-occurrence statistic behind phrase mining and
+    word-association features: PMI = ln(P(a,b) / (P(a)·P(b))) with
+    probabilities estimated as document frequencies.  The distinct
+    (doc, term) explode happens ONCE; the vocab filter (df >= 100) bounds
+    the pair join the same way blocking bounds record linkage; corpus size
+    and dfs broadcast back as 1-row/dim-sized joins; top-20 by PMI.
+    """
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("term")
+    ).distinct()
+    n_docs = dt.select("doc_id").distinct().count()  # scalar; bounded metadata
+    df_tbl = (
+        dt.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= 100)
+    )
+    a = dt.select("doc_id", F.col("term").alias("term_a"))
+    b = dt.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .join(F.broadcast(df_tbl.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))), "term_a")
+        .join(F.broadcast(df_tbl.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))), "term_b")
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    pmi = F.log(
+        (F.col("n_both") / F.lit(float(n_docs)))
+        / ((F.col("df_a") / F.lit(float(n_docs))) * (F.col("df_b") / F.lit(float(n_docs))))
+    )
+    w = Window.orderBy(F.col("pmi_raw").desc(), "term_a", "term_b")
+    return (
+        pairs.withColumn("pmi_raw", pmi)
+        .orderBy(F.col("pmi_raw").desc(), "term_a", "term_b")
+        .limit(20)
+        .withColumn("rank", F.row_number().over(w))
+        .select("term_a", "term_b", "n_both", F.round("pmi_raw", 6).alias("pmi"), "rank")
+    )
