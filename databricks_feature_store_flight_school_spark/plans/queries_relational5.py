@@ -760,3 +760,67 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key_is_null")
     )
+
+
+@register(
+    "q_market_basket",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+    pf AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, n_both,
+           round(n_both * 1.0 / n_orders, 6) AS support,
+           round(n_both * 1.0 / fa.n_part, 6) AS confidence,
+           round((n_both * 1.0 * n_orders) / (fa.n_part * 1.0 * fb.n_part), 6) AS lift
+    FROM pairs
+    JOIN pf fa ON fa.l_partkey = part_a
+    JOIN pf fb ON fb.l_partkey = part_b
+    CROSS JOIN n
+    ORDER BY lift DESC, part_a, part_b
+    """,
+    "agg", "join", "basket",
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules (market-basket): part pairs co-ordered in >= 3
+    orders with support / confidence(a->b) / lift — the frequent-itemset
+    pair mining shape (the 2-itemset core of Apriori, which is where the
+    join cost lives).  The basket self-join keys on the ORDER (baskets are
+    small, so per-basket pair fan-out is bounded by basket size², not
+    corpus size); item frequencies and the basket count come back as
+    dimension-sized broadcast joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()  # scalar, bounded
+    pf = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= 3)
+    )
+    fa = pf.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    fb = pf.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .select(
+            "part_a", "part_b", "n_both",
+            F.round(F.col("n_both") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_both") * F.lit(float(n_orders))) / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+    )
