@@ -429,3 +429,16 @@ def test_transform_with_state_equals_batch(spark, sf_dir):
     }
     assert len(got) > 0
     assert got == want
+
+
+def test_extract_features_arrow_matches_pandas(spark):
+    """mapInArrow featurizer must produce byte-identical features to the
+    mapInPandas form (same histogram, same formatting) for every blob."""
+    from databricks_feature_store_flight_school_spark.multimodal.binary import (
+        extract_features_arrow,
+    )
+
+    df = _media_df(spark)
+    want = {r["doc_id"]: r["feature"] for r in extract_features(df, "doc_id", "blob").collect()}
+    got = {r["doc_id"]: r["feature"] for r in extract_features_arrow(df, "doc_id", "blob").collect()}
+    assert got == want and len(got) == 20
