@@ -340,3 +340,36 @@ def stateful_user_stats_tws(stream: DataFrame, watermark: str = "2 hours") -> Da
             timeMode="None",
         )
     )
+
+
+def streaming_interval_join_left(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join within a time interval: like
+    :func:`streaming_interval_join`, but left rows with NO matching right
+    row in ``[left_ts - lookback, left_ts]`` are still emitted — with null
+    right columns — once the watermark guarantees no matching right row can
+    still arrive (purchases WITHOUT an attributing click are the rows a
+    conversion funnel must not silently drop).
+
+    The null emission is watermark-driven: an unmatched left row buffers in
+    state until the right-side watermark passes its interval's upper bound,
+    then emits exactly once.  That is the contract that keeps outer-join
+    state bounded on unbounded streams — and why rows near the live head of
+    the stream emit only after the watermark advances past them (the parity
+    test compares against the batch left join below a watermark-safe
+    cutoff)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond, "left_outer").drop(r[key])

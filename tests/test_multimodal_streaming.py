@@ -442,3 +442,65 @@ def test_extract_features_arrow_matches_pandas(spark):
     want = {r["doc_id"]: r["feature"] for r in extract_features(df, "doc_id", "blob").collect()}
     got = {r["doc_id"]: r["feature"] for r in extract_features_arrow(df, "doc_id", "blob").collect()}
     assert got == want and len(got) == 20
+
+
+def test_streaming_interval_left_join_emits_unmatched(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join: below a watermark-safe cutoff
+    the emitted set must equal the batch left join — including purchases
+    with NO attributing click (null click_id), which the inner form drops."""
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_interval_join_left,
+    )
+
+    ev = read_event_stream(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = streaming_interval_join_left(
+        p, c, key="user_id", left_ts="p_ts", right_ts="c_ts",
+        lookback="30 minutes", watermark="10 minutes",
+    )
+    run_stream_to_memory(joined, "ssj_left_out", output_mode="append")
+    rows = spark.sql("SELECT purchase_id, click_id, p_ts FROM ssj_left_out").collect()
+
+    evb = load_table(spark, sf_dir, "events")
+    pb = evb.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    cb = evb.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (pb.user_id == cb.c_user)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+    )
+    batch = pb.join(cb, cond, "left_outer").collect()
+
+    # 1) matched pairs emit eagerly: full equality with the batch inner set
+    got_pairs = {(r["purchase_id"], r["click_id"]) for r in rows if r["click_id"] is not None}
+    want_pairs = {
+        (r["purchase_id"], r["click_id"]) for r in batch if r["click_id"] is not None
+    }
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+
+    # 2) null emission is watermark-driven and finalises up to a horizon the
+    #    engine chooses; up to the horizon it must be EXACTLY the batch
+    #    unmatched set (no false nulls anywhere, no gaps below the horizon)
+    got_nulls = {r["purchase_id"]: r["p_ts"] for r in rows if r["click_id"] is None}
+    assert got_nulls, "no unmatched purchases exercised"
+    want_nulls = {
+        r["purchase_id"]: r["p_ts"] for r in batch if r["click_id"] is None
+    }
+    assert set(got_nulls) <= set(want_nulls), "streaming emitted a FALSE null row"
+    horizon = max(got_nulls.values())
+    missed = {
+        pid for pid, ts in want_nulls.items() if ts <= horizon and pid not in got_nulls
+    }
+    assert not missed, f"unmatched purchases below the horizon never emitted: {missed}"
