@@ -44,12 +44,20 @@ class FeatureStoreClient:
         partition_columns: list[str] | None = None,
         timestamp_keys: str | list[str] | None = None,
         cluster_columns: str | list[str] | None = None,
+        expectations: dict[str, str] | None = None,
     ) -> FeatureTableMeta:
         """Register a feature table (FS:207-218).  ``schema`` may come from a
         DataFrame (``df.schema`` is what the reference passes); providing
         ``df`` also performs the initial write.  ``timestamp_keys`` declares a
         point-in-time table: rows are versioned per (keys, timestamp_keys)
-        and lookups may retrieve as-of a timestamp (lookups.py)."""
+        and lookups may retrieve as-of a timestamp (lookups.py).
+
+        ``expectations`` declares CHECK-constraint predicates (name -> SQL
+        boolean expression, e.g. ``{"non_negative": "balance >= 0"}``) that
+        every subsequent write must satisfy — the Delta table-constraint /
+        DLT-expectation analog; violating writes fail with per-expectation
+        violation counts before any data lands (writer.py enforces in one
+        aggregate pass over the source)."""
         if schema is None and df is not None:
             schema = df.schema
         if schema is None:
@@ -72,6 +80,7 @@ class FeatureStoreClient:
                 partition_columns=partition_columns or [],
                 timestamp_keys=timestamp_keys,
                 cluster_columns=list(cluster_columns or []),
+                properties={"expectations": dict(expectations)} if expectations else {},
             )
         )
         if df is not None:

@@ -99,6 +99,9 @@ def write_snapshot(
         raise ValueError(f"source is missing primary key column(s) {missing}")
     if validate and mode == "merge":
         _validate_source(df, merge_keys, meta.name)
+    expectations = (getattr(meta, "properties", {}) or {}).get("expectations", {})
+    if validate and expectations:
+        _enforce_expectations(df, expectations, meta.name)
 
     spark = df.sparkSession
     table_dir = registry.table_dir(meta.name)
@@ -162,6 +165,28 @@ def _validate_source(df: DataFrame, keys: list[str], table: str) -> None:
             f"merge source for {table} has {row['__n']} rows for key {keyvals}; "
             "a merge winner would be arbitrary (Delta MERGE rejects this too). "
             "Deduplicate the source or pass validate=False."
+        )
+
+
+def _enforce_expectations(df: DataFrame, expectations: dict, table: str) -> None:
+    """CHECK-constraint enforcement (Delta table-constraint / DLT-expectation
+    analog): ONE aggregate pass counts violations of every declared predicate
+    (NULL predicate results count as violations, like SQL CHECK treats
+    unknown-as-fail here for data-quality purposes); any non-zero count fails
+    the write before data lands."""
+    aggs = [
+        F.sum(
+            F.when(F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)), 0).otherwise(1)
+        ).alias(name)
+        for name, pred in expectations.items()
+    ]
+    row = df.agg(*aggs).first()
+    bad = {name: row[name] for name in expectations if row[name]}
+    if bad:
+        raise ValueError(
+            f"write to {table} violates expectation(s) {bad} "
+            f"(rows failing each predicate); fix the source or drop the "
+            f"expectation"
         )
 
 

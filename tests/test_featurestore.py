@@ -1046,3 +1046,28 @@ def test_delete_from_table_keys(spark, client):
         client.delete_from_table(
             "del_demo", spark.createDataFrame([Row(other=1)])
         )
+
+
+def test_write_expectations_enforced(spark, client):
+    """CHECK-constraint expectations: a violating write fails atomically
+    (no version committed, per-expectation counts reported); clean writes
+    pass; NULLs in a predicate count as violations."""
+    df = spark.createDataFrame(
+        [Row(customer_id=1, balance=10.0), Row(customer_id=2, balance=5.0)]
+    )
+    client.create_feature_table(
+        "exp_demo", keys="customer_id", df=df,
+        expectations={"non_negative": "balance >= 0", "has_id": "customer_id IS NOT NULL"},
+    )
+    v0 = client.get_feature_table("exp_demo").current_version
+
+    bad = spark.createDataFrame(
+        [Row(customer_id=3, balance=-1.0), Row(customer_id=4, balance=None)]
+    )
+    with pytest.raises(ValueError, match="non_negative"):
+        client.write_table("exp_demo", bad, mode="merge")
+    assert client.get_feature_table("exp_demo").current_version == v0  # nothing landed
+
+    ok = spark.createDataFrame([Row(customer_id=3, balance=7.5)])
+    client.write_table("exp_demo", ok, mode="merge")
+    assert client.read_table("exp_demo").count() == 3
