@@ -824,3 +824,176 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
     )
+
+
+@register(
+    "q_weighted_median",
+    """
+    WITH w AS (
+        SELECT l_returnflag, l_quantity, l_extendedprice AS wt,
+               sum(l_extendedprice) OVER (PARTITION BY l_returnflag
+                                          ORDER BY l_quantity, l_orderkey, l_linenumber
+                                          ROWS UNBOUNDED PRECEDING) AS cum_wt,
+               sum(l_extendedprice) OVER (PARTITION BY l_returnflag) AS tot_wt
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(l_quantity) AS weighted_median_qty,
+           count(*) AS n_rows_at_or_after
+    FROM w
+    WHERE cum_wt >= tot_wt / 2
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "window", "agg", "stats",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (50% of revenue weight, not of row count): running
+    weight over a deterministic in-group order vs the group total — both
+    windows share ONE partitioning (returnflag), so the whole statistic
+    costs a single exchange.  The pattern generalises to any weighted
+    quantile (change the /2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wt = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("l_extendedprice").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_wt"),
+        F.sum("l_extendedprice").over(wt).alias("tot_wt"),
+    )
+    return (
+        w.where(F.col("cum_wt") >= F.col("tot_wt") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("weighted_median_qty"),
+            F.count(F.lit(1)).alias("n_rows_at_or_after"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q_entropy_profile",
+    """
+    WITH c AS (
+        SELECT user_id % 10 AS user_bucket, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT user_bucket, event_type, n,
+               sum(n) OVER (PARTITION BY user_bucket) AS tot
+        FROM c
+    )
+    SELECT user_bucket,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 6) AS entropy,
+           count(*) AS n_types
+    FROM t
+    GROUP BY user_bucket
+    ORDER BY user_bucket
+    """,
+    "agg", "stats", "entropy",
+)
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per user bucket — the
+    behavioral-diversity / anomaly-profiling statistic (uniform mix = high
+    entropy, single-action bots = near zero).  Two narrow aggregations over
+    the same key prefix; the entropy itself runs on |buckets|x|types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.withColumn("tot", F.sum("n").over(Window.partitionBy("user_bucket")))
+    p = F.col("n") / F.col("tot")
+    return (
+        t.groupBy("user_bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+@register(
+    "q_ab_test_proportions",
+    """
+    WITH assign AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               max(CASE WHEN event_type = 'purchase' AND value >= 150 THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT grp, count(*) AS n, CAST(sum(converted) AS BIGINT) AS conv
+        FROM assign GROUP BY grp
+    ),
+    s AS (
+        SELECT
+            max(CASE WHEN grp = 'A' THEN conv * 1.0 / n END) AS p_a,
+            max(CASE WHEN grp = 'B' THEN conv * 1.0 / n END) AS p_b,
+            max(CASE WHEN grp = 'A' THEN n END) AS n_a,
+            max(CASE WHEN grp = 'B' THEN n END) AS n_b,
+            sum(conv) * 1.0 / sum(n) AS p_pool
+        FROM g
+    )
+    SELECT round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+           n_a, n_b,
+           round((p_a - p_b)
+                 / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
+           (abs((p_a - p_b)
+                / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b))) > 1.959964)
+               AS significant_95
+    FROM s
+    """,
+    "agg", "stats", "abtest",
+)
+def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (A/B experiment readout): deterministic
+    user_id-parity assignment, per-user conversion (any purchase), pooled
+    z statistic and the 95% significance verdict — the experiment-analysis
+    aggregate every feature-rollout pipeline ends with.  Two key-shuffles
+    (user grouping, then 2-row group stats); the test statistic itself is a
+    1-row computation."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 150), 1
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "grp", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        )
+    )
+    g = assign.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").cast("bigint").alias("conv")
+    )
+    s = g.agg(
+        F.max(F.when(F.col("grp") == "A", F.col("conv") / F.col("n"))).alias("p_a"),
+        F.max(F.when(F.col("grp") == "B", F.col("conv") / F.col("n"))).alias("p_b"),
+        F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("n_b"),
+        (F.sum("conv") / F.sum("n")).alias("p_pool"),
+    )
+    z = (F.col("p_a") - F.col("p_b")) / F.sqrt(
+        F.col("p_pool") * (1 - F.col("p_pool")) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return s.select(
+        F.round("p_a", 6).alias("p_a"),
+        F.round("p_b", 6).alias("p_b"),
+        "n_a",
+        "n_b",
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.959964).alias("significant_95"),
+    )
