@@ -997,3 +997,50 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.959964).alias("significant_95"),
     )
+
+
+@register(
+    "q_new_customers_running",
+    """
+    WITH firsts AS (
+        SELECT o_custkey,
+               min(date_trunc('month', o_orderdate)) AS first_month
+        FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+        SELECT first_month, count(*) AS new_customers
+        FROM firsts GROUP BY first_month
+    )
+    SELECT strftime(first_month, '%Y-%m-%d') AS month,
+           new_customers,
+           CAST(sum(new_customers) OVER (ORDER BY first_month
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_customers
+    FROM monthly
+    ORDER BY month
+    """,
+    "window", "agg", "distinct",
+)
+def q_new_customers_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over time — via the scalable first-seen
+    rewrite: a running count of distinct customers is exactly the running
+    sum of first-appearance counts, so the unbounded 'distinct over a
+    growing frame' (which no engine supports directly) becomes one
+    entity-keyed aggregate + a months-sized window.  The cardinality that
+    reaches the window is |months|, regardless of fact size."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("first_month")
+    )
+    monthly = firsts.groupBy("first_month").agg(
+        F.count(F.lit(1)).alias("new_customers")
+    )
+    w = Window.orderBy("first_month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        monthly.select(
+            F.date_format("first_month", "yyyy-MM-dd").alias("month"),
+            "new_customers",
+            F.sum("new_customers").over(w).cast("bigint").alias("cumulative_customers"),
+        )
+        .orderBy("month")
+    )
