@@ -1044,3 +1044,149 @@ def q_new_customers_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "q_rfm_segments",
+    """
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               round(sum(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           count(*) AS n_customers,
+           min(o_custkey) AS first_cust
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+    "window", "agg", "segmentation",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quintiles
+    (ntile over deterministic total orders) cross-tabulated into segment
+    cells — the classic lifecycle-marketing featurization.  The ntiles rank
+    the CUSTOMER aggregate (one row per entity), so the global windows run
+    on dimension cardinality, not fact volume."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy(F.col("last_order").desc(), "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").alias("first_cust"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "q_longest_streak",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    islands AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS island
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, island, count(*) AS streak_days,
+               min(d) AS streak_start
+        FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(streak_days) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "window", "streak", "sequence",
+)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (gaps-and-islands on
+    the calendar: date minus dense row number is constant within a run) —
+    the engagement metric behind retention features.  One distinct pass and
+    one user-partitioned window; everything stays keyed by the entity."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("streak_days").cast("bigint").alias("longest_streak"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_mad_robust",
+    """
+    WITH med AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med_price
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(max(m.med_price), 4) AS median_price,
+           round(quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5), 4) AS mad_price,
+           count(*) AS n_rows
+    FROM lineitem l JOIN med m ON m.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    "agg", "stats", "robust",
+)
+def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the outlier-robust dispersion
+    statistic (the robust-scaling alternative to stddev for feature
+    normalisation): group median first, broadcast it back, then the median
+    of absolute deviations.  Two grouped exact percentiles over the SAME
+    grouping key — the second pass reuses the first's partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.max("med_price"), 4).alias("median_price"),
+            F.round(
+                F.percentile(F.abs(F.col("l_extendedprice") - F.col("med_price")), F.lit(0.5)),
+                4,
+            ).alias("mad_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
