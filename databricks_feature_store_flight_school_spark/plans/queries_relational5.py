@@ -1190,3 +1190,97 @@ def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_order_gap_distribution",
+    """
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT CAST(least(floor(gap_days / 30.0), 12) AS BIGINT) AS gap_bucket_months,
+           count(*) AS n_gaps,
+           CAST(min(gap_days) AS BIGINT) AS min_days,
+           CAST(max(gap_days) AS BIGINT) AS max_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    ORDER BY gap_bucket_months
+    """,
+    "window", "agg", "retention",
+)
+def q_order_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: per-customer lag() gaps between
+    consecutive orders, bucketed by month — the repurchase-cadence signal
+    behind churn-risk features.  One entity-keyed window, then a 13-key
+    histogram aggregate; the cadence of millions of customers profiles in
+    two narrow passes."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "gap_days"
+        )
+    ).where(F.col("gap_days").isNotNull())
+    bucket = F.least(F.floor(F.col("gap_days") / 30.0), F.lit(12)).cast("bigint")
+    return (
+        gaps.groupBy(bucket.alias("gap_bucket_months"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").cast("bigint").alias("min_days"),
+            F.max("gap_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("gap_bucket_months")
+    )
+
+
+@register(
+    "q_argminmax_aggregates",
+    """
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order,
+           round(max(o_totalprice), 2) AS biggest_price,
+           arg_min(o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+                     || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS first_orderkey
+    FROM orders
+    WHERE o_custkey < 50
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    "agg", "argmax",
+)
+def q_argminmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (ARG_MAX / ARG_MIN) aggregates: the order id that
+    carries each customer's max price, and the earliest order id — the
+    'value at the extreme of another column' aggregate that replaces a
+    rank-window + filter with a single partial+final agg pass.
+
+    Determinism note: o_totalprice is continuous (ties measure-zero), but
+    same-day orders DO occur — so the date-based arg_min orders by a
+    composite lexicographic key (formatted date || zero-padded orderkey),
+    the portable way to give an arg-extreme an explicit tiebreak (DuckDB's
+    arg_min has no struct ordering)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("biggest_price"),
+            F.min_by(
+                "o_orderkey",
+                F.concat(
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+                    F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+                ),
+            ).alias("first_orderkey"),
+        )
+        .orderBy("o_custkey")
+    )
