@@ -1284,3 +1284,59 @@ def q_argminmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "q_chi_square",
+    """
+    WITH obs AS (
+        SELECT c_mktsegment AS seg, n_regionkey AS region, count(*) AS o
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT seg, region, o,
+               sum(o) OVER (PARTITION BY seg) AS row_tot,
+               sum(o) OVER (PARTITION BY region) AS col_tot,
+               sum(o) OVER () AS grand_tot
+        FROM obs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(grand_tot) AS BIGINT) AS n_customers,
+           round(sum(pow(o - row_tot * col_tot * 1.0 / grand_tot, 2)
+                     / (row_tot * col_tot * 1.0 / grand_tot)), 6) AS chi_square
+    FROM margins
+    """,
+    "agg", "stats", "chisquare",
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (market segment x region): observed
+    vs expected (row x column margins / grand total) over the contingency
+    cells — the categorical-dependence screen feature selection runs before
+    one-hot-encoding correlated columns.  The fact pass is one groupBy; the
+    margins are windows over the |segments| x |regions| cell table, so the
+    statistic itself is a near-free computation regardless of row count."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    obs = (
+        c.join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("n_regionkey").alias("region"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = obs.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("region")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("grand_tot"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("grand_tot")
+    return m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("grand_tot").cast("bigint").alias("n_customers"),
+        F.round(F.sum(F.pow(F.col("o") - exp, F.lit(2.0)) / exp), 6).alias(
+            "chi_square"
+        ),
+    )
