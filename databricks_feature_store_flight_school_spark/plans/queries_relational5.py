@@ -1077,7 +1077,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ntile over deterministic total orders) cross-tabulated into segment
     cells — the classic lifecycle-marketing featurization.  The ntiles rank
     the CUSTOMER aggregate (one row per entity), so the global windows run
-    on dimension cardinality, not fact volume."""
+    on dimension cardinality, not fact volume.  At extreme entity counts
+    (10^8+ customers) even that single-partition ntile binds: the scale
+    rewrite computes the 4 quintile BOUNDARIES with approx_percentile and
+    buckets by comparison — same cells up to boundary ties, no global
+    sort."""
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
