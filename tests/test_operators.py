@@ -654,3 +654,64 @@ def test_sequence_packing_conserves_and_orders(spark, sf_dir):
         assert sum(b["total_tokens"] for b in bins) == want[src]
         for prev, nxt in zip(bins, bins[1:]):
             assert prev["last_doc"] < nxt["first_doc"]
+
+
+def test_weighted_median_matches_numpy(spark, sf_dir):
+    """The weighted-median window construction must agree with a direct
+    numpy computation of the 50%-weight crossing point per group."""
+    import numpy as np
+
+    from databricks_feature_store_flight_school_spark.plans.queries_relational5 import (
+        q_weighted_median,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    got = {
+        r["l_returnflag"]: r["weighted_median_qty"]
+        for r in q_weighted_median(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).collect()
+    by_flag: dict[str, list] = {}
+    for r in li:
+        by_flag.setdefault(r["l_returnflag"], []).append(r)
+    for flag, rows in by_flag.items():
+        rows.sort(key=lambda r: (r["l_quantity"], r["l_orderkey"], r["l_linenumber"]))
+        w = np.array([r["l_extendedprice"] for r in rows])
+        cum = np.cumsum(w)
+        idx = int(np.searchsorted(cum, cum[-1] / 2))
+        assert got[flag] == rows[idx]["l_quantity"], flag
+
+
+def test_duplicate_passages_injected_random(spark):
+    """Randomized spot check: inject a known shared passage into two random
+    word-soup docs at random offsets; the maximal span must be recovered at
+    exactly those offsets with at least the passage length (longer only if
+    the random soup happens to extend the match)."""
+    import random
+
+    from databricks_feature_store_flight_school_spark.operators.dedup import (
+        duplicate_passage_spans,
+    )
+
+    vocab = [f"w{i}" for i in range(50)]
+    rng = random.Random(7)
+    for trial in range(3):
+        passage = [f"p{trial}x{i}" for i in range(6)]  # tokens outside vocab
+        pre_a = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        post_a = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        pre_b = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        post_b = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        rows = [
+            (1, " ".join(pre_a + passage + post_a)),
+            (2, " ".join(pre_b + passage + post_b)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        spans = duplicate_passage_spans(df, "doc_id", "text", k=4).collect()
+        hits = [
+            s for s in spans
+            if s["start_a"] == len(pre_a) + 1 and s["start_b"] == len(pre_b) + 1
+        ]
+        assert hits, f"trial {trial}: injected passage not found in {spans}"
+        assert hits[0]["span_tokens"] >= 6, hits
