@@ -1344,3 +1344,181 @@ def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi_square"
         ),
     )
+
+
+@register(
+    "q_pareto_frontier",
+    """
+    SELECT p.p_partkey, p.p_name,
+           round(p.p_retailprice, 2) AS price,
+           p.p_size
+    FROM part p
+    WHERE p.p_partkey < 500
+      AND NOT EXISTS (
+          SELECT 1 FROM part q
+          WHERE q.p_partkey < 500
+            AND q.p_retailprice <= p.p_retailprice
+            AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+      )
+    ORDER BY price, p_size
+    """,
+    "join", "anti", "skyline",
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: parts not DOMINATED on the
+    (price low, size high) trade-off — no other part is at least as good on
+    both axes and strictly better on one.  Stated as NOT EXISTS in the
+    oracle; the Spark plan uses the equivalent anti join.  At 100 TB the
+    O(n²) dominance join wants a pre-filter: rank-bucket one axis and only
+    compare against better-or-equal buckets — the frontier itself is tiny,
+    so the window pre-pass kills almost all candidates."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 500)
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
+    q = p.select(
+        F.col("p_retailprice").alias("q_price"), F.col("p_size").alias("q_size")
+    )
+    dominated = (
+        (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") > F.col("p_size"))
+        )
+    )
+    return (
+        p.join(q, dominated, "left_anti")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round("p_retailprice", 2).alias("price"),
+            "p_size",
+        )
+        .orderBy("price", "p_size")
+    )
+
+
+@register(
+    "q_linear_interpolation",
+    """
+    WITH grid AS (
+        SELECT user_id, unnest(generate_series(
+            TIMESTAMP '2024-01-10 00:00:00',
+            TIMESTAMP '2024-01-10 23:00:00',
+            INTERVAL 1 HOUR)) AS g_ts
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 10)
+    ),
+    pts AS (
+        SELECT user_id, ts, value FROM events
+        WHERE user_id < 10 AND event_type = 'view'
+    ),
+    joined AS (
+        SELECT g.user_id, g.g_ts, p.ts, p.value,
+               CASE WHEN p.ts <= g.g_ts THEN p.ts END AS before_ts,
+               CASE WHEN p.ts > g.g_ts THEN p.ts END AS after_ts
+        FROM grid g LEFT JOIN pts p ON p.user_id = g.user_id
+    ),
+    bounds AS (
+        SELECT user_id, g_ts,
+               max(before_ts) AS t0,
+               min(after_ts) AS t1,
+               max(CASE WHEN ts = (SELECT max(p2.ts) FROM pts p2
+                                   WHERE p2.user_id = joined.user_id AND p2.ts <= joined.g_ts)
+                        THEN value END) AS v0,
+               max(CASE WHEN ts = (SELECT min(p3.ts) FROM pts p3
+                                   WHERE p3.user_id = joined.user_id AND p3.ts > joined.g_ts)
+                        THEN value END) AS v1
+        FROM joined
+        GROUP BY user_id, g_ts
+    )
+    SELECT user_id,
+           strftime(g_ts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           round(CASE
+             WHEN t0 IS NULL THEN v1
+             WHEN t1 IS NULL THEN v0
+             WHEN t1 = t0 THEN v0
+             ELSE v0 + (v1 - v0) * date_diff('second', t0, g_ts)
+                        / date_diff('second', t0, t1)
+           END, 6) AS value_interp
+    FROM bounds
+    ORDER BY user_id, grid_ts
+    """,
+    "window", "timeseries", "interpolation",
+)
+def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample irregular per-user series onto an hourly grid with LINEAR
+    interpolation between the surrounding observations (edges clamp to the
+    nearest point) — the sensor/metric alignment step before any
+    multivariate time-series model.
+
+    The Spark plan is the scalable form: union the grid with the points,
+    bracket each grid instant with one window pass (last non-null before /
+    first non-null after, both value and timestamp carried atomically as
+    structs), then blend.  One user-keyed exchange; no per-grid-point
+    subqueries (the oracle states those only because DuckDB lacks
+    IGNORE NULLS navigation across a union as cleanly)."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.where((F.col("user_id") < 10) & (F.col("event_type") == "view")).select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
+    )
+    users = pts.select("user_id").distinct()
+    grid = users.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"),
+                F.lit("2024-01-10 23:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("g_ts"),
+    )
+    unioned = pts.select(
+        "user_id", F.col("ts").alias("t"), F.struct("ts", "value").alias("obs"),
+        F.lit(0).alias("is_grid"), F.lit(None).cast("timestamp_ntz").alias("g_ts"),
+    ).unionByName(
+        grid.select(
+            "user_id", F.col("g_ts").alias("t"),
+            F.lit(None).cast("struct<ts:timestamp_ntz,value:double>").alias("obs"),
+            F.lit(1).alias("is_grid"), "g_ts",
+        )
+    )
+    # grid rows sort AFTER a coincident observation (is_grid=1) so an exact
+    # hit brackets as [obs, next] and interpolates to exactly obs.value
+    wb = W.partitionBy("user_id").orderBy("t", "is_grid").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wa = W.partitionBy("user_id").orderBy("t", "is_grid").rowsBetween(
+        1, W.unboundedFollowing
+    )
+    before = F.last("obs", ignorenulls=True).over(wb)
+    after = F.first("obs", ignorenulls=True).over(wa)
+    return (
+        unioned.withColumn("b", before)
+        .withColumn("a", after)
+        .where(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.date_format("g_ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+            F.round(
+                F.when(F.col("b").isNull(), F.col("a")["value"])
+                .when(F.col("a").isNull(), F.col("b")["value"])
+                .when(F.col("a")["ts"] == F.col("b")["ts"], F.col("b")["value"])
+                .otherwise(
+                    F.col("b")["value"]
+                    + (F.col("a")["value"] - F.col("b")["value"])
+                    * (F.unix_timestamp("g_ts") - F.unix_timestamp(F.col("b")["ts"]))
+                    / (
+                        F.unix_timestamp(F.col("a")["ts"])
+                        - F.unix_timestamp(F.col("b")["ts"])
+                    )
+                ),
+                6,
+            ).alias("value_interp"),
+        )
+        .orderBy("user_id", "grid_ts")
+    )
