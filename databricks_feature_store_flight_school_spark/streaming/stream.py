@@ -373,3 +373,34 @@ def streaming_interval_join_left(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
     )
     return l.join(r, cond, "left_outer").drop(r[key])
+
+
+def streaming_hourly_daily_rollup(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (supported since
+    Spark 3.5/4 for window-on-window): hourly event counts roll up into
+    daily totals without an intermediate sink — the two-level dashboard
+    rollup that previously required two queries and a staging table.
+
+    The second aggregation windows over the FIRST's window-start event time
+    (``window_time``/window column propagation keeps the event-time
+    lineage), so both levels share one watermark and finalise together in
+    append mode.  State: one row per open hour + one per open day."""
+    hourly = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("hourly_count"))
+    )
+    return (
+        hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"))
+        .agg(
+            F.sum("hourly_count").alias("daily_count"),
+            F.count(F.lit(1)).alias("hours_seen"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "daily_count",
+            "hours_seen",
+        )
+    )

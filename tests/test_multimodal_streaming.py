@@ -504,3 +504,43 @@ def test_streaming_interval_left_join_emits_unmatched(spark, sf_dir):
         pid for pid, ts in want_nulls.items() if ts <= horizon and pid not in got_nulls
     }
     assert not missed, f"unmatched purchases below the horizon never emitted: {missed}"
+
+
+def test_chained_streaming_aggregations_equal_batch(spark, sf_dir):
+    """Two chained stateful aggregations in ONE streaming query (hourly ->
+    daily rollup): finalized daily windows must equal the batch two-level
+    rollup; the live tail (not yet past the watermark) is allowed to be
+    absent but never wrong."""
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_hourly_daily_rollup,
+    )
+
+    stream = read_event_stream(spark, sf_dir)
+    daily = streaming_hourly_daily_rollup(stream, watermark="1 hour")
+    run_stream_to_memory(daily, "daily_rollup", output_mode="append")
+    got = {
+        r["day_start"]: (r["daily_count"], r["hours_seen"])
+        for r in spark.sql("SELECT * FROM daily_rollup").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("hourly_count")
+    )
+    want = {
+        r["day_start"]: (r["daily_count"], r["hours_seen"])
+        for r in hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"))
+        .agg(
+            F.sum("hourly_count").alias("daily_count"),
+            F.count(F.lit(1)).alias("hours_seen"),
+        )
+        .select(F.col("d.start").alias("day_start"), "daily_count", "hours_seen")
+        .collect()
+    }
+    assert len(got) > 0
+    for day, vals in got.items():
+        assert want.get(day) == vals, f"finalized day {day} diverges from batch"
+    # everything except at most the trailing open day must have finalised
+    assert len(got) >= len(want) - 1
