@@ -1522,3 +1522,103 @@ def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "grid_ts")
     )
+
+
+@register(
+    "q_bipartite_degree",
+    """
+    WITH edges AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    deg AS (
+        SELECT l_partkey, count(*) AS part_degree FROM edges GROUP BY l_partkey
+    )
+    SELECT part_degree,
+           count(*) AS n_parts,
+           CAST(min(l_partkey) AS BIGINT) AS first_part
+    FROM deg
+    GROUP BY part_degree
+    ORDER BY part_degree
+    """,
+    "agg", "graph",
+)
+def q_bipartite_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part-supplier bipartite graph (edges =
+    distinct co-occurrences in lineitem): how many suppliers each part is
+    sourced from, histogrammed — the graph-profiling pass that sizes
+    joins/partitions before heavier graph work (cf. connected components in
+    operators/components.py).  Distinct-edges then two narrow aggregates;
+    the shuffle key is the edge endpoint, never the fact row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    deg = edges.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_degree"))
+    return (
+        deg.groupBy("part_degree")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("l_partkey").cast("bigint").alias("first_part"),
+        )
+        .orderBy("part_degree")
+    )
+
+
+@register(
+    "q_cohort_ltv",
+    """
+    WITH firsts AS (
+        SELECT o_custkey, min(date_trunc('year', o_orderdate)) AS cohort_year
+        FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+        SELECT f.cohort_year,
+               date_diff('year', f.cohort_year, date_trunc('year', o.o_orderdate))
+                   AS year_offset,
+               sum(o.o_totalprice) AS revenue
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT strftime(cohort_year, '%Y') AS cohort,
+           year_offset,
+           round(revenue, 2) AS revenue,
+           round(sum(revenue) OVER (PARTITION BY cohort_year
+                                    ORDER BY year_offset
+                                    ROWS UNBOUNDED PRECEDING), 2)
+               AS cumulative_ltv
+    FROM rev
+    ORDER BY cohort, year_offset
+    """,
+    "window", "agg", "cohort",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: revenue by (signup-year cohort, years since
+    signup) with the running cumulative LTV per cohort — the monetary
+    companion to the retention-count matrix (q_retention_cohorts).  The
+    per-customer first-order pass and the revenue rollup share the customer
+    key; the LTV window runs on |cohorts| x |offsets| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("year", F.min("o_orderdate")).alias("cohort_year")
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_year",
+            (
+                F.year(F.date_trunc("year", F.col("o_orderdate")))
+                - F.year(F.col("cohort_year"))
+            ).alias("year_offset"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("cohort_year").orderBy("year_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.select(
+            F.date_format("cohort_year", "yyyy").alias("cohort"),
+            "year_offset",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(F.sum("revenue").over(w), 2).alias("cumulative_ltv"),
+        )
+        .orderBy("cohort", "year_offset")
+    )
