@@ -1622,3 +1622,163 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "year_offset")
     )
+
+
+@register(
+    "q_topdown_allocation",
+    """
+    WITH cust_rev AS (
+        SELECT n.n_nationkey, c.c_custkey, sum(o.o_totalprice) AS revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE c.c_custkey < 300
+        GROUP BY 1, 2
+    )
+    SELECT n_nationkey, c_custkey,
+           round(revenue, 2) AS revenue,
+           round(1000000.0 * revenue / sum(revenue) OVER (PARTITION BY n_nationkey),
+                 6) AS allocated_target
+    FROM cust_rev
+    ORDER BY n_nationkey, c_custkey
+    """,
+    "window", "allocation",
+)
+def q_topdown_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-down proportional allocation: a per-nation target (1M) distributed
+    to customers proportional to their revenue share — the forecast-
+    reconciliation / budget-allocation transform.  One grouped rollup plus a
+    share window over the SAME nation partitioning; allocation preserves the
+    group total by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_nationkey", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_nationkey")
+    return (
+        rev.select(
+            "n_nationkey",
+            "c_custkey",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(
+                F.lit(1000000.0) * F.col("revenue") / F.sum("revenue").over(w), 6
+            ).alias("allocated_target"),
+        )
+        .orderBy("n_nationkey", "c_custkey")
+    )
+
+
+@register(
+    "q_source_vocab_overlap",
+    """
+    WITH vocab AS (
+        SELECT DISTINCT source,
+               unnest(list_distinct(string_split(trim(text), ' '))) AS term
+        FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS common
+        FROM vocab a JOIN vocab b ON a.term = b.term AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, common,
+           round(common * 1.0 / (sa.n + sb.n - common), 6) AS vocab_jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    "text", "dedup", "setops",
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-source similarity by VOCABULARY Jaccard (distinct terms per
+    shard, pairwise overlap) — the source-level redundancy screen run before
+    committing full document-level dedup between two ingested corpora.  The
+    heavy work is one distinct over (source, term); the pair join runs on
+    vocabulary, not documents."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    from ..functions.text import tokens
+
+    vocab = d.select(
+        "source", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "term")
+    b = vocab.select(F.col("source").alias("src_b"), "term")
+    inter = (
+        a.join(b, "term")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a", "src_b", "common",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "q_benford_audit",
+    """
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS first_digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    n AS (SELECT count(*) AS total FROM digits)
+    SELECT first_digit,
+           count(*) AS observed,
+           round(count(*) * 1.0 / max(n.total), 6) AS observed_freq,
+           round(ln(1.0 + 1.0 / first_digit) / ln(10.0), 6) AS benford_freq
+    FROM digits CROSS JOIN n
+    GROUP BY first_digit
+    ORDER BY first_digit
+    """,
+    "agg", "audit", "stats",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed leading-
+    digit frequencies against log10(1 + 1/d) — the fraud/data-quality screen
+    for fabricated numeric columns.  Digit extraction is scan-side string
+    arithmetic; the histogram is 9 keys."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        # floor() explicitly: Spark's double->bigint cast TRUNCATES while
+        # DuckDB's rounds half-even — floor is the portable spelling
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        ).cast("bigint").alias("first_digit")
+    )
+    n = digits.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        digits.crossJoin(F.broadcast(n))
+        .groupBy("first_digit")
+        .agg(
+            F.count(F.lit(1)).alias("observed"),
+            F.round(F.count(F.lit(1)) / F.max("total"), 6).alias("observed_freq"),
+        )
+        .withColumn(
+            "benford_freq",
+            F.round(
+                F.log(1.0 + 1.0 / F.col("first_digit")) / F.log(F.lit(10.0)), 6
+            ),
+        )
+        .orderBy("first_digit")
+    )
