@@ -1782,3 +1782,95 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("first_digit")
     )
+
+
+@register(
+    "q_grouping_id",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rf,
+           coalesce(l_linestatus, 'ALL') AS ls,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, rf, ls
+    """,
+    "agg", "rollup", "grouping",
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals disambiguated by GROUPING()/grouping_id: the bitmask
+    that tells a real 'A' group from the 'ALL' subtotal a NULL-coalesced
+    label would conflate — required the moment a rolled-up dimension is
+    itself nullable.  Same partial+final aggregation as any rollup; the
+    grouping id is plan metadata, not data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "gid",
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("gid", "rf", "ls")
+    )
+
+
+@register(
+    "q_rolling_corr",
+    """
+    WITH daily AS (
+        SELECT l_shipdate AS d,
+               sum(l_quantity) AS qty,
+               sum(l_extendedprice) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_shipdate
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round(corr(qty, rev) OVER (
+               ORDER BY epoch(d)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 6)
+               AS corr_30d,
+           CAST(count(*) OVER (
+               ORDER BY epoch(d)
+               RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_days
+    FROM daily
+    ORDER BY day
+    """,
+    "window", "stats", "rolling",
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day correlation between daily shipped quantity and revenue
+    — second-moment statistics over a RANGE (time) frame, the regime-shift
+    detector for co-moving metrics.  The fact table collapses to one row per
+    day first, so the sliding window runs over days, not line items; the
+    range frame is seconds-keyed (epoch) identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    daily = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.sum("l_quantity").alias("qty"), F.sum("l_extendedprice").alias("rev")
+    )
+    w = (
+        Window.orderBy(F.unix_timestamp(F.col("d").cast("timestamp")))
+        .rangeBetween(-2592000, 0)
+    )
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.corr("qty", "rev").over(w), 6).alias("corr_30d"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_days"),
+        )
+        .orderBy("day")
+    )
