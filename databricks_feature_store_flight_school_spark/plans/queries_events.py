@@ -496,3 +496,115 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    """
+    WITH obs AS (
+        SELECT user_id, ts, value,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events
+        WHERE user_id < 20 AND event_type = 'view'
+    )
+    SELECT user_id,
+           round(sum(value * date_diff('second', ts, next_ts))
+                 / sum(date_diff('second', ts, next_ts)), 6) AS twap,
+           round(avg(value), 6) AS naive_avg,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM obs
+    WHERE next_ts IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "events", "window", "timeseries",
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-weighted average (TWAP): each observation weighted by how long it
+    held until the next one — the correct mean for irregularly-sampled
+    state (sensor readings, prices, feature values), shown against the
+    naive row-mean it corrects.  One lead() per user partition; the weights
+    are interval durations, computed in-plan."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("user_id") < 20) & (F.col("event_type") == "view")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    obs = ev.select(
+        "user_id", "ts", "value", F.lead("ts").over(w).alias("next_ts")
+    ).where(F.col("next_ts").isNotNull())
+    dur = F.unix_timestamp("next_ts") - F.unix_timestamp("ts")
+    return (
+        obs.groupBy("user_id")
+        .agg(
+            F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias("twap"),
+            F.round(F.avg("value"), 6).alias("naive_avg"),
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_changepoint",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, sum(value) AS v
+        FROM events GROUP BY 1
+    ),
+    split AS (
+        SELECT d, v,
+               avg(v) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mean_before,
+               avg(v) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mean_after,
+               count(*) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_before,
+               count(*) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_after
+        FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS split_day,
+           round(mean_before, 6) AS mean_before,
+           round(mean_after, 6) AS mean_after,
+           round(abs(mean_before - mean_after), 6) AS level_shift
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY abs(mean_before - mean_after) DESC, d) AS rn
+        FROM split
+        WHERE n_before >= 5 AND n_after >= 5
+    )
+    WHERE rn = 1
+    """,
+    "events", "window", "changepoint",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection (binary-segmentation step): the split
+    day maximising the level shift |mean(before) - mean(after)| of daily
+    totals, edges excluded (>= 5 days each side) — the drift alarm that
+    pages before a dashboard eyeballs it.  Both running means come from two
+    frames over ONE ordered pass of the days table; the argmax is a
+    row_number over the same day-sized frame."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.sum("value").alias("v"))
+    ob = Window.orderBy("d")
+    before = ob.rowsBetween(Window.unboundedPreceding, 0)
+    after = ob.rowsBetween(1, Window.unboundedFollowing)
+    split = daily.select(
+        "d",
+        F.avg("v").over(before).alias("mean_before"),
+        F.avg("v").over(after).alias("mean_after"),
+        F.count(F.lit(1)).over(before).alias("n_before"),
+        F.count(F.lit(1)).over(after).alias("n_after"),
+    ).where((F.col("n_before") >= 5) & (F.col("n_after") >= 5))
+    shift = F.abs(F.col("mean_before") - F.col("mean_after"))
+    w = Window.orderBy(shift.desc(), "d")
+    return (
+        split.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("split_day"),
+            F.round("mean_before", 6).alias("mean_before"),
+            F.round("mean_after", 6).alias("mean_after"),
+            F.round(shift, 6).alias("level_shift"),
+        )
+    )
