@@ -1874,3 +1874,80 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_survival_km",
+    """
+    WITH spans AS (
+        SELECT o_custkey,
+               date_diff('day', min(o_orderdate), max(o_orderdate)) AS lifetime_days,
+               (max(o_orderdate) < TIMESTAMP '2002-06-01 00:00:00') AS churned
+        FROM orders GROUP BY o_custkey
+    ),
+    ev AS (
+        SELECT CAST(floor(lifetime_days / 30.0) AS BIGINT) AS t,
+               count(*) FILTER (WHERE churned) AS d,
+               count(*) AS leaving
+        FROM spans GROUP BY 1
+    ),
+    risk AS (
+        SELECT t, d,
+               sum(leaving) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING) AS n_at_risk
+        FROM ev
+    )
+    SELECT t AS month_bucket, d AS churn_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           round(exp(sum(ln(greatest(1.0 - d * 1.0 / n_at_risk, 1e-12)))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) AS survival
+    FROM risk
+    WHERE d > 0
+    ORDER BY month_bucket
+    """,
+    "window", "stats", "survival",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer lifetimes (first->last
+    order, censored for customers still active near the horizon): the
+    at-risk count is a REVERSE running sum over event times, and the
+    survival product Π(1 - d/n) becomes exp of a running sum of logs — the
+    standard trick that turns an inherently sequential product into two
+    window passes over the (tiny) event-time table.  Fact work is one
+    customer-keyed aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    spans = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("lifetime_days"),
+        (
+            F.max("o_orderdate") < F.lit("2002-06-01").cast("timestamp_ntz")
+        ).alias("churned"),
+    )
+    ev = spans.groupBy(
+        F.floor(F.col("lifetime_days") / 30.0).cast("bigint").alias("t")
+    ).agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = ev.withColumn("n_at_risk", F.sum("leaving").over(w_desc))
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # the terminal bucket has d == n_at_risk (survival exactly 0): floor the
+    # factor at 1e-12 so ln stays defined on both engines; exp of the summed
+    # logs then rounds to 0.0 at 6 decimals, which IS the KM value there
+    surv = F.exp(
+        F.sum(
+            F.log(F.greatest(1.0 - F.col("d") / F.col("n_at_risk"), F.lit(1e-12)))
+        ).over(w_asc)
+    )
+    return (
+        risk.withColumn("survival", F.round(surv, 6))
+        .where(F.col("d") > 0)
+        .select(
+            F.col("t").alias("month_bucket"),
+            F.col("d").alias("churn_events"),
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            "survival",
+        )
+        .orderBy("month_bucket")
+    )
