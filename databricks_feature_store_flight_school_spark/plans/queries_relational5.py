@@ -1951,3 +1951,54 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_bucket")
     )
+
+
+@register(
+    "q_ewma",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+        FROM events GROUP BY 1
+    ),
+    framed AS (
+        SELECT d, v,
+               array_agg(v) OVER (ORDER BY d
+                                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS win
+        FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, v,
+           round(list_reduce(win, (acc, x) -> 0.7 * acc + 0.3 * x), 6) AS ewma
+    FROM framed
+    ORDER BY day
+    """,
+    "window", "timeseries", "ewma",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.3) of daily totals —
+    the sequential recurrence s_t = a*x_t + (1-a)*s_{t-1} expressed
+    relationally: a bounded 20-row frame collects into an array and a fold
+    runs the recurrence PER ROW (initialised at the frame's oldest value).
+    No cross-row driver state, no UDF: the recurrence length is bounded by
+    the frame, so the cost is frame-length work per row — the portable way
+    to run short recurrences (EWMA, debounce, decay counters) at scale."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    w = W.orderBy("d").rowsBetween(-19, 0)
+    framed = daily.withColumn("win", F.collect_list("v").over(w))
+    ewma = F.aggregate(
+        F.slice(F.col("win"), 2, F.size(F.col("win"))),
+        F.element_at(F.col("win"), 1),
+        lambda acc, x: F.lit(0.7) * acc + F.lit(0.3) * x,
+    )
+    return (
+        framed.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "v",
+            F.round(ewma, 6).alias("ewma"),
+        )
+        .orderBy("day")
+    )
