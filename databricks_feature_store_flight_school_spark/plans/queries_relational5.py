@@ -2002,3 +2002,98 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_gini_coefficient",
+    """
+    WITH cust AS (
+        SELECT o_custkey, sum(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT revenue,
+               row_number() OVER (ORDER BY revenue, o_custkey) AS i,
+               count(*) OVER () AS n,
+               sum(revenue) OVER () AS tot
+        FROM cust
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           round(sum((2.0 * i - n - 1) * revenue) / (max(n) * max(tot)), 6) AS gini
+    FROM ranked
+    """,
+    "window", "stats", "inequality",
+)
+def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (0 = equal, 1 =
+    one customer is everything) via the rank formula
+    G = Σ (2i - n - 1) x_i / (n Σx) over revenue-sorted customers — the
+    inequality audit for revenue, token-budget, or traffic distributions.
+    One entity aggregate, one global rank over entity cardinality, one
+    1-row reduction."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    w = Window.orderBy("revenue", "o_custkey")
+    ranked = cust.select(
+        "revenue",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("revenue").over(Window.partitionBy()).alias("tot"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("revenue"))
+            / (F.max("n") * F.max("tot")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_hhi_concentration",
+    """
+    WITH supp_rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               sum(l.l_extendedprice) AS revenue
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ), shares AS (
+        SELECT s_nationkey,
+               revenue / sum(revenue) OVER (PARTITION BY s_nationkey) AS share
+        FROM supp_rev
+    )
+    SELECT s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(pow(share, 2)) * 10000, 6) AS hhi
+    FROM shares
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+    "window", "agg", "concentration",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation (x10000, antitrust convention: <1500 competitive, >2500
+    concentrated) — squared market shares summed per market.  Shares come
+    from a window over the supplier-level aggregate; the fact pass is one
+    grouped sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    supp_rev = (
+        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum("l_extendedprice").alias("revenue"))
+    )
+    share = F.col("revenue") / F.sum("revenue").over(
+        Window.partitionBy("s_nationkey")
+    )
+    return (
+        supp_rev.withColumn("share", share)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(F.pow(F.col("share"), F.lit(2.0))) * 10000, 6).alias("hhi"),
+        )
+        .orderBy("s_nationkey")
+    )
