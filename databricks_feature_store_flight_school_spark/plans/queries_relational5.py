@@ -797,7 +797,9 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized broadcast joins."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = items.select("l_orderkey").distinct().count()  # scalar, bounded
+    # basket count folded INTO the plan (1-row broadcast cross join), not an
+    # eager driver .count() — no extra distinct job at query-build time
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     pf = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
     a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
@@ -813,12 +815,14 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(fa), "part_a")
         .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n))
         .select(
             "part_a", "part_b", "n_both",
-            F.round(F.col("n_both") / F.lit(float(n_orders)), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
             F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence"),
             F.round(
-                (F.col("n_both") * F.lit(float(n_orders))) / (F.col("n_a") * F.col("n_b")),
+                (F.col("n_both").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
                 6,
             ).alias("lift"),
         )
@@ -829,17 +833,21 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_weighted_median",
     """
-    WITH w AS (
-        SELECT l_returnflag, l_quantity, l_extendedprice AS wt,
-               sum(l_extendedprice) OVER (PARTITION BY l_returnflag
-                                          ORDER BY l_quantity, l_orderkey, l_linenumber
-                                          ROWS UNBOUNDED PRECEDING) AS cum_wt,
-               sum(l_extendedprice) OVER (PARTITION BY l_returnflag) AS tot_wt
-        FROM lineitem
+    WITH lv AS (
+        SELECT l_returnflag, l_quantity,
+               sum(l_extendedprice) AS wt, count(*) AS n_rows
+        FROM lineitem GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT l_returnflag, l_quantity, n_rows,
+               sum(wt) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                             ROWS UNBOUNDED PRECEDING) AS cum_wt,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS tot_wt
+        FROM lv
     )
     SELECT l_returnflag,
            min(l_quantity) AS weighted_median_qty,
-           count(*) AS n_rows_at_or_after
+           CAST(sum(n_rows) AS BIGINT) AS n_rows_at_or_after
     FROM w
     WHERE cum_wt >= tot_wt / 2
     GROUP BY l_returnflag
@@ -848,30 +856,37 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window", "agg", "stats",
 )
 def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted median (50% of revenue weight, not of row count): running
-    weight over a deterministic in-group order vs the group total — both
-    windows share ONE partitioning (returnflag), so the whole statistic
-    costs a single exchange.  The pattern generalises to any weighted
-    quantile (change the /2)."""
+    """Weighted median (50% of revenue weight, not of row count), computed
+    over the VALUE-LEVEL table, not the fact table: the fact pass is one
+    grouped aggregate to (returnflag, quantity) weight sums (~|levels| rows),
+    and the running/total-weight windows run over that bounded level table —
+    a 3-value partition key never sees fact-table cardinality, so the
+    skewed-window scale-killer of windowing the raw rows is gone.
+    ``n_rows_at_or_after`` sums level row-counts (all rows of the boundary
+    level count, by level-granularity definition).  The pattern generalises
+    to any weighted quantile (change the /2)."""
     li = load_table(spark, sf_dir, "lineitem")
-    wo = Window.partitionBy("l_returnflag").orderBy(
-        "l_quantity", "l_orderkey", "l_linenumber"
+    lv = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum("l_extendedprice").alias("wt"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy("l_quantity").rowsBetween(
+        Window.unboundedPreceding, 0
     )
     wt = Window.partitionBy("l_returnflag")
-    w = li.select(
+    w = lv.select(
         "l_returnflag",
         "l_quantity",
-        F.sum("l_extendedprice").over(
-            wo.rowsBetween(Window.unboundedPreceding, 0)
-        ).alias("cum_wt"),
-        F.sum("l_extendedprice").over(wt).alias("tot_wt"),
+        "n_rows",
+        F.sum("wt").over(wo).alias("cum_wt"),
+        F.sum("wt").over(wt).alias("tot_wt"),
     )
     return (
         w.where(F.col("cum_wt") >= F.col("tot_wt") / 2)
         .groupBy("l_returnflag")
         .agg(
             F.min("l_quantity").alias("weighted_median_qty"),
-            F.count(F.lit(1)).alias("n_rows_at_or_after"),
+            F.sum("n_rows").cast("bigint").alias("n_rows_at_or_after"),
         )
         .orderBy("l_returnflag")
     )
@@ -1466,7 +1481,10 @@ def q_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = ev.where((F.col("user_id") < 10) & (F.col("event_type") == "view")).select(
         "user_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value"
     )
-    users = pts.select("user_id").distinct()
+    # grid users = ALL users < 10 (matching the oracle's grid CTE), not just
+    # those with view events: a user with no observations still gets grid
+    # rows with NULL value_interp on both sides
+    users = ev.where(F.col("user_id") < 10).select("user_id").distinct()
     grid = users.select(
         "user_id",
         F.explode(
