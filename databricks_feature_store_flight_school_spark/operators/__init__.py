@@ -11,6 +11,7 @@ from .dedup import (
     shingle_pairs_jaccard,
     simhash_df,
 )
+from .ranks import global_ntile, global_percent_rank, global_row_number
 from .similarity import arrow_cosine_topk, cosine_topk, ivf_topk, lsh_topk, nearest_neighbor_join
 from .skew import bucketed_table, salted_join, write_bucketed
 from .topk import top_k, top_k_per_group
@@ -25,6 +26,9 @@ __all__ = [
     "content_hash_dedup",
     "cosine_topk",
     "exact_dedup",
+    "global_ntile",
+    "global_percent_rank",
+    "global_row_number",
     "ivf_topk",
     "hamming64",
     "lsh_topk",

@@ -1,0 +1,114 @@
+"""Scalable global ranks (SURVEY.md §2.12 window extensions).
+
+``Window.orderBy(...)`` with no partition key funnels the ENTIRE input
+through one task — fine for a 30-row daily rollup, fatal for an
+entity-cardinality table (billions of customers at 100 TB).  This module is
+the two-pass range-partitioned replacement:
+
+1. ``repartitionByRange(order_by)`` assigns every row a partition id that
+   respects the global order (equal keys land together — RangePartitioner
+   binary-searches on the key, so ties never straddle a boundary);
+2. per-partition ``row_number`` runs in parallel (one window group per
+   range partition);
+3. partition row-counts fold into exclusive prefix-sum OFFSETS — a bounded
+   table (``num_partitions`` rows, the one place a global window is safe) —
+   broadcast back and added to the local rank.
+
+Everything stays in-plan (no driver collect; the offsets come back as a
+broadcast join), and the range exchange is shared between the offsets branch
+and the rank branch via Spark's ReuseExchange.
+
+Callers must pass a TOTAL order (include a unique tie-break column) or row
+numbers are engine-dependent — same contract as ``row_number`` itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_PID = "__rank_pid"
+_LOCAL = "__rank_local"
+_OFFSET = "__rank_offset"
+_TOTAL = "__rank_total"
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: Sequence[str],
+    rank_col: str = "i",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order_by)`` without the single-task
+    global window: returns ``df`` plus a 1-based ``rank_col`` (long)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(num_partitions, *order_by).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
+    # exclusive prefix sum over <= num_partitions rows: the bounded global
+    # window (whitelisted in tools/explain_audit.py)
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PID, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFFSET)
+    )
+    w_local = Window.partitionBy(_PID).orderBy(*order_by)
+    return (
+        ranged.withColumn(_LOCAL, F.row_number().over(w_local))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(rank_col, (F.col(_OFFSET) + F.col(_LOCAL)).cast("long"))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence[str],
+    n: int,
+    bucket_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``ntile(n) OVER (ORDER BY order_by)`` on the range-partitioned rank —
+    exact SQL NTILE semantics (the first ``N % n`` buckets take one extra
+    row), so results hash-match an oracle's ntile.  Total row count folds in
+    as a 1-row broadcast, never a driver scalar."""
+    ranked = global_row_number(df, order_by, rank_col="__i", num_partitions=num_partitions)
+    total = df.agg(F.count(F.lit(1)).alias(_TOTAL))
+    i, N = F.col("__i"), F.col(_TOTAL)
+    small = F.floor(N / n)           # rows in a small bucket
+    rem = N % n                      # number of big buckets (small+1 rows)
+    big_span = rem * (small + 1)     # rows covered by big buckets
+    bucket = F.when(small == 0, i).when(
+        i <= big_span, F.floor((i - 1) / (small + 1)) + 1
+    ).otherwise(rem + F.floor((i - big_span - 1) / small) + 1)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(bucket_col, bucket.cast("int"))
+        .drop("__i", _TOTAL)
+    )
+
+
+def global_percent_rank(
+    df: DataFrame,
+    order_by: Sequence[str],
+    rank_col: str = "pct_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``percent_rank()``-shaped (i-1)/(N-1) over the range-partitioned
+    row_number.  NOTE: this is percent-of-position over a TOTAL order (the
+    caller's tie-break decides equal keys), which equals SQL percent_rank
+    exactly when the order is unique."""
+    ranked = global_row_number(df, order_by, rank_col="__i", num_partitions=num_partitions)
+    total = df.agg(F.count(F.lit(1)).alias(_TOTAL))
+    pr = F.when(F.col(_TOTAL) > 1, (F.col("__i") - 1) / (F.col(_TOTAL) - 1)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(rank_col, pr)
+        .drop("__i", _TOTAL)
+    )

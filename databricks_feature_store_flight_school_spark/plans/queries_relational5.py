@@ -2047,24 +2047,31 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     one customer is everything) via the rank formula
     G = Σ (2i - n - 1) x_i / (n Σx) over revenue-sorted customers — the
     inequality audit for revenue, token-budget, or traffic distributions.
-    One entity aggregate, one global rank over entity cardinality, one
-    1-row reduction."""
+
+    The rank comes from operators/ranks.global_row_number (two-pass
+    range-partitioned row_number), NOT a global ``Window.orderBy`` — the
+    entity aggregate is customer-cardinality, and a partition-less window
+    would sort every customer through one task at 100 TB.  n and Σx fold in
+    as a 1-row broadcast cross join; the only global window left is the
+    rank primitive's bounded per-partition-offsets table."""
+    from ..operators.ranks import global_row_number
+
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
-    w = Window.orderBy("revenue", "o_custkey")
-    ranked = cust.select(
-        "revenue",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("revenue").over(Window.partitionBy()).alias("tot"),
+    ranked = global_row_number(cust, ["revenue", "o_custkey"], rank_col="i")
+    totals = cust.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("revenue").alias("tot")
     )
-    return ranked.agg(
-        F.max("n").cast("bigint").alias("n_customers"),
-        F.round(
-            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("revenue"))
-            / (F.max("n") * F.max("tot")),
-            6,
-        ).alias("gini"),
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("revenue"))
+                / (F.max("n") * F.max("tot")),
+                6,
+            ).alias("gini"),
+        )
     )
 
 

@@ -715,3 +715,62 @@ def test_duplicate_passages_injected_random(spark):
         ]
         assert hits, f"trial {trial}: injected passage not found in {spans}"
         assert hits[0]["span_tokens"] >= 6, hits
+
+
+def test_global_row_number_matches_window(spark):
+    """Two-pass range-partitioned rank == the single-task global window's
+    row_number, on a deliberately shuffled input with duplicate order keys."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from databricks_feature_store_flight_school_spark.operators.ranks import (
+        global_ntile,
+        global_percent_rank,
+        global_row_number,
+    )
+
+    rows = [((i * 37) % 101, i) for i in range(300)]  # dup values via %101
+    df = spark.createDataFrame(rows, "v int, id int").repartition(7)
+    got = {
+        (r["v"], r["id"]): r["i"]
+        for r in global_row_number(df, ["v", "id"], num_partitions=5).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        (r["v"], r["id"]): r["i"]
+        for r in df.withColumn("i", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+    nt = {
+        (r["v"], r["id"]): r["bucket"]
+        for r in global_ntile(df, ["v", "id"], 7, num_partitions=5).collect()
+    }
+    want_nt = {
+        (r["v"], r["id"]): r["b"]
+        for r in df.withColumn("b", F.ntile(7).over(w)).collect()
+    }
+    assert nt == want_nt
+
+    pr = {
+        (r["v"], r["id"]): round(r["pct_rank"], 9)
+        for r in global_percent_rank(df, ["v", "id"], num_partitions=5).collect()
+    }
+    want_pr = {
+        (r["v"], r["id"]): round(r["p"], 9)
+        for r in df.withColumn("p", F.percent_rank().over(w)).collect()
+    }
+    assert pr == want_pr
+
+
+def test_global_row_number_single_row_and_empty(spark):
+    from databricks_feature_store_flight_school_spark.operators.ranks import (
+        global_ntile,
+        global_row_number,
+    )
+
+    one = spark.createDataFrame([(5, 1)], "v int, id int")
+    assert global_row_number(one, ["v", "id"]).collect()[0]["i"] == 1
+    assert global_ntile(one, ["v", "id"], 4).collect()[0]["bucket"] == 1
+    empty = one.where("v > 100")
+    assert global_row_number(empty, ["v", "id"]).count() == 0
