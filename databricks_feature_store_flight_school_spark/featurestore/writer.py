@@ -100,8 +100,6 @@ def write_snapshot(
     if validate and mode == "merge":
         _validate_source(df, merge_keys, meta.name)
     expectations = (getattr(meta, "properties", {}) or {}).get("expectations", {})
-    if validate and expectations:
-        _enforce_expectations(df, expectations, meta.name)
 
     spark = df.sparkSession
     table_dir = registry.table_dir(meta.name)
@@ -110,6 +108,12 @@ def write_snapshot(
         merged = _merge_frames(target, df, merge_keys)
     else:
         merged = df
+    # expectations check the MERGED result, not the raw source: that is the
+    # state the table would land in (Delta CHECK semantics), and it keeps a
+    # schema-evolving merge source that legitimately omits a constrained
+    # column checkable (the merged frame carries the target's columns)
+    if validate and expectations:
+        _enforce_expectations(merged, expectations, meta.name)
 
     expected = meta.current_version
     new_version = expected + 1
@@ -173,13 +177,29 @@ def _enforce_expectations(df: DataFrame, expectations: dict, table: str) -> None
     analog): ONE aggregate pass counts violations of every declared predicate
     (NULL predicate results count as violations, like SQL CHECK treats
     unknown-as-fail here for data-quality purposes); any non-zero count fails
-    the write before data lands."""
-    aggs = [
-        F.sum(
-            F.when(F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)), 0).otherwise(1)
-        ).alias(name)
-        for name, pred in expectations.items()
-    ]
+    the write before data lands.
+
+    A predicate that does not resolve against the frame (e.g. names a column
+    that exists in neither target nor source) rejects the write with a clear
+    per-expectation ValueError instead of an opaque AnalysisException."""
+    aggs = []
+    for name, pred in expectations.items():
+        try:  # analysis-only plan build: no job runs
+            df.select(F.expr(pred).cast("boolean"))
+        except Exception as exc:
+            raise ValueError(
+                f"expectation {name!r} on {table} is not evaluable against "
+                f"the write result (predicate {pred!r}: "
+                f"{exc.__class__.__name__}); fix the predicate or drop the "
+                f"expectation"
+            ) from exc
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)), 0
+                ).otherwise(1)
+            ).alias(name)
+        )
     row = df.agg(*aggs).first()
     bad = {name: row[name] for name in expectations if row[name]}
     if bad:

@@ -234,16 +234,33 @@ def extract_features_arrow(df: DataFrame, id_col: str, binary_col: str) -> DataF
             ids = batch.column(batch.schema.get_field_index(id_col))
             blobs = batch.column(batch.schema.get_field_index(binary_col))
             combined = blobs.combine_chunks() if hasattr(blobs, "combine_chunks") else blobs
-            # zero-copy views straight off the Arrow buffers: [validity,
-            # offsets(int32), data]; combined.offset accounts for slices
-            raw_off = np.frombuffer(combined.buffers()[1], dtype=np.int32)
-            start = combined.offset
-            offsets = raw_off[start : start + len(combined) + 1].astype(np.int64)
-            values = np.frombuffer(combined.buffers()[2], dtype=np.uint8)[
-                offsets[0] : offsets[-1]
-            ]
-            lens = np.diff(offsets)
-            rows = len(lens)
+            # the zero-copy reads below hard-code binary() layout (int32
+            # offsets at buffers()[1]); a large_binary column (int64 offsets)
+            # would silently misread — fail loudly on layout drift instead
+            if combined.type != pa.binary():
+                raise TypeError(
+                    f"extract_features_arrow expects a binary column, got "
+                    f"{combined.type}; cast large_binary down or extend the "
+                    f"offset handling"
+                )
+            rows = len(combined)
+            off_buf = combined.buffers()[1]
+            if off_buf is None:  # empty / all-null batch ships no offsets
+                lens = np.zeros(rows, dtype=np.int64)
+                values = np.empty(0, dtype=np.uint8)
+            else:
+                # zero-copy views straight off the Arrow buffers: [validity,
+                # offsets(int32), data]; combined.offset accounts for slices
+                raw_off = np.frombuffer(off_buf, dtype=np.int32)
+                start = combined.offset
+                offsets = raw_off[start : start + rows + 1].astype(np.int64)
+                data_buf = combined.buffers()[2]
+                values = (
+                    np.frombuffer(data_buf, dtype=np.uint8)[offsets[0] : offsets[-1]]
+                    if data_buf is not None
+                    else np.empty(0, dtype=np.uint8)
+                )
+                lens = np.diff(offsets)
             if rows and lens.sum():
                 row_idx = np.repeat(np.arange(rows), lens)
                 flat = row_idx * FEATURE_DIM + (values % FEATURE_DIM)

@@ -93,6 +93,11 @@ def kmeans_fit(
         .limit(k)
         .collect()
     )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_fit needs at least k={k} rows to seed centroids; "
+            f"the corpus has only {len(seed_rows)}"
+        )
     cent = np.array([r["v"] for r in seed_rows], dtype=np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 

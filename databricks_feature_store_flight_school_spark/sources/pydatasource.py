@@ -46,14 +46,22 @@ class _JsonlPartition(InputPartition):
 class JsonlDocsReader(DataSourceReader):
     def __init__(self, options: dict):
         self.dir = options["path"]
-        self._source_filters: set[str] = set()
+        self._source_filters: set[str] | None = None
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept EqualTo('source', v) — file-level pruning; everything else
-        is returned for Spark to re-apply."""
+        is returned for Spark to re-apply.
+
+        The filter list is an AND conjunction, so successive EqualTo values
+        INTERSECT: ``source='a' AND source='b'`` keeps no files (None means
+        "no source constraint", distinct from the empty intersection)."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("source",):
-                self._source_filters.add(f.value)
+                new = {f.value}
+                self._source_filters = (
+                    new if self._source_filters is None
+                    else self._source_filters & new
+                )
             else:
                 yield f
 
@@ -61,7 +69,7 @@ class JsonlDocsReader(DataSourceReader):
         files = sorted(
             f for f in os.listdir(self.dir) if f.endswith(".jsonl")
         )
-        if self._source_filters:
+        if self._source_filters is not None:
             files = [
                 f for f in files if os.path.splitext(f)[0] in self._source_filters
             ]

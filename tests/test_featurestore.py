@@ -1071,3 +1071,49 @@ def test_write_expectations_enforced(spark, client):
     ok = spark.createDataFrame([Row(customer_id=3, balance=7.5)])
     client.write_table("exp_demo", ok, mode="merge")
     assert client.read_table("exp_demo").count() == 3
+
+
+def test_write_expectations_merged_frame_and_bad_predicate(spark, client):
+    """Expectations evaluate against the MERGED result (Delta CHECK shape):
+    a schema-evolving merge source that omits a constrained column no longer
+    dies with an opaque AnalysisException — the predicate resolves via the
+    target schema, and because source-wins-in-full merge semantics null the
+    omitted column for touched keys, the violation reports as a clear
+    per-expectation ValueError.  A predicate referencing a column that exists
+    nowhere also rejects with a clear ValueError naming the expectation."""
+    df = spark.createDataFrame(
+        [Row(customer_id=1, balance=10.0), Row(customer_id=2, balance=5.0)]
+    )
+    client.create_feature_table(
+        "exp_evolve", keys="customer_id", df=df,
+        expectations={"non_negative": "balance >= 0"},
+    )
+    v0 = client.get_feature_table("exp_evolve").current_version
+
+    # evolving source WITHOUT balance: merge would null it for key 1 ->
+    # checked against the merged frame and rejected with the expectation name
+    evolved_bad = spark.createDataFrame([Row(customer_id=1, tier="gold")])
+    with pytest.raises(ValueError, match="non_negative"):
+        client.write_table("exp_evolve", evolved_bad, mode="merge")
+    assert client.get_feature_table("exp_evolve").current_version == v0
+
+    # evolving source that keeps balance valid passes; new column lands
+    evolved_ok = spark.createDataFrame([Row(customer_id=1, balance=11.0, tier="gold")])
+    client.write_table("exp_evolve", evolved_ok, mode="merge")
+    got = {r["customer_id"]: r["tier"] for r in client.read_table("exp_evolve").collect()}
+    assert got == {1: "gold", 2: None}
+
+    # register schema-only (no initial write), with a predicate no frame can
+    # resolve: the FIRST write rejects with the expectation name, not an
+    # AnalysisException
+    client.create_feature_table(
+        "exp_badpred", keys="customer_id",
+        schema=spark.createDataFrame([Row(customer_id=1, balance=1.0)]).schema,
+        expectations={"ghost": "no_such_column > 0"},
+    )
+    with pytest.raises(ValueError, match="ghost"):
+        client.write_table(
+            "exp_badpred",
+            spark.createDataFrame([Row(customer_id=2, balance=2.0)]),
+            mode="merge",
+        )

@@ -774,3 +774,17 @@ def test_global_row_number_single_row_and_empty(spark):
     assert global_ntile(one, ["v", "id"], 4).collect()[0]["bucket"] == 1
     empty = one.where("v > 100")
     assert global_row_number(empty, ["v", "id"]).count() == 0
+
+
+def test_kmeans_fit_rejects_fewer_rows_than_k(spark):
+    from databricks_feature_store_flight_school_spark.operators.clustering import (
+        kmeans_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id int, v array<double>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least k=5"):
+        kmeans_fit(df, "id", "v", k=5, n_iters=1)

@@ -231,3 +231,34 @@ def test_python_datasource_jsonl_docs(spark, tmp_path):
 
     got = df.where(df.source == "code").count()
     assert got == 3
+
+
+def test_python_datasource_conjunction_filters(tmp_path):
+    """pushFilters receives an AND conjunction: two different EqualTo('source')
+    values must INTERSECT (keep no files), not union."""
+    import json
+
+    from pyspark.sql.datasource import EqualTo
+
+    from databricks_feature_store_flight_school_spark.sources.pydatasource import (
+        JsonlDocsReader,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    for src in ("web", "books"):
+        with open(d / f"{src}.jsonl", "w") as fh:
+            fh.write(json.dumps({"doc_id": 1, "text": "t"}) + "\n")
+
+    reader = JsonlDocsReader({"path": str(d)})
+    rest = list(
+        reader.pushFilters([EqualTo(("source",), "web"), EqualTo(("source",), "books")])
+    )
+    assert rest == []
+    assert reader.partitions() == []  # a AND b on one column -> empty
+
+    # same value twice is still that one file
+    reader2 = JsonlDocsReader({"path": str(d)})
+    list(reader2.pushFilters([EqualTo(("source",), "web"), EqualTo(("source",), "web")]))
+    parts = reader2.partitions()
+    assert len(parts) == 1 and parts[0].path.endswith("web.jsonl")
