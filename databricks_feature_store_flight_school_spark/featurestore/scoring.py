@@ -121,6 +121,52 @@ class TrainedLogisticModel:
         return self.predict_proba(features) > self.threshold
 
 
+@dataclass
+class MlflowPredictor:
+    """Adapter: an MLflow pyfunc model behind the engine's Predictor
+    protocol — closes the interop gap with the reference's
+    ``mlflow.pyfunc.spark_udf`` scoring (FS:342-363): a model logged by real
+    MLflow scores through the same ``score_batch`` path as the engine's own
+    predictors.
+
+    Only the MLflow model URI is pickled into the engine artifact; the
+    pyfunc model itself lazy-loads on first predict (once per Python worker,
+    exactly like ``mlflow.pyfunc.spark_udf``'s executor-side load).  mlflow
+    is not installed in this harness — the adapter raises cleanly without
+    it, and its roundtrip test (tests/test_featurestore.py) arms itself when
+    the library appears (the same env-gating pattern as the protobuf/TWS and
+    PIL tests)."""
+
+    model_uri: str
+
+    def __getstate__(self):
+        return {"model_uri": self.model_uri}
+
+    def __setstate__(self, state):
+        self.model_uri = state["model_uri"]
+
+    def _load(self):
+        if getattr(self, "_model", None) is None:
+            try:
+                import mlflow.pyfunc  # type: ignore
+            except ImportError as exc:
+                raise RuntimeError(
+                    "mlflow is not installed; MlflowPredictor needs it to "
+                    "load the pyfunc model (use the engine's own Predictor "
+                    "implementations otherwise)"
+                ) from exc
+            self._model = mlflow.pyfunc.load_model(self.model_uri)
+        return self._model
+
+    def predict(self, features: pd.DataFrame) -> pd.Series:
+        out = self._load().predict(features)
+        if isinstance(out, pd.Series):
+            return out
+        if isinstance(out, pd.DataFrame):  # single-column pyfunc frames
+            return out.iloc[:, 0]
+        return pd.Series(np.asarray(out).reshape(-1), index=features.index)
+
+
 _MODELS_DIR = "_models"
 _MODEL_URI_RE = re.compile(r"^models:/([^/]+)/(\d+|latest)$")
 

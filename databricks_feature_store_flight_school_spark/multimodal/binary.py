@@ -101,12 +101,9 @@ def attach_media_meta(df: DataFrame, binary_col: str, media_type: str) -> DataFr
 def _decode_stub(payload: bytes) -> tuple[int, int, str]:
     """Deterministic FAKE image decode (no codec libs in the container).
 
-    Derives (width, height, mode) purely from byte content so tests are
-    reproducible.  A real deployment replaces this body with PIL:
-    ``im = Image.open(io.BytesIO(payload)); return im.width, im.height, im.mode``.
-    """
-    if _HAVE_PIL:  # pragma: no cover - not installed here
-        raise NotImplementedError("wire PIL decode here when the lib is present")
+    Derives (width, height, mode) purely from byte content so tests and the
+    oracle gate are reproducible regardless of environment.  The real codec
+    is :func:`_decode_pil` (selected via ``codec='pil'``/``'auto'``)."""
     n = len(payload)
     width = 16 + (n % 64)
     height = 16 + ((n // 64) % 64)
@@ -114,28 +111,51 @@ def _decode_stub(payload: bytes) -> tuple[int, int, str]:
     return width, height, mode
 
 
-def decode_image_batch(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+def _decode_pil(payload: bytes) -> tuple[int, int, str]:
+    """Real image decode via PIL (env-gated: the harness container ships no
+    codec libraries, so this path is exercised by the skipif-armed parity
+    test in tests/test_multimodal_streaming.py when PIL appears)."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height, im.mode
+
+
+def decode_image_batch(
+    df: DataFrame, id_col: str, binary_col: str, codec: str = "stub"
+) -> DataFrame:
     """mapInPandas decode: binary column -> (width, height, mode, byte_size).
 
     Arrow batches cross the JVM->Python boundary once per batch; the worker
     loops the batch in C-speed pandas ops where possible.
-    """
+
+    ``codec``: ``'stub'`` (default — deterministic fake, any byte payload,
+    what the oracle-checked catalog queries pin), ``'pil'`` (real decode of
+    actual image bytes; requires PIL), or ``'auto'`` (pil when importable,
+    stub otherwise)."""
+    if codec == "auto":
+        codec = "pil" if _HAVE_PIL else "stub"
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"unknown codec {codec!r}: use 'stub', 'pil', or 'auto'")
+    if codec == "pil" and not _HAVE_PIL:
+        raise RuntimeError("codec='pil' but PIL is not installed")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            if _HAVE_PIL:  # pragma: no cover - real codec path, lib absent
-                decoded = [_decode_stub(b) for b in pdf[binary_col]]
-                w = pd.Series([d[0] for d in decoded], dtype="int32")
-                h = pd.Series([d[1] for d in decoded], dtype="int32")
+            n = pdf[binary_col].map(len).astype("int64")
+            if codec == "pil":
+                decoded = [_decode_pil(b) for b in pdf[binary_col]]
+                w = pd.Series([d[0] for d in decoded], dtype="int32", index=pdf.index)
+                h = pd.Series([d[1] for d in decoded], dtype="int32", index=pdf.index)
                 mode = [d[2] for d in decoded]
-                n = pdf[binary_col].map(len).astype("int64")
             else:
                 # the stub derives everything from byte length -> vectorize
                 # the whole Arrow batch instead of looping Python per row
                 # (same values as _decode_stub, ~4x less worker time)
-                n = pdf[binary_col].map(len).astype("int64")
                 w = (16 + n % 64).astype("int32")
                 h = (16 + (n // 64) % 64).astype("int32")
                 mode = np.where(n % 2 == 0, "RGB", "L")

@@ -20,13 +20,15 @@ and the rank branch via Spark's ReuseExchange.
 
 Callers must pass a TOTAL order (include a unique tie-break column) or row
 numbers are engine-dependent — same contract as ``row_number`` itself.
+Order entries may be column names or sort Columns (``F.col(c).desc()``):
+``repartitionByRange`` and ``Window.orderBy`` both honour sort direction.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 _PID = "__rank_pid"
@@ -37,7 +39,7 @@ _TOTAL = "__rank_total"
 
 def global_row_number(
     df: DataFrame,
-    order_by: Sequence[str],
+    order_by: Sequence[str | Column],
     rank_col: str = "i",
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -67,7 +69,7 @@ def global_row_number(
 
 def global_ntile(
     df: DataFrame,
-    order_by: Sequence[str],
+    order_by: Sequence[str | Column],
     n: int,
     bucket_col: str = "bucket",
     num_partitions: int | None = None,
@@ -94,7 +96,7 @@ def global_ntile(
 
 def global_percent_rank(
     df: DataFrame,
-    order_by: Sequence[str],
+    order_by: Sequence[str | Column],
     rank_col: str = "pct_rank",
     num_partitions: int | None = None,
 ) -> DataFrame:

@@ -415,16 +415,24 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_dist_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (percent_rank / cume_dist) over a global
-    ordering — single-partition window, the one shape that does NOT scale
-    horizontally; production variants add a partition key."""
-    from pyspark.sql.window import Window
+    ordering, computed WITHOUT the single-partition window: the order key
+    (s_acctbal, s_suppkey) is unique, so percent_rank = (i-1)/(N-1) and
+    cume_dist = i/N over operators/ranks.global_row_number's two-pass
+    range-partitioned rank — identical values, horizontal scaling (supplier
+    grows with SF)."""
+    from ..operators.ranks import global_row_number
 
-    w = Window.orderBy("s_acctbal", "s_suppkey")
-    return load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        F.round("s_acctbal", 2).alias("acctbal"),
-        F.round(F.percent_rank().over(w), 9).alias("bal_pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("bal_cume_dist"),
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    ranked = global_row_number(sup, ["s_acctbal", "s_suppkey"], rank_col="__i")
+    total = sup.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "s_suppkey",
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.round((F.col("__i") - 1) / (F.col("__n") - 1), 9).alias("bal_pct_rank"),
+            F.round(F.col("__i") / F.col("__n"), 9).alias("bal_cume_dist"),
+        )
     )
 
 
@@ -863,8 +871,13 @@ def q_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto curve: top-100 customers by revenue with cumulative share of
-    the total — running sum + unbounded total in one window pass over the
-    (customer-sized, already aggregated) rollup."""
+    the total.  The top-100 cut runs FIRST as ``orderBy().limit(100)``
+    (TakeOrderedAndProject: per-partition heaps, no global sort over the
+    entity-cardinality rollup), the grand total folds in as a 1-row
+    broadcast, and the rank/running-sum window then touches only the 100
+    surviving rows — the running sum over the ordered top-100 equals the
+    running sum over all customers at those ranks, so values are
+    unchanged."""
     from pyspark.sql.window import Window
 
     per_cust = (
@@ -872,20 +885,20 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("cust_revenue"))
     )
+    totals = per_cust.agg(F.sum("cust_revenue").alias("__total"))
     order = [F.col("cust_revenue").desc(), F.col("o_custkey")]
+    top = per_cust.orderBy(*order).limit(100)
     w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = per_cust.select(
-        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
-        "o_custkey",
-        "cust_revenue",
-        (F.sum("cust_revenue").over(w_run) / F.sum("cust_revenue").over(w_all)).alias(
-            "__share"
-        ),
-    )
     return (
-        ranked.where(F.col("rnk") <= 100)
-        .select("rnk", "o_custkey", "cust_revenue", F.round("__share", 9).alias("cumulative_share"))
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.row_number().over(Window.orderBy(*order)).alias("rnk"),
+            "o_custkey",
+            "cust_revenue",
+            F.round(
+                F.sum("cust_revenue").over(w_run) / F.col("__total"), 9
+            ).alias("cumulative_share"),
+        )
         .orderBy("rnk")
     )
 

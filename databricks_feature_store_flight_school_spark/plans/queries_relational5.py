@@ -1089,26 +1089,30 @@ def q_new_customers_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: recency/frequency/monetary quintiles
-    (ntile over deterministic total orders) cross-tabulated into segment
-    cells — the classic lifecycle-marketing featurization.  The ntiles rank
-    the CUSTOMER aggregate (one row per entity), so the global windows run
-    on dimension cardinality, not fact volume.  At extreme entity counts
-    (10^8+ customers) even that single-partition ntile binds: the scale
-    rewrite computes the 4 quintile BOUNDARIES with approx_percentile and
-    buckets by comparison — same cells up to boundary ties, no global
-    sort."""
+    cross-tabulated into segment cells — the classic lifecycle-marketing
+    featurization.  Each quintile comes from operators/ranks.global_ntile
+    (two-pass range-partitioned rank; exact SQL NTILE tie handling), NOT a
+    partition-less ``ntile(5) OVER (ORDER BY ...)`` — the customer aggregate
+    is entity-cardinality, and three single-task global sorts over 10^8+
+    customers would serialize the whole query at 100 TB."""
+    from ..operators.ranks import global_ntile
+
     o = load_table(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
     )
-    scored = rfm.select(
-        "o_custkey",
-        F.ntile(5).over(Window.orderBy(F.col("last_order").desc(), "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
-    )
+    scored = rfm
+    for col, out in (
+        ("last_order", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        scored = global_ntile(
+            scored, [F.col(col).desc(), F.col("o_custkey")], 5, bucket_col=out
+        )
+    scored = scored.select("o_custkey", "r_score", "f_score", "m_score")
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(

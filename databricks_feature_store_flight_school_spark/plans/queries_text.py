@@ -999,7 +999,9 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = d.select(
         "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("term")
     ).distinct()
-    n_docs = dt.select("doc_id").distinct().count()  # scalar; bounded metadata
+    # corpus size folded INTO the plan (1-row broadcast), not an eager
+    # driver .count() — no extra job at query-build time
+    n_docs_df = dt.agg(F.countDistinct("doc_id").alias("__n_docs"))
     df_tbl = (
         dt.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= 100)
     )
@@ -1013,13 +1015,15 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term_a", "term_b", "df_a", "df_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
+    nd = F.col("__n_docs").cast("double")
     pmi = F.log(
-        (F.col("n_both") / F.lit(float(n_docs)))
-        / ((F.col("df_a") / F.lit(float(n_docs))) * (F.col("df_b") / F.lit(float(n_docs))))
+        (F.col("n_both") / nd) / ((F.col("df_a") / nd) * (F.col("df_b") / nd))
     )
     w = Window.orderBy(F.col("pmi_raw").desc(), "term_a", "term_b")
     return (
-        pairs.withColumn("pmi_raw", pmi)
+        pairs.crossJoin(F.broadcast(n_docs_df))
+        .withColumn("pmi_raw", pmi)
+        .drop("__n_docs")
         .orderBy(F.col("pmi_raw").desc(), "term_a", "term_b")
         .limit(20)
         .withColumn("rank", F.row_number().over(w))

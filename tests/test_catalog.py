@@ -121,3 +121,32 @@ def test_sql_surface_equals_dataframe_plan(spark, sf_dir, name):
     b = b.sort_values(by=list(b.columns), kind="mergesort").reset_index(drop=True)
     assert a.shape == b.shape
     assert (a.astype(str).values == b.astype(str).values).all(), name
+
+
+def test_plan_audit_no_unbounded_global_windows(spark, sf_dir):
+    """Enforced plan audit (tools/explain_audit.py): every partition-less
+    WindowExec in the catalog must be whitelisted with a boundedness reason
+    (days/months rollup, post-limit top-k, rank-offsets table).  An
+    entity-or-fact-cardinality global window — the single-task sort that
+    kills a query at 100 TB — fails here, so the next one cannot land
+    silently between judge rounds."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import explain_audit
+
+    names = sorted(query_map())
+    failures, lines = explain_audit.audit_queries(spark, sf_dir, names)
+    assert not failures, "\n".join(
+        ln for ln in lines if ln.startswith(("FAIL", "ERR"))
+    )
+    # the whitelist must not rot: every entry still names a catalog query
+    # that still HAS a global window (else the reason is stale)
+    noted = {
+        ln.split()[1].rstrip(":")
+        for ln in lines
+        if "bounded-global-window" in ln
+    }
+    stale = set(explain_audit.GLOBAL_WINDOW_WHITELIST) - noted
+    assert not stale, f"whitelist entries no longer needed: {sorted(stale)}"

@@ -1117,3 +1117,93 @@ def test_write_expectations_merged_frame_and_bad_predicate(spark, client):
             spark.createDataFrame([Row(customer_id=2, balance=2.0)]),
             mode="merge",
         )
+
+
+def test_mlflow_predictor_contract_without_mlflow(spark):
+    """Ungated half of the MLflow adapter contract: pickling carries ONLY the
+    model URI (no loaded model object crosses to workers), and predict
+    without mlflow installed raises a clear RuntimeError, not ImportError
+    spaghetti."""
+    import pickle as _pickle
+
+    import pandas as pd
+
+    from databricks_feature_store_flight_school_spark.featurestore.scoring import (
+        MlflowPredictor,
+    )
+
+    p = MlflowPredictor(model_uri="models:/demo/1")
+    p2 = _pickle.loads(_pickle.dumps(p))
+    assert p2.model_uri == "models:/demo/1"
+    assert p2.__getstate__() == {"model_uri": "models:/demo/1"}
+
+    try:
+        import mlflow  # noqa: F401
+
+        have_mlflow = True
+    except ImportError:
+        have_mlflow = False
+    if not have_mlflow:
+        with pytest.raises(RuntimeError, match="mlflow is not installed"):
+            p2.predict(pd.DataFrame({"age": [1.0]}))
+
+
+def test_mlflow_pyfunc_score_batch_roundtrip(spark, lookup_client, tmp_path):
+    """Env-gated (arms when mlflow appears, like the protobuf/TWS test): log
+    a pyfunc model with REAL mlflow, wrap it in MlflowPredictor, and score
+    through the engine's log_model -> score_batch path — the reference's
+    FS:342-363 interop, not just its shape."""
+    mlflow = pytest.importorskip("mlflow")
+
+    class AgeOver35(mlflow.pyfunc.PythonModel):
+        def predict(self, context, model_input, params=None):
+            return (model_input["age"] > 35.0).astype(bool)
+
+    with mlflow.start_run():
+        info = mlflow.pyfunc.log_model(python_model=AgeOver35(), name="m")
+
+    from databricks_feature_store_flight_school_spark.featurestore.scoring import (
+        MlflowPredictor,
+    )
+
+    inference = spark.createDataFrame(
+        [Row(customer_id=1, churn=True), Row(customer_id=2, churn=False)]
+    )
+    ts = lookup_client.create_training_set(
+        inference, [FeatureLookup("demo_f", "customer_id", ["age"])], label="churn",
+    )
+    mpath = str(tmp_path / "mlflow_model")
+    lookup_client.log_model(mpath, MlflowPredictor(info.model_uri), ts)
+    batch = spark.createDataFrame([Row(customer_id=1), Row(customer_id=2)])
+    scored = lookup_client.score_batch(mpath, batch, result_type="boolean")
+    out = {r["customer_id"]: r["prediction"] for r in scored.collect()}
+    assert out == {1: False, 2: True}  # age 30 <= 35 < age 40
+
+
+def test_delta_merge_real_roundtrip(spark, tmp_path):
+    """Env-gated (arms when delta-spark appears): run merge_into_delta
+    against a REAL Delta table — upsert + schema evolution through the ACID
+    path that the parquet-snapshot CAS writer mirrors.  Skips with a clear
+    reason when the lib or the session's Delta extensions are absent."""
+    pytest.importorskip("delta")
+    from databricks_feature_store_flight_school_spark.featurestore.writer import (
+        merge_into_delta,
+    )
+
+    path = str(tmp_path / "delta_tbl")
+    base = spark.createDataFrame(
+        [Row(customer_id=1, balance=10.0), Row(customer_id=2, balance=5.0)]
+    )
+    try:
+        base.write.format("delta").save(path)
+    except Exception as exc:  # session built without Delta extensions
+        pytest.skip(f"delta-spark importable but session lacks Delta support: {exc}")
+
+    src = spark.createDataFrame([Row(customer_id=2, balance=7.0, tier="gold"),
+                                 Row(customer_id=3, balance=1.0, tier="new")])
+    merge_into_delta(spark, path, src, ["customer_id"])
+    got = {
+        r["customer_id"]: (r["balance"], r["tier"])
+        for r in spark.read.format("delta").load(path).collect()
+    }
+    assert got == {1: (10.0, None), 2: (7.0, "gold"), 3: (1.0, "new")}

@@ -544,3 +544,51 @@ def test_chained_streaming_aggregations_equal_batch(spark, sf_dir):
         assert want.get(day) == vals, f"finalized day {day} diverges from batch"
     # everything except at most the trailing open day must have finalised
     assert len(got) >= len(want) - 1
+
+
+def test_pil_decode_real_images(spark):
+    """Env-gated (arms when PIL appears): decode REAL PNG bytes with
+    codec='pil' and check width/height/mode against the images we encoded;
+    the deterministic stub path (codec='stub', what the oracle-checked
+    catalog queries pin) stays byte-identical regardless of environment."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    blobs = []
+    for i, (w, h, mode) in enumerate([(7, 5, "RGB"), (12, 3, "L")]):
+        im = PIL_Image.new(mode, (w, h))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        blobs.append((i, bytearray(buf.getvalue()), w, h, mode))
+
+    df = spark.createDataFrame(
+        [(i, b) for i, b, *_ in blobs], "doc_id long, blob binary"
+    )
+    out = {
+        r["doc_id"]: (r["width"], r["height"], r["mode"])
+        for r in decode_image_batch(df, "doc_id", "blob", codec="pil").collect()
+    }
+    assert out == {i: (w, h, mode) for i, _, w, h, mode in blobs}
+
+
+def test_decode_codec_validation(spark):
+    """codec='pil' without PIL raises cleanly; bad codec name rejected;
+    'auto' falls back to the stub here (container has no PIL)."""
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "doc_id long, blob binary")
+    with pytest.raises(ValueError, match="unknown codec"):
+        decode_image_batch(df, "doc_id", "blob", codec="jpeg")
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(RuntimeError, match="PIL is not installed"):
+            decode_image_batch(df, "doc_id", "blob", codec="pil")
+        auto = decode_image_batch(df, "doc_id", "blob", codec="auto").collect()[0]
+        stub = decode_image_batch(df, "doc_id", "blob", codec="stub").collect()[0]
+        assert (auto["width"], auto["height"], auto["mode"]) == (
+            stub["width"], stub["height"], stub["mode"],
+        )

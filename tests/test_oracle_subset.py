@@ -1,0 +1,66 @@
+"""Oracle-replica regression net for driver-unsampled queries.
+
+The driver's correctness gate checks the same fixed ~50 catalog queries each
+round; everything else is only protected by the manual
+``tools/check_oracle.py`` run.  This module runs the SAME compare (Spark vs
+DuckDB value hash) inside pytest over a deterministic subset of the
+unsampled queries — small enough to stay in the default run (~2 min at
+sf0.001), broad enough that a regression in the long tail cannot hide
+between judge rounds.
+
+Subset = every 4th unsampled query (sorted) + every query touched in the
+current round.  Full-catalog coverage remains ``python tools/check_oracle.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+import __spark_entry__ as entrymod  # noqa: E402
+import check_oracle  # noqa: E402
+
+#: queries added/rewritten in the current round — always checked
+CURRENT_ROUND = [
+    "q_gini_coefficient",
+    "q_linear_interpolation",
+    "q_market_basket",
+    "q_revenue_pareto",
+    "q_rfm_segments",
+    "q_term_pmi",
+    "q_weighted_median",
+    "q_window_dist_functions",
+]
+
+
+def _subset() -> list[str]:
+    qmap = entrymod.queries()
+    sampled: set[str] = set()
+    corr = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    if corr:
+        sampled = set(json.loads(corr[-1].read_text()))
+    unsampled = sorted(set(qmap) - sampled)
+    picked = set(unsampled[::4]) | (set(CURRENT_ROUND) & set(qmap))
+    return sorted(picked)
+
+
+@pytest.fixture(scope="module")
+def duck_con(sf_dir):
+    con = check_oracle.duckdb_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.oracle_subset
+@pytest.mark.parametrize("name", _subset())
+def test_oracle_subset(spark, sf_dir, duck_con, name):
+    qmap = entrymod.queries()
+    omap = entrymod.oracle_sql()
+    err = check_oracle.compare_query(spark, duck_con, qmap, omap, name, sf_dir)
+    assert err is None, f"{name}: {err}"

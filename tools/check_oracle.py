@@ -47,68 +47,78 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return res.sort_values(by=list(res.columns), kind="mergesort").reset_index(drop=True)
 
 
+def duckdb_connection(sf_dir: str):
+    """DuckDB connection with the driver's table views registered."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def compare_query(spark, con, qmap, omap, name: str, sf_dir: str) -> str | None:
+    """Run one catalog query on Spark and its oracle twin on DuckDB; return
+    None on match (or a passing rows-only check), else a failure message.
+    This is the exact gate logic main() prints — also used by the pytest
+    oracle-subset regression net (tests/test_oracle_subset.py)."""
+    try:
+        sdf = qmap[name](spark, sf_dir).toPandas()
+    except Exception as exc:  # noqa: BLE001
+        return f"spark error: {exc}"
+    if name not in omap:
+        if len(sdf) == 0:
+            return "rows-only query returned 0 rows"
+        return None
+    try:
+        odf = con.execute(omap[name]).fetchdf()
+    except Exception as exc:  # noqa: BLE001
+        return f"duckdb error: {exc}"
+    if len(sdf) != len(odf):
+        return f"rows spark={len(sdf)} oracle={len(odf)}"
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return f"cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    a, b = _normalize(sdf), _normalize(odf)
+    if not a.equals(b):
+        diff = (a != b) & ~(a.isna() & b.isna())
+        nbad = int(diff.any(axis=1).sum())
+        msg = f"{nbad}/{len(a)} rows differ"
+        if nbad == 0:
+            dt = [
+                f"dtype {c}: spark={a[c].dtype} oracle={b[c].dtype}"
+                for c in a.columns
+                if a[c].dtype != b[c].dtype
+            ]
+            msg += " (" + "; ".join(dt) + ")"
+        else:
+            bad = diff.any(axis=1)
+            msg += f"; spark={a[bad].head(2).to_dict('records')}"
+            msg += f" oracle={b[bad].head(2).to_dict('records')}"
+        return msg
+    return None
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and Path(args[0]).is_dir() else "/root/testdata/sf0.01"
     names = [a for a in args if not Path(a).is_dir()]
 
     spark = get_spark(shuffle_partitions=8)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-
+    con = duckdb_connection(sf_dir)
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
     selected = names or list(qmap)
     failures = []
     for name in selected:
-        fn = qmap[name]
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir).toPandas()
-        except Exception as exc:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: spark error: {exc}")
-            continue
+        err = compare_query(spark, con, qmap, omap, name, sf_dir)
         took = time.time() - t0
-        if name not in omap:
-            print(f"ok    {name}: rows-only ({len(sdf)} rows, {took:.1f}s)")
-            if len(sdf) == 0:
-                failures.append(name)
-                print(f"FAIL  {name}: rows-only query returned 0 rows")
-            continue
-        try:
-            odf = con.execute(omap[name]).fetchdf()
-        except Exception as exc:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {exc}")
-            continue
-        if len(sdf) != len(odf):
-            failures.append(name)
-            print(f"FAIL  {name}: rows spark={len(sdf)} oracle={len(odf)}")
-            continue
-        if sorted(sdf.columns) != sorted(odf.columns):
-            failures.append(name)
-            print(f"FAIL  {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
-            continue
-        a, b = _normalize(sdf), _normalize(odf)
-        if not a.equals(b):
-            failures.append(name)
-            diff = (a != b) & ~(a.isna() & b.isna())
-            nbad = int(diff.any(axis=1).sum())
-            print(f"FAIL  {name}: {nbad}/{len(a)} rows differ")
-            if nbad == 0:
-                # equals() failed but no cell differs -> dtype-only mismatch
-                for c in a.columns:
-                    if a[c].dtype != b[c].dtype:
-                        print(f"  dtype {c}: spark={a[c].dtype} oracle={b[c].dtype}")
-            bad = diff.any(axis=1)
-            print("  spark:", a[bad].head(3).to_dict("records"))
-            print("  oracle:", b[bad].head(3).to_dict("records"))
+        if err is None:
+            kind = "rows-only" if name not in omap else "rows match"
+            print(f"ok    {name}: {kind} ({took:.1f}s)")
         else:
-            print(f"ok    {name}: {len(sdf)} rows match ({took:.1f}s)")
+            failures.append(name)
+            print(f"FAIL  {name}: {err}")
     print(f"\n{len(selected) - len(failures)}/{len(selected)} passed")
     return 1 if failures else 0
 

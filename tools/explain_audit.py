@@ -6,11 +6,17 @@ flag 100 TB red flags:
 - row-at-a-time Python evaluation (BatchEvalPython) — pandas/Arrow is fine
 - single-partition global windows / sorts (Window with no partitionBy)
 
+Global windows are ENFORCED, not just reported: a partition-less WindowExec
+is only acceptable over a provably bounded input (a days/months rollup, a
+post-``limit`` top-k, the rank primitive's per-partition offsets table).
+Every such case must be whitelisted below WITH the boundedness reason; an
+entity- or fact-cardinality global window fails the audit (exit 1) — that is
+the single-task sort that kills a query at 100 TB.  The other flags stay
+informational (cross joins and 1-row broadcast folds are deliberate; the
+audit keeps them visible rather than silently accepted).
+
 Usage:  python tools/explain_audit.py [--all] [query ...]
-Prints one line per query: OK or the list of flags.  Informational — some
-flags are deliberate (cross-join queries, global-order windows) and say so
-in their docstrings; the audit keeps them visible rather than silently
-accepted.
+Also run by pytest (tests/test_catalog.py) over the full catalog.
 """
 
 from __future__ import annotations
@@ -23,6 +29,24 @@ sys.path.insert(0, str(REPO))
 
 from databricks_feature_store_flight_school_spark.plans import catalog  # noqa: E402
 from databricks_feature_store_flight_school_spark.session import get_spark  # noqa: E402
+
+#: query -> WHY its partition-less window input is bounded.  Adding an entry
+#: requires a reason string naming the bounded table; reviewers grep this.
+GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
+    "q_bm25_scores": "row_number runs after orderBy().limit(20) — 20 rows",
+    "q_changepoint": "windows over the daily-total rollup — |calendar days| rows",
+    "q_ewma": "frame fold over the daily-total rollup — |calendar days| rows",
+    "q_gini_coefficient": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
+    "q_hybrid_rrf": "rank fusion over two orderBy().limit(k) lists — <= 2k rows",
+    "q_month_over_month": "lag over the monthly rollup — |months| rows",
+    "q_new_customers_running": "running sum over first-seen months — |months| rows",
+    "q_revenue_pareto": "rank/cumsum after orderBy().limit(100) — 100 rows",
+    "q_rfm_segments": "rank-offsets prefix sums — <= num_partitions rows (ranks primitive x3)",
+    "q_rolling_corr": "RANGE frame over the daily rollup — |calendar days| rows",
+    "q_survival_km": "at-risk/survival windows over lifetime-month buckets — tens of rows",
+    "q_term_pmi": "row_number runs after orderBy().limit(20) — 20 rows",
+    "q_window_dist_functions": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
+}
 
 
 def audit_plan(plan: str) -> list[str]:
@@ -45,6 +69,48 @@ def audit_plan(plan: str) -> list[str]:
     return flags
 
 
+def audit_queries(
+    spark, sf_dir: str, names: list[str]
+) -> tuple[list[str], list[str]]:
+    """Returns (failures, report_lines).  A failure is an errored build or an
+    unwhitelisted global window."""
+    qmap = catalog.query_map()
+    failures: list[str] = []
+    lines: list[str] = []
+    for name in names:
+        try:
+            df = qmap[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # pragma: no cover
+            lines.append(f"ERR   {name}: {exc}")
+            failures.append(name)
+            continue
+        flags = audit_plan(plan)
+        if "global-window" in flags:
+            reason = GLOBAL_WINDOW_WHITELIST.get(name)
+            if reason is None:
+                lines.append(
+                    f"FAIL  {name}: partition-less WindowExec over input not "
+                    f"declared bounded — whitelist it with a boundedness "
+                    f"reason in tools/explain_audit.py or repartition the "
+                    f"window (see operators/ranks.py)"
+                )
+                failures.append(name)
+                continue
+            flags = [f for f in flags if f != "global-window"]
+            flags.append(f"bounded-global-window[{reason}]")
+        if flags:
+            lines.append(f"note  {name}: {', '.join(flags)}")
+        else:
+            lines.append(f"ok    {name}")
+    # stale whitelist entries rot into false confidence: flag them too
+    for name in GLOBAL_WINDOW_WHITELIST:
+        if name in names and name not in qmap:  # pragma: no cover
+            lines.append(f"FAIL  whitelist names unknown query {name}")
+            failures.append(name)
+    return failures, lines
+
+
 def main() -> int:
     import bench
 
@@ -57,21 +123,11 @@ def main() -> int:
     else:
         names = [a for a in args if a in qmap] or bench.HEADLINE
 
-    worst = 0
-    for name in names:
-        try:
-            df = qmap[name](spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
-        except Exception as exc:  # pragma: no cover
-            print(f"ERR   {name}: {exc}")
-            worst = 1
-            continue
-        flags = audit_plan(plan)
-        if flags:
-            print(f"FLAG  {name}: {', '.join(flags)}")
-        else:
-            print(f"ok    {name}")
-    return worst
+    failures, lines = audit_queries(spark, sf_dir, names)
+    print("\n".join(lines))
+    if failures:
+        print(f"\nAUDIT FAILED: {failures}")
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
