@@ -15,8 +15,20 @@ the two-pass range-partitioned replacement:
    broadcast back and added to the local rank.
 
 Everything stays in-plan (no driver collect; the offsets come back as a
-broadcast join), and the range exchange is shared between the offsets branch
-and the rank branch via Spark's ReuseExchange.
+broadcast join).  The pid-tagged frame is pinned with a LAZY
+``localCheckpoint`` — a correctness requirement, not an optimisation: the
+offsets branch and the rank branch both read the range-partitioned data, and
+without a single shared materialisation they instantiate the range exchange
+TWICE; ``repartitionByRange`` samples its boundaries with an RDD-id-derived
+seed (and ``spark_partition_id`` blocks ReuseExchange canonicalisation), so
+the two instantiations can disagree on partition boundaries and the offsets
+would be added to the wrong partitions' local ranks (observed: duplicate and
+out-of-range global ranks).  The checkpoint materialises the pid assignment
+once (on first action, MEMORY_AND_DISK) and both branches consume that same
+RDD.  Global rank is inherently a pipeline breaker — this is the same
+materialisation every engine's sort-based rank pays; callers should
+``select`` down to needed columns first since lineage (and column pruning)
+stops at the checkpoint.
 
 Callers must pass a TOTAL order (include a unique tie-break column) or row
 numbers are engine-dependent — same contract as ``row_number`` itself.
@@ -48,8 +60,13 @@ def global_row_number(
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(num_partitions, *order_by).withColumn(
-        _PID, F.spark_partition_id()
+    # lazy checkpoint pins ONE range partitioning for both consumers below —
+    # see module docstring; without it the two branches may re-sample
+    # different range boundaries and produce corrupt global ranks
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
     # exclusive prefix sum over <= num_partitions rows: the bounded global

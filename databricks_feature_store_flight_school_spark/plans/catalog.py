@@ -59,6 +59,7 @@ def _load_all() -> None:
         queries_relational3,
         queries_relational4,
         queries_relational5,
+        queries_relational6,
         queries_text,
         queries_vectors,
     )

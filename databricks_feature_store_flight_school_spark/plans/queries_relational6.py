@@ -1,0 +1,449 @@
+"""Round-5 catalog additions: time-series diagnostics, model-evaluation and
+statistical-test shapes, data profiling, and an in-plan iterative graph
+algorithm — each with a DuckDB oracle twin (SURVEY.md §2.12 extensions;
+the reference contains none of these — its analytics surface stops at
+``summary()``, Feature_Store_Telco_Churn_Sean_Original.py:32).
+
+Scale posture notes are per-query; the common rules: fact passes are single
+grouped aggregates, corpus scalars fold in as 1-row broadcasts (never an
+eager ``.count()``), entity-cardinality ranks go through
+operators/ranks.global_row_number / global_ntile, and partition-less windows
+only ever see bounded rollups (days, nations) — enforced by
+tools/explain_audit.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..operators.ranks import global_ntile, global_row_number
+from ..sources import load_table
+from .catalog import register
+
+_ACF_LAGS = 7
+
+
+@register(
+    "q_autocorrelation",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, sum(value) AS v FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT v,
+               """ + ",\n               ".join(
+        f"lag(v, {k}) OVER (ORDER BY d) AS l{k}" for k in range(1, _ACF_LAGS + 1)
+    ) + """
+        FROM daily
+    ),
+    st AS (
+        """ + "\n        UNION ALL\n        ".join(
+        f"SELECT {k} AS lag, v, l{k} AS v_lag FROM lagged"
+        for k in range(1, _ACF_LAGS + 1)
+    ) + """
+    )
+    SELECT lag,
+           count(v_lag) AS n_pairs,
+           round(corr(v, v_lag), 6) AS acf
+    FROM st GROUP BY lag ORDER BY lag
+    """,
+    "window", "timeseries", "stats",
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (ACF) of daily event value at lags 1..7 —
+    the seasonality/persistence diagnostic run before any forecasting model
+    (a weekly cycle shows as a lag-7 peak).  Fact pass is one grouped
+    daily aggregate; the lag windows and the 7-way unpivot run over the
+    |calendar days| rollup (bounded; audit-whitelisted), and corr() pairs
+    drop nulls identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.sum("value").alias("v"))
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "v", *[F.lag("v", k).over(w).alias(f"l{k}") for k in range(1, _ACF_LAGS + 1)]
+    )
+    pairs = ", ".join(f"{k}, l{k}" for k in range(1, _ACF_LAGS + 1))
+    st = lagged.selectExpr(
+        "v", f"stack({_ACF_LAGS}, {pairs}) AS (lag, v_lag)"
+    )
+    return (
+        st.groupBy("lag")
+        .agg(
+            F.count("v_lag").alias("n_pairs"),
+            F.round(F.corr("v", "v_lag"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@register(
+    "q_decile_lift",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               round(sum(o_totalprice), 2) AS revenue,
+               max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS converted
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT converted,
+               ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+        FROM cust
+    ),
+    overall AS (SELECT avg(converted) AS rate_all FROM cust)
+    SELECT decile,
+           count(*) AS n_customers,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(avg(converted), 6) AS conversion_rate,
+           round(avg(converted) / (SELECT rate_all FROM overall), 6) AS lift
+    FROM scored
+    GROUP BY decile ORDER BY decile
+    """,
+    "window", "agg", "model-eval",
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift chart — the standard model-evaluation readout (score the
+    population, cut into score deciles, compare each decile's outcome rate
+    to the base rate); here the 'score' is customer revenue and the outcome
+    is having an open order.  The decile cut uses
+    operators/ranks.global_ntile (two-pass range-partitioned, exact SQL
+    NTILE ties), NOT a single-task global ntile — the customer aggregate is
+    entity-cardinality.  The base rate folds in as a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.max(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    scored = global_ntile(
+        cust, [F.col("revenue").desc(), F.col("o_custkey")], 10, bucket_col="decile"
+    )
+    overall = cust.agg(F.avg("converted").alias("rate_all"))
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.avg("converted").alias("__rate"),
+        )
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "decile",
+            "n_customers",
+            "n_converted",
+            F.round("__rate", 6).alias("conversion_rate"),
+            F.round(F.col("__rate") / F.col("rate_all"), 6).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "q_mann_whitney",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority = '1-URGENT' AS g,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+        FROM orders
+    ),
+    s AS (
+        SELECT sum(CASE WHEN g THEN r END) AS r1,
+               sum(CASE WHEN g THEN 1 ELSE 0 END) AS n1,
+               sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS n2
+        FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u_stat,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * 1.0 * n2 / 2.0)
+                 / sqrt(n1 * 1.0 * n2 * (n1 + n2 + 1) / 12.0), 6) AS z_stat
+    FROM s
+    """,
+    "window", "stats", "hypothesis-test",
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test: do URGENT orders draw from the same
+    price distribution as the rest?  The nonparametric two-sample test —
+    the robust alternative to the t-test for skewed monetary values.
+
+    Ranks are FACT-cardinality (every order), so they come from
+    operators/ranks.global_row_number; both engines rank with the same
+    unique (value, key) order, so the statistic is exact.  (With a unique
+    tie-break this is the row_number variant of the test; o_totalprice ties
+    are broken by key on BOTH sides identically.)  Normal approximation
+    z = (U - mu) / sigma — valid at any n this query would see."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderpriority") == "1-URGENT").alias("g"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    ranked = global_row_number(o, ["o_totalprice", "o_orderkey"], rank_col="r")
+    s = ranked.agg(
+        F.sum(F.when(F.col("g"), F.col("r"))).alias("r1"),
+        F.sum(F.when(F.col("g"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("g"), 1).otherwise(0)).alias("n2"),
+    )
+    n1, n2, r1 = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("r1").cast("double"),
+    )
+    u = r1 - n1 * (n1 + 1) / 2.0
+    z = (u - n1 * n2 / 2.0) / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    return s.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(u, 2).alias("u_stat"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+_PR_ITERS = 10
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    iters = "".join(
+        f""",
+    pr{i + 1} AS (
+        SELECT n.node,
+               0.15 / (SELECT n_nodes FROM nn)
+               + 0.85 * COALESCE(c.contrib, 0) AS r
+        FROM nodes n LEFT JOIN (
+            SELECT t.dst AS node, sum(t.p * p.r) AS contrib
+            FROM trans t JOIN pr{i} p ON p.node = t.src
+            GROUP BY t.dst
+        ) c ON c.node = n.node
+    )"""
+        for i in range(_PR_ITERS)
+    )
+    return f"""
+    WITH nodes AS (SELECT n_nationkey AS node FROM nation),
+    nn AS (SELECT count(*) AS n_nodes FROM nodes),
+    edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               sum(l.l_extendedprice) AS w
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    trans AS (
+        SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p FROM edges
+    ),
+    pr0 AS (
+        SELECT node, 1.0 / (SELECT n_nodes FROM nn) AS r FROM nodes
+    ){iters}
+    SELECT n_name AS nation, round(r, 6) AS pagerank
+    FROM pr{_PR_ITERS} JOIN nation ON n_nationkey = node
+    ORDER BY pagerank DESC, nation
+    """
+
+
+@register(
+    "q_nation_pagerank",
+    _pagerank_oracle(),
+    "graph", "iterative", "join",
+)
+def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-to-nation trade graph (edge src = customer
+    nation, dst = supplier nation, weight = traded value), 10 power
+    iterations UNROLLED IN THE PLAN — the iterative-algorithm shape
+    (cf. connected components in operators/components.py, which loops with
+    a driver collect per superstep; here the iteration state is a
+    |nations|-row table, so the whole recurrence stays lazy in one plan and
+    the oracle mirrors it as a chain of CTEs).
+
+    Scale: ONE fact pass builds the edge aggregate (the only big shuffle);
+    every iteration then joins/aggregates 25-node tables.  Dangling-node
+    mass is deliberately NOT redistributed (identical formula both sides;
+    no TPC-H nation is dangling anyway).  Row order is irrelevant to the
+    gate (value-multiset compare), so float-assoc rank flips cannot break
+    it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    edges = (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice")
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.sum("l_extendedprice").alias("w"))
+    )
+    trans = edges.withColumn(
+        "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
+    ).select("src", "dst", "p")
+
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            trans.join(r, trans.src == r.node)
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg(F.sum(F.col("p") * F.col("r")).alias("contrib"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, F.col("node") == F.col("cnode"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(1 - _PR_DAMP) / F.col("n_nodes")
+                    + F.lit(_PR_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        r.join(F.broadcast(n), F.col("node") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), F.round("r", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "nation")
+    )
+
+
+_PROFILE_COLS = ["c_mktsegment", "c_nationkey", "c_acctbal", "c_name"]
+
+
+@register(
+    "q_null_profile",
+    "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{col}' AS column_name,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct
+    FROM customer"""
+        for col in _PROFILE_COLS
+    ),
+    "agg", "profiling",
+)
+def q_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile (row count, null count, exact
+    distinct count) — the schema-drift / completeness check run before any
+    pipeline ingests a new table (the engine's programmatic analog of the
+    reference's eyeballed ``summary()``, SO:32).  ONE aggregate pass
+    computes every column's stats; the unpivot to rows happens on the
+    1-row aggregate via stack — the scan is never repeated per column."""
+    cust = load_table(spark, sf_dir, "customer")
+    agg = cust.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{i}")
+            for i, c in enumerate(_PROFILE_COLS)
+        ],
+        *[
+            F.countDistinct(F.col(c)).alias(f"nd_{i}")
+            for i, c in enumerate(_PROFILE_COLS)
+        ],
+    )
+    stack = ", ".join(
+        f"'{c}', nn_{i}, nd_{i}" for i, c in enumerate(_PROFILE_COLS)
+    )
+    return agg.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS (column_name, n_nulls, n_distinct)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@register(
+    "q_dau_mau",
+    """
+    WITH dau AS (
+        SELECT date_trunc('month', CAST(ts AS DATE)) AS m, CAST(ts AS DATE) AS d,
+               count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    mau AS (
+        SELECT date_trunc('month', CAST(ts AS DATE)) AS m,
+               count(DISTINCT user_id) AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT strftime(mau.m, '%Y-%m') AS month,
+           mau,
+           round(avg(dau), 6) AS avg_dau,
+           round(avg(dau) / mau, 6) AS stickiness
+    FROM dau JOIN mau ON dau.m = mau.m
+    GROUP BY mau.m, mau
+    ORDER BY month
+    """,
+    "agg", "distinct", "engagement",
+)
+def q_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — the product-engagement ratio (avg daily actives
+    over monthly actives).  Two distinct-count aggregates over the same
+    scan keyed by (month, day) and (month); the join is |months|-sized.
+    At 100 TB exact count-distinct shuffles the (key, user) pairs once per
+    granularity — the approx_count_distinct sketch variant is one function
+    swap away (cf. q_sketch_rollup for mergeable HLL rollups)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    dau = ev.groupBy(
+        F.date_trunc("month", d).alias("m"), d.alias("d")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.groupBy(F.date_trunc("month", d).alias("m2")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(mau), dau.m == mau.m2)
+        .groupBy(F.date_format("m", "yyyy-MM").alias("month"), "mau")
+        .agg(F.avg("dau").alias("__avg_dau"))
+        .select(
+            "month",
+            "mau",
+            F.round("__avg_dau", 6).alias("avg_dau"),
+            F.round(F.col("__avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "q_dow_seasonality",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, sum(value) AS v FROM events GROUP BY 1
+    )
+    SELECT CAST(strftime(d, '%w') AS INT) + 1 AS dow,
+           count(*) AS n_days,
+           round(avg(v), 6) AS avg_daily_value,
+           round(avg(v) / (SELECT avg(v) FROM daily), 6) AS seasonal_index
+    FROM daily
+    GROUP BY 1 ORDER BY 1
+    """,
+    "agg", "timeseries", "seasonality",
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index (per-DOW average daily value over the
+    overall daily average; 1 = Sunday, Spark's dayofweek convention) — the
+    profile that decides whether a forecast needs weekly terms.  One fact
+    pass to the daily rollup; the DOW aggregate and the grand-mean
+    broadcast run on |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(F.sum("value").alias("v"))
+    overall = daily.agg(F.avg("v").alias("grand"))
+    return (
+        daily.groupBy(F.dayofweek("d").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("n_days"), F.avg("v").alias("__avg"))
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            F.round("__avg", 6).alias("avg_daily_value"),
+            F.round(F.col("__avg") / F.col("grand"), 6).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )

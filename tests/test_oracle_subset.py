@@ -28,9 +28,16 @@ import check_oracle  # noqa: E402
 
 #: queries added/rewritten in the current round — always checked
 CURRENT_ROUND = [
+    "q_autocorrelation",
+    "q_dau_mau",
+    "q_decile_lift",
+    "q_dow_seasonality",
     "q_gini_coefficient",
     "q_linear_interpolation",
+    "q_mann_whitney",
     "q_market_basket",
+    "q_nation_pagerank",
+    "q_null_profile",
     "q_revenue_pareto",
     "q_rfm_segments",
     "q_term_pmi",

@@ -33,11 +33,14 @@ from databricks_feature_store_flight_school_spark.session import get_spark  # no
 #: query -> WHY its partition-less window input is bounded.  Adding an entry
 #: requires a reason string naming the bounded table; reviewers grep this.
 GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
+    "q_autocorrelation": "lag windows over the daily-total rollup — |calendar days| rows",
     "q_bm25_scores": "row_number runs after orderBy().limit(20) — 20 rows",
+    "q_decile_lift": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
     "q_changepoint": "windows over the daily-total rollup — |calendar days| rows",
     "q_ewma": "frame fold over the daily-total rollup — |calendar days| rows",
     "q_gini_coefficient": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
     "q_hybrid_rrf": "rank fusion over two orderBy().limit(k) lists — <= 2k rows",
+    "q_mann_whitney": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
     "q_month_over_month": "lag over the monthly rollup — |months| rows",
     "q_new_customers_running": "running sum over first-seen months — |months| rows",
     "q_revenue_pareto": "rank/cumsum after orderBy().limit(100) — 100 rows",
