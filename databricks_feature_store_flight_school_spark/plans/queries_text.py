@@ -1029,3 +1029,188 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .select("term_a", "term_b", "n_both", F.round("pmi_raw", 6).alias("pmi"), "rank")
     )
+
+
+@register(
+    "q_bigram_lm_score",
+    """
+    WITH docs AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+    ),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+               unnest(list_transform(range(1, len(w)), i -> w[i + 1])) AS w2
+        FROM docs
+    ),
+    uni AS (
+        SELECT w1, count(*) AS c_uni
+        FROM (SELECT unnest(w) AS w1 FROM docs) GROUP BY w1
+    ),
+    vocab AS (SELECT count(*) AS v FROM uni),
+    cbi AS (SELECT w1, w2, count(*) AS c_bi FROM bi GROUP BY 1, 2),
+    scored AS (
+        SELECT bi.doc_id,
+               ln((c_bi + 1.0) / (c_uni + v)) AS lp
+        FROM bi
+        JOIN cbi USING (w1, w2)
+        JOIN uni USING (w1)
+        CROSS JOIN vocab
+    )
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    "text", "lm", "ngram",
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model scoring: every document scored
+    by its average add-1-smoothed log P(w2|w1) under counts estimated from
+    the corpus itself — the perplexity-proxy quality filter (low-probability
+    documents are gibberish/boilerplate candidates; cf. CCNet's LM filter,
+    here with the engine as its own LM).
+
+    Shapes: bigram explode is one narrow pass (index transform over the
+    token array, no self-join); bigram/unigram count tables join back on
+    their n-gram keys (plain shuffle joins — vocabulary-sized, never
+    broadcast blindly); vocab size folds in as a 1-row broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", T.tokens("text").alias("w"))
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    uni = (
+        docs.select(F.explode("w").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    cbi = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bi"))
+    scored = (
+        bi.join(cbi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c_bi") + 1.0) / (F.col("c_uni") + F.col("v"))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_source_mixture",
+    """
+    WITH cnt AS (
+        SELECT source, count(*) AS n_available,
+               CAST(substr(source, 4) AS INT) % 4 + 1 AS w
+        FROM documents GROUP BY source
+    ),
+    tw AS (SELECT sum(w) AS tot_w FROM cnt),
+    f AS (
+        SELECT floor(min(n_available * 1.0 * tot_w / w)) AS feasible
+        FROM cnt, tw
+    ),
+    plan AS (
+        SELECT source, n_available,
+               CAST(floor((w * 1.0 / tot_w) * feasible) AS BIGINT) AS target_n
+        FROM cnt, tw, f
+    ),
+    rated AS (
+        SELECT source, n_available, target_n,
+               target_n * 1.0 / n_available AS rate
+        FROM plan
+    ),
+    sel AS (
+        SELECT d.source, d.n_chars
+        FROM documents d JOIN rated p ON p.source = d.source
+        WHERE p.rate >= 1.0
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) <
+              lower(lpad(hex(CAST(floor(p.rate * 281474976710656.0) AS BIGINT)), 12, '0'))
+    )
+    SELECT r.source, r.n_available, r.target_n,
+           count(s.n_chars) AS n_selected,
+           CAST(coalesce(sum(s.n_chars), 0) AS BIGINT) AS chars_selected
+    FROM rated r LEFT JOIN sel s ON s.source = r.source
+    GROUP BY r.source, r.n_available, r.target_n
+    ORDER BY r.source
+    """,
+    "text", "sampling", "mixture",
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing at target proportions — the training-mixture planner:
+    given per-source weights (here derived 1..4 from the source id), find
+    the LARGEST corpus achievable at exactly those proportions without
+    upsampling (feasible = min over sources of n_s / p_s), floor each
+    source's target, and select deterministically by md5 THRESHOLD —
+    accept doc iff the first 12 hex chars of md5(doc_id) fall under the
+    per-source rate threshold.
+
+    The threshold form is the 100 TB path: selection is a narrow map over
+    the fact scan joined to a 20-row broadcast plan (no per-source window,
+    no sort — a per-source top-N-by-hash would funnel each source through
+    one task).  The mixture plan itself (counts, weights, feasible total)
+    is a |sources|-row computation folded in-plan.  Deterministic on both
+    engines: md5 of the same key string, same double threshold."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_available")).withColumn(
+        "w", F.substring("source", 4, 10).cast("int") % 4 + 1
+    )
+    tw = cnt.agg(F.sum("w").alias("tot_w"))
+    with_tw = cnt.crossJoin(F.broadcast(tw))
+    f = with_tw.agg(
+        F.floor(
+            F.min(F.col("n_available") * F.col("tot_w") / F.col("w"))
+        ).alias("feasible")
+    )
+    rated = (
+        with_tw.crossJoin(F.broadcast(f))
+        .withColumn(
+            "target_n",
+            F.floor((F.col("w") / F.col("tot_w")) * F.col("feasible")).cast("bigint"),
+        )
+        .withColumn("rate", F.col("target_n") / F.col("n_available"))
+        .select("source", "n_available", "target_n", "rate")
+    )
+    thresh = F.lower(
+        F.lpad(
+            F.hex(F.floor(F.col("rate") * F.lit(281474976710656.0)).cast("bigint")),
+            12,
+            "0",
+        )
+    )
+    sel = (
+        d.join(F.broadcast(rated), "source")
+        .where(
+            (F.col("rate") >= 1.0)
+            | (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12) < thresh)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_chars").cast("bigint").alias("chars_selected"),
+        )
+    )
+    return (
+        rated.join(sel, "source", "left")
+        .select(
+            "source",
+            "n_available",
+            "target_n",
+            F.coalesce("n_selected", F.lit(0)).alias("n_selected"),
+            F.coalesce("chars_selected", F.lit(0)).alias("chars_selected"),
+        )
+        .orderBy("source")
+    )

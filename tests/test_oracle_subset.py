@@ -29,6 +29,7 @@ import check_oracle  # noqa: E402
 #: queries added/rewritten in the current round — always checked
 CURRENT_ROUND = [
     "q_autocorrelation",
+    "q_bigram_lm_score",
     "q_dau_mau",
     "q_decile_lift",
     "q_dow_seasonality",
@@ -40,6 +41,7 @@ CURRENT_ROUND = [
     "q_null_profile",
     "q_revenue_pareto",
     "q_rfm_segments",
+    "q_source_mixture",
     "q_term_pmi",
     "q_weighted_median",
     "q_window_dist_functions",
