@@ -415,3 +415,46 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = semantic_dedup_pairs(emb, "vec_id", "embedding", threshold=0.35)
     return out.select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@register(
+    "q_embedding_covariance",
+    """
+    WITH x AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) - 1 AS i,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT a.i AS i, b.i AS j,
+           round(covar_samp(CAST(a.v AS DOUBLE), CAST(b.v AS DOUBLE)), 6) AS cov
+    FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    "vectors", "stats", "pca",
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full covariance matrix of the embedding space (upper triangle, d=64 ->
+    2080 cells) — the distributed heavy step of PCA / whitening / Mahalanobis
+    outlier scoring: eigendecomposition of this d x d result is k-sized
+    driver math (numpy.linalg.eigh), exactly like kmeans centroids.
+
+    Shape: posexplode to (vec_id, dim, value), self-join per vector (fan-out
+    d^2/2 per row — bounded by DIMENSION, not corpus), then ONE grouped
+    covar_samp.  Scale-safe because partial aggregation bounds the shuffle
+    to d^2 cells per map partition regardless of corpus size; the vector
+    table itself is never shuffled on anything wider than vec_id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(V.to_double(F.col("embedding"))).alias("i", "v")
+    )
+    a = x.select("vec_id", F.col("i").alias("ai"), F.col("v").alias("av"))
+    b = x.select("vec_id", F.col("i").alias("bi"), F.col("v").alias("bv"))
+    return (
+        a.join(b, "vec_id")
+        .where(F.col("ai") <= F.col("bi"))
+        .groupBy(F.col("ai").alias("i"), F.col("bi").alias("j"))
+        .agg(F.round(F.covar_samp("av", "bv"), 6).alias("cov"))
+        .orderBy("i", "j")
+    )

@@ -33,6 +33,7 @@ CURRENT_ROUND = [
     "q_dau_mau",
     "q_decile_lift",
     "q_dow_seasonality",
+    "q_embedding_covariance",
     "q_gini_coefficient",
     "q_linear_interpolation",
     "q_mann_whitney",
