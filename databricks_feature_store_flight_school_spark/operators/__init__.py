@@ -11,6 +11,7 @@ from .dedup import (
     shingle_pairs_jaccard,
     simhash_df,
 )
+from .pca import pca_fit, pca_project
 from .ranks import global_ntile, global_percent_rank, global_row_number
 from .similarity import arrow_cosine_topk, cosine_topk, ivf_topk, lsh_topk, nearest_neighbor_join
 from .skew import bucketed_table, salted_join, write_bucketed
@@ -36,6 +37,8 @@ __all__ = [
     "minhash_signature",
     "minhash_signatures_df",
     "nearest_neighbor_join",
+    "pca_fit",
+    "pca_project",
     "salted_join",
     "session_window_agg",
     "shingle_pairs_jaccard",

@@ -458,3 +458,27 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.covar_samp("av", "bv"), 6).alias("cov"))
         .orderBy("i", "j")
     )
+
+
+@register(
+    "q_embedding_pca",
+    None,  # rows-only: no SQL eigensolver; pinned vs numpy in tests
+    "vectors", "pca", "rows-only",
+)
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of every embedding onto its top-2 principal components
+    (operators/pca.py): fit = the oracle-checked covariance plan + k-sized
+    driver eigh (like k-means centroids); projection = one narrow JVM map
+    (dot with broadcast literal eigenvectors).  Declared rows-only — DuckDB
+    has no eigensolver — with the full fit/project path pinned against a
+    numpy reference in tests/test_operators.py."""
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, mean = pca_fit(emb, "embedding", k=2)
+    return pca_project(emb, "embedding", comps, mean).select(
+        "vec_id",
+        "label",
+        F.round("pc1", 6).alias("pc1"),
+        F.round("pc2", 6).alias("pc2"),
+    )

@@ -788,3 +788,46 @@ def test_kmeans_fit_rejects_fewer_rows_than_k(spark):
 
     with _pytest.raises(ValueError, match="at least k=5"):
         kmeans_fit(df, "id", "v", k=5, n_iters=1)
+
+
+def test_pca_matches_numpy_reference(spark):
+    """Distributed PCA fit/project pinned against a full-numpy reference on
+    the same rows: same covariance, same top-k components (up to the shared
+    sign normalisation), same projections within float tolerance."""
+    import numpy as np
+
+    from databricks_feature_store_flight_school_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(80, 3) @ np.array(
+        [[3.0, 0.5, 0.1, 0.0], [0.0, 2.0, 0.3, 0.1], [0.0, 0.0, 0.5, 0.2]]
+    )  # 80 x 4 with a clear spectrum
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+
+    comps, mean = pca_fit(df, "v", k=2)
+    got = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in pca_project(df, "v", comps, mean).collect()
+    }
+
+    mu = base.mean(axis=0)
+    cov = np.cov(base, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    ref = evecs[:, ::-1][:, :2].T.copy()
+    for row in ref:
+        nz = row[np.abs(row) > 1e-12]
+        if len(nz) and nz[0] < 0:
+            row *= -1.0
+    proj = (base - mu) @ ref.T
+    for i in range(80):
+        assert abs(got[i][0] - proj[i, 0]) < 1e-6, i
+        assert abs(got[i][1] - proj[i, 1]) < 1e-6, i
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="out of range"):
+        pca_fit(df, "v", k=9)
