@@ -25,12 +25,16 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -66,27 +70,103 @@ class JsonlDocsReader(DataSourceReader):
                 yield f
 
     def partitions(self) -> Sequence[InputPartition]:
+        """One partition per file.  Source-named files (``web.jsonl``) prune
+        at FILE level under a consumed source filter; writer-produced
+        ``part-*.jsonl`` files (multi-source, source stored per record)
+        always survive file pruning and filter at RECORD level in read() —
+        the consumed filter must be honoured somewhere."""
         files = sorted(
             f for f in os.listdir(self.dir) if f.endswith(".jsonl")
         )
         if self._source_filters is not None:
             files = [
-                f for f in files if os.path.splitext(f)[0] in self._source_filters
+                f
+                for f in files
+                if f.startswith("part-")
+                or os.path.splitext(f)[0] in self._source_filters
             ]
         return [_JsonlPartition(os.path.join(self.dir, f)) for f in files]
 
     def read(self, partition: _JsonlPartition) -> Iterator[tuple]:
-        source = os.path.splitext(os.path.basename(partition.path))[0]
+        stem = os.path.splitext(os.path.basename(partition.path))[0]
+        file_source = None if stem.startswith("part-") else stem
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 if not line.strip():
                     continue
                 rec = json.loads(line)
+                source = rec.get("source", file_source) or file_source
+                if (
+                    self._source_filters is not None
+                    and source not in self._source_filters
+                ):
+                    continue
                 yield (int(rec["doc_id"]), rec.get("text"), source)
 
 
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    tmp_path: str
+
+
+class JsonlDocsWriter(DataSourceWriter):
+    """Write half of the V2 surface (custom Python SINK): each task streams
+    its partition into a staging ``.part-*.jsonl.tmp`` file (records carry
+    the source inline), and the driver-side two-phase commit renames every
+    staged file into place — or deletes them all on abort, so a failed job
+    leaves no partial output visible.  ``overwrite`` clears previous
+    ``*.jsonl`` at commit time, after all tasks have staged successfully."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.dir = options["path"]
+        self.overwrite = overwrite
+        os.makedirs(self.dir, exist_ok=True)
+
+    def write(self, iterator: Iterator) -> _JsonlCommit:
+        import uuid
+
+        tmp = os.path.join(self.dir, f".part-{uuid.uuid4().hex}.jsonl.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        {
+                            "doc_id": row.doc_id,
+                            "text": row.text,
+                            "source": row.source,
+                        }
+                    )
+                    + "\n"
+                )
+                n += 1
+        if n == 0:  # empty partition: nothing to commit
+            os.remove(tmp)
+            return _JsonlCommit(tmp_path="")
+        return _JsonlCommit(tmp_path=tmp)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for f in os.listdir(self.dir):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.dir, f))
+        for m in messages:
+            if m and m.tmp_path:
+                final = os.path.join(
+                    self.dir,
+                    os.path.basename(m.tmp_path)[1:-len(".tmp")],
+                )
+                os.replace(m.tmp_path, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m and m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
 class JsonlDocsDataSource(DataSource):
-    """``spark.read.format("jsonl_docs").option("path", dir)`` after
+    """``spark.read.format("jsonl_docs").option("path", dir)`` /
+    ``df.write.format("jsonl_docs").option("path", dir).mode(...)`` after
     ``spark.dataSource.register(JsonlDocsDataSource)``."""
 
     @classmethod
@@ -98,3 +178,11 @@ class JsonlDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return JsonlDocsReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        names = [f.name for f in schema.fields]
+        if names != ["doc_id", "text", "source"]:
+            raise ValueError(
+                f"jsonl_docs writes (doc_id, text, source) frames, got {names}"
+            )
+        return JsonlDocsWriter(self.options, overwrite)
