@@ -12,7 +12,7 @@ from .dedup import (
     simhash_df,
 )
 from .pca import pca_fit, pca_project
-from .ranks import global_ntile, global_percent_rank, global_row_number
+from .ranks import global_ntile, global_percent_rank, global_prefix_sum, global_row_number
 from .similarity import arrow_cosine_topk, cosine_topk, ivf_topk, lsh_topk, nearest_neighbor_join
 from .skew import bucketed_table, salted_join, write_bucketed
 from .topk import top_k, top_k_per_group
@@ -29,6 +29,7 @@ __all__ = [
     "exact_dedup",
     "global_ntile",
     "global_percent_rank",
+    "global_prefix_sum",
     "global_row_number",
     "ivf_topk",
     "hamming64",

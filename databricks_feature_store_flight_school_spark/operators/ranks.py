@@ -84,6 +84,43 @@ def global_row_number(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    value_col: str,
+    sum_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``sum(value) OVER (ORDER BY order_by ROWS UNBOUNDED PRECEDING)``
+    without the single-task global window: per-partition running sums plus a
+    bounded broadcast of preceding-partition VALUE totals.  Same total-order
+    and checkpoint contract as :func:`global_row_number`."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = ranged.groupBy(_PID).agg(F.sum(value_col).alias("__t"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID, F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias(_OFFSET)
+    )
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn(_LOCAL, F.sum(value_col).over(w_local))
+        .join(F.broadcast(offsets), _PID)
+        .withColumn(sum_col, F.col(_OFFSET) + F.col(_LOCAL))
+        .drop(_PID, _LOCAL, _OFFSET)
+    )
+
+
 def global_ntile(
     df: DataFrame,
     order_by: Sequence[str | Column],

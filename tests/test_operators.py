@@ -831,3 +831,27 @@ def test_pca_matches_numpy_reference(spark):
 
     with _pytest.raises(ValueError, match="out of range"):
         pca_fit(df, "v", k=9)
+
+
+def test_global_prefix_sum_matches_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from databricks_feature_store_flight_school_spark.operators.ranks import (
+        global_prefix_sum,
+    )
+
+    rows = [((i * 37) % 101, i, float(i % 13)) for i in range(300)]
+    df = spark.createDataFrame(rows, "v int, id int, x double").repartition(7)
+    got = {
+        (r["v"], r["id"]): r["running_sum"]
+        for r in global_prefix_sum(df, ["v", "id"], "x", num_partitions=5).collect()
+    }
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r["v"], r["id"]): r["s"]
+        for r in df.withColumn("s", F.sum("x").over(w)).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
