@@ -447,3 +447,62 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "q_lorenz_curve",
+    """
+    WITH cust AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT revenue,
+               ntile(10) OVER (ORDER BY revenue, o_custkey) AS decile
+        FROM cust
+    ),
+    per AS (
+        SELECT decile, count(*) AS n_customers, sum(revenue) AS rev
+        FROM scored GROUP BY decile
+    ),
+    tot AS (SELECT sum(rev) AS total FROM per)
+    SELECT decile,
+           n_customers,
+           round(sum(rev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 / total, 6) AS cum_revenue_share
+    FROM per, tot
+    ORDER BY decile
+    """,
+    "window", "stats", "inequality",
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at decile resolution — cumulative revenue share of the
+    poorest 10%, 20%, ... of customers (the curve whose area the
+    oracle-checked q_gini_coefficient integrates).  Composition of the
+    round-5 primitives: global_ntile buckets the entity aggregate
+    (range-partitioned, no single-task sort); the running share then runs
+    over the 10-row decile table (bounded; audit-whitelisted); the grand
+    total folds in as a 1-row broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    scored = global_ntile(
+        cust, [F.col("revenue"), F.col("o_custkey")], 10, bucket_col="decile"
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("revenue").alias("rev")
+    )
+    tot = per.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.sum("rev").over(w) / F.col("total"), 6).alias(
+                "cum_revenue_share"
+            ),
+        )
+        .orderBy("decile")
+    )

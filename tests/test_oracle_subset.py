@@ -36,6 +36,7 @@ CURRENT_ROUND = [
     "q_embedding_covariance",
     "q_gini_coefficient",
     "q_linear_interpolation",
+    "q_lorenz_curve",
     "q_mann_whitney",
     "q_market_basket",
     "q_nation_pagerank",
