@@ -855,3 +855,29 @@ def test_global_prefix_sum_matches_window(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_global_row_number_is_permutation_under_recompute(spark):
+    """Regression net for the checkpoint in ranks.py: without a pinned
+    materialisation the offsets and rank branches can sample DIFFERENT range
+    boundaries (RDD-id-seeded), which shows up as duplicate/out-of-range
+    ranks.  Assert the ranks are exactly the permutation 1..n across
+    repeated fresh builds."""
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_flight_school_spark.operators.ranks import (
+        global_row_number,
+    )
+
+    df = spark.range(6000).select(
+        (F.col("id") * 2654435761 % 9973).alias("v"), F.col("id").alias("k")
+    )
+    for trial in range(3):
+        r = global_row_number(df, ["v", "k"], rank_col="i", num_partitions=8)
+        stats = r.agg(
+            F.countDistinct("i").alias("d"), F.max("i").alias("m"), F.count("*").alias("n")
+        ).collect()[0]
+        assert (stats["d"], stats["m"], stats["n"]) == (6000, 6000, 6000), (
+            trial,
+            dict(stats.asDict()),
+        )
