@@ -506,3 +506,109 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q_key_skew_profile",
+    """
+    WITH k AS (
+        SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    s AS (
+        SELECT count(*) AS n_keys,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               round(avg(n), 6) AS avg_rows,
+               CAST(max(n) AS BIGINT) AS max_rows
+        FROM k
+    ),
+    top AS (
+        SELECT key, n FROM k ORDER BY n DESC, key LIMIT 5
+    )
+    SELECT s.n_keys, s.n_rows, s.avg_rows, s.max_rows,
+           round(s.max_rows / s.avg_rows, 6) AS skew_ratio,
+           (SELECT min(key) FROM top) AS a_heavy_key
+    FROM s
+    """,
+    "agg", "skew", "diagnostics",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the profiling pass run BEFORE choosing a
+    join strategy (salting threshold, AQE skew-join expectations,
+    posting-list caps): per-key row counts, max/avg skew ratio, and a
+    representative heavy key.  One grouped aggregate + a 1-row reduction +
+    a 5-row TakeOrderedAndProject; nothing key-ordered ever sorts
+    globally.  Pairs with operators/skew.salted_join, which consumes
+    exactly this ratio to pick its salt factor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.round(F.avg("n"), 6).alias("avg_rows"),
+        F.max("n").cast("bigint").alias("max_rows"),
+    )
+    top = k.orderBy(F.col("n").desc(), "key").limit(5)
+    heavy = top.agg(F.min("key").alias("a_heavy_key"))
+    return (
+        s.crossJoin(F.broadcast(heavy))
+        .select(
+            "n_keys",
+            "n_rows",
+            "avg_rows",
+            "max_rows",
+            F.round(F.col("max_rows") / F.col("avg_rows"), 6).alias("skew_ratio"),
+            "a_heavy_key",
+        )
+    )
+
+
+@register(
+    "q_activity_bitmap",
+    """
+    WITH d AS (
+        SELECT user_id,
+               CAST(strftime(CAST(ts AS DATE), '%d') AS INT) AS dom
+        FROM events
+        WHERE user_id < 40 AND CAST(ts AS DATE) >= DATE '2024-01-01'
+                           AND CAST(ts AS DATE) < DATE '2024-02-01'
+    )
+    SELECT user_id,
+           CAST(bit_or(CAST(1 AS BIGINT) << (dom - 1)) AS BIGINT) AS days_mask,
+           bit_count(bit_or(CAST(1 AS BIGINT) << (dom - 1))) AS days_active,
+           CAST(min(dom) AS INT) AS first_day
+    FROM d
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "agg", "bitmap", "engagement",
+)
+def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-month presence encoded as a BITMAP (bit i-1 set = active on
+    day i, January 2024): the roaring-bitmap-style trick that turns
+    per-entity day SETS into one bigint — set union becomes bit_or,
+    cardinality becomes bit_count, and cross-period retention becomes
+    bitwise AND of two masks.  One grouped aggregate; the mask is
+    mergeable, so partial aggregation combines map-side like any sum."""
+    ev = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    # shiftleft's Python signature takes a literal shift; the SQL form takes
+    # a column shift amount, so the bit goes through F.expr
+    mask = F.bit_or(
+        F.expr("shiftleft(CAST(1 AS BIGINT), dayofmonth(to_date(ts)) - 1)")
+    )
+    return (
+        ev.where(
+            (F.col("user_id") < 40)
+            & (d >= F.lit("2024-01-01"))
+            & (d < F.lit("2024-02-01"))
+        )
+        .groupBy("user_id")
+        .agg(
+            mask.cast("bigint").alias("days_mask"),
+            F.bit_count(mask).alias("days_active"),
+            F.min(F.dayofmonth(d)).cast("int").alias("first_day"),
+        )
+        .orderBy("user_id")
+    )

@@ -28,6 +28,7 @@ import check_oracle  # noqa: E402
 
 #: queries added/rewritten in the current round — always checked
 CURRENT_ROUND = [
+    "q_activity_bitmap",
     "q_autocorrelation",
     "q_bigram_lm_score",
     "q_dau_mau",
@@ -35,6 +36,7 @@ CURRENT_ROUND = [
     "q_dow_seasonality",
     "q_embedding_covariance",
     "q_gini_coefficient",
+    "q_key_skew_profile",
     "q_linear_interpolation",
     "q_lorenz_curve",
     "q_mann_whitney",
