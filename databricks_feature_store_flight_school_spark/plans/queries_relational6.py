@@ -612,3 +612,57 @@ def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_peak_concurrency",
+    """
+    WITH pts AS (
+        SELECT date_trunc('minute', ts) AS m, 1 AS delta FROM events
+        UNION ALL
+        SELECT date_trunc('minute', ts + INTERVAL 5 MINUTE) AS m, -1 AS delta
+        FROM events
+    ),
+    net AS (
+        SELECT m, sum(delta) AS net FROM pts GROUP BY m
+    ),
+    run AS (
+        SELECT m,
+               sum(net) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS concurrent
+        FROM net
+    )
+    SELECT CAST(m AS DATE) AS day,
+           CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+    FROM run
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    "window", "timeseries", "sweep",
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent activity per day via the interval-sweep trick: each
+    event opens a 5-minute presence interval, endpoints become +1/-1
+    deltas, and the running sum of deltas IS the concurrency at every
+    instant — the capacity-planning statistic (max simultaneous sessions /
+    connections / streams).
+
+    Scale: deltas aggregate to MINUTE level first (one grouped pass — the
+    running input is |calendar minutes|, not |events|), and the running
+    sum uses operators/ranks.global_prefix_sum rather than a partition-less
+    window, so even at years x per-second resolution the sweep never
+    funnels through one task."""
+    from ..operators.ranks import global_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    opens = ev.select(F.date_trunc("minute", "ts").alias("m"), F.lit(1).alias("delta"))
+    closes = ev.select(
+        F.date_trunc("minute", F.col("ts") + F.expr("INTERVAL 5 MINUTE")).alias("m"),
+        F.lit(-1).alias("delta"),
+    )
+    net = opens.unionByName(closes).groupBy("m").agg(F.sum("delta").alias("net"))
+    run = global_prefix_sum(net, ["m"], "net", sum_col="concurrent")
+    return (
+        run.groupBy(F.col("m").cast("date").alias("day"))
+        .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+        .orderBy("day")
+    )

@@ -43,6 +43,7 @@ CURRENT_ROUND = [
     "q_market_basket",
     "q_nation_pagerank",
     "q_null_profile",
+    "q_peak_concurrency",
     "q_revenue_pareto",
     "q_rfm_segments",
     "q_source_mixture",
