@@ -44,6 +44,7 @@ GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
     "q_mann_whitney": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
     "q_month_over_month": "lag over the monthly rollup — |months| rows",
     "q_new_customers_running": "running sum over first-seen months — |months| rows",
+    "q_peak_concurrency": "prefix-sum offsets — <= num_partitions rows (ranks primitive over the minute rollup)",
     "q_revenue_pareto": "rank/cumsum after orderBy().limit(100) — 100 rows",
     "q_rfm_segments": "rank-offsets prefix sums — <= num_partitions rows (ranks primitive x3)",
     "q_rolling_corr": "RANGE frame over the daily rollup — |calendar days| rows",
