@@ -52,12 +52,14 @@ class FeatureStoreClient:
         point-in-time table: rows are versioned per (keys, timestamp_keys)
         and lookups may retrieve as-of a timestamp (lookups.py).
 
-        ``expectations`` declares CHECK-constraint predicates (name -> SQL
-        boolean expression, e.g. ``{"non_negative": "balance >= 0"}``) that
-        every subsequent write must satisfy — the Delta table-constraint /
-        DLT-expectation analog; violating writes fail with per-expectation
-        violation counts before any data lands (writer.py enforces in one
-        aggregate pass over the source)."""
+        ``expectations`` declares CHECK-constraint predicates — the Delta
+        table-constraint / DLT-expectation analog, enforced in one aggregate
+        pass over the MERGED write result (writer.py).  A plain-string value
+        (``{"non_negative": "balance >= 0"}``) fails violating writes
+        atomically with per-expectation counts; a dict value selects the
+        DLT action: ``{"predicate": "balance >= 0", "action":
+        "fail"|"drop"|"warn"}`` (drop removes violating rows from the
+        snapshot, warn counts and raises a RuntimeWarning but writes)."""
         if schema is None and df is not None:
             schema = df.schema
         if schema is None:

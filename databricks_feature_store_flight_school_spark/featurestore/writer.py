@@ -113,7 +113,7 @@ def write_snapshot(
     # schema-evolving merge source that legitimately omits a constrained
     # column checkable (the merged frame carries the target's columns)
     if validate and expectations:
-        _enforce_expectations(merged, expectations, meta.name)
+        merged = _apply_expectations(merged, expectations, meta.name)
 
     expected = meta.current_version
     new_version = expected + 1
@@ -172,18 +172,50 @@ def _validate_source(df: DataFrame, keys: list[str], table: str) -> None:
         )
 
 
-def _enforce_expectations(df: DataFrame, expectations: dict, table: str) -> None:
-    """CHECK-constraint enforcement (Delta table-constraint / DLT-expectation
-    analog): ONE aggregate pass counts violations of every declared predicate
-    (NULL predicate results count as violations, like SQL CHECK treats
-    unknown-as-fail here for data-quality purposes); any non-zero count fails
-    the write before data lands.
+_EXPECTATION_ACTIONS = ("fail", "drop", "warn")
+
+
+def _normalize_expectations(expectations: dict) -> dict[str, tuple[str, str]]:
+    """name -> (predicate, action).  A plain string value is the original
+    fail-on-violation form; a dict value carries DLT-style actions:
+    ``{"predicate": "x >= 0", "action": "fail"|"drop"|"warn"}``."""
+    out = {}
+    for name, spec in expectations.items():
+        if isinstance(spec, str):
+            out[name] = (spec, "fail")
+        else:
+            action = spec.get("action", "fail")
+            if action not in _EXPECTATION_ACTIONS:
+                raise ValueError(
+                    f"expectation {name!r}: unknown action {action!r} "
+                    f"(use one of {_EXPECTATION_ACTIONS})"
+                )
+            out[name] = (spec["predicate"], action)
+    return out
+
+
+def _apply_expectations(df: DataFrame, expectations: dict, table: str) -> DataFrame:
+    """CHECK-constraint enforcement with DLT-expectation actions, evaluated
+    against the write RESULT in ONE aggregate pass (NULL predicate results
+    count as violations — unknown-as-fail for data-quality purposes):
+
+    - ``fail`` (default / plain-string form): any violation rejects the
+      whole write atomically, with per-expectation counts;
+    - ``drop``: violating rows are removed from the written snapshot (note
+      this is table-state semantics — a previously-written row violating a
+      drop expectation is dropped at the next write, exactly as a new CHECK
+      constraint re-validates existing data);
+    - ``warn``: violations are counted and surfaced as a RuntimeWarning;
+      the write proceeds untouched.
 
     A predicate that does not resolve against the frame (e.g. names a column
     that exists in neither target nor source) rejects the write with a clear
     per-expectation ValueError instead of an opaque AnalysisException."""
+    import warnings
+
+    norm = _normalize_expectations(expectations)
     aggs = []
-    for name, pred in expectations.items():
+    for name, (pred, _action) in norm.items():
         try:  # analysis-only plan build: no job runs
             df.select(F.expr(pred).cast("boolean"))
         except Exception as exc:
@@ -201,13 +233,31 @@ def _enforce_expectations(df: DataFrame, expectations: dict, table: str) -> None
             ).alias(name)
         )
     row = df.agg(*aggs).first()
-    bad = {name: row[name] for name in expectations if row[name]}
-    if bad:
+    bad_fail = {
+        n: row[n] for n, (_p, a) in norm.items() if a == "fail" and row[n]
+    }
+    if bad_fail:
         raise ValueError(
-            f"write to {table} violates expectation(s) {bad} "
+            f"write to {table} violates expectation(s) {bad_fail} "
             f"(rows failing each predicate); fix the source or drop the "
             f"expectation"
         )
+    bad_warn = {
+        n: row[n] for n, (_p, a) in norm.items() if a == "warn" and row[n]
+    }
+    if bad_warn:
+        warnings.warn(
+            f"write to {table} has expectation warning(s) {bad_warn} "
+            f"(rows failing each predicate; write proceeds)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    drop_preds = [
+        p for n, (p, a) in norm.items() if a == "drop" and row[n]
+    ]
+    for pred in drop_preds:
+        df = df.where(F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)))
+    return df
 
 
 def _merge_frames(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:

@@ -1207,3 +1207,36 @@ def test_delta_merge_real_roundtrip(spark, tmp_path):
         for r in spark.read.format("delta").load(path).collect()
     }
     assert got == {1: (10.0, None), 2: (7.0, "gold"), 3: (1.0, "new")}
+
+
+def test_expectation_actions_drop_and_warn(spark, client):
+    """DLT-style expectation actions: 'drop' removes violating rows from the
+    written snapshot (write succeeds), 'warn' surfaces a RuntimeWarning and
+    writes everything, plain-string form still fails atomically."""
+    import warnings as _warnings
+
+    df = spark.createDataFrame(
+        [Row(customer_id=1, balance=10.0), Row(customer_id=2, balance=-4.0),
+         Row(customer_id=3, balance=None)]
+    )
+    client.create_feature_table(
+        "exp_actions", keys="customer_id", schema=df.schema,
+        expectations={
+            "non_negative": {"predicate": "balance >= 0", "action": "drop"},
+            "small": {"predicate": "balance < 100", "action": "warn"},
+        },
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        client.write_table("exp_actions", df, mode="merge")
+    # NULL balance fails 'small' too (unknown-as-fail) -> warn fired
+    assert any("small" in str(w.message) for w in caught)
+    got = {r["customer_id"] for r in client.read_table("exp_actions").collect()}
+    assert got == {1}  # -4.0 and NULL dropped by 'non_negative'
+
+    with pytest.raises(ValueError, match="unknown action"):
+        client.create_feature_table(
+            "exp_badaction", keys="customer_id", schema=df.schema,
+            expectations={"x": {"predicate": "balance >= 0", "action": "quarantine"}},
+        )
+        client.write_table("exp_badaction", df, mode="merge")
