@@ -111,10 +111,17 @@ class FeatureStoreClient:
 
     # -- data plane (S4/S8) -------------------------------------------------
 
-    def read_table(self, name: str, version: int | None = None) -> DataFrame:
-        """Current snapshot, or time-travel to an earlier ``version``."""
+    def read_table(
+        self,
+        name: str,
+        version: int | None = None,
+        as_of: float | str | None = None,
+    ) -> DataFrame:
+        """Current snapshot, or time-travel by ``version`` (versionAsOf) or
+        publish instant ``as_of`` (timestampAsOf)."""
         return writer.read_snapshot(
-            self.spark, self.registry, self.registry.get(name), version=version
+            self.spark, self.registry, self.registry.get(name),
+            version=version, as_of=as_of,
         )
 
     def write_table(

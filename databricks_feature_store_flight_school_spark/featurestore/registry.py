@@ -163,6 +163,11 @@ class Registry:
             os.rename(staging_dir, final_dir)
             cur.current_version = expected_version + 1
             cur.schema_json = schema_json
+            # per-version publish instants power timestamp time travel
+            # (writer.read_snapshot(as_of=...) — Delta's timestampAsOf analog)
+            cur.properties.setdefault("version_history", {})[
+                str(cur.current_version)
+            ] = time.time()
             self._write(cur)
             return cur
         finally:

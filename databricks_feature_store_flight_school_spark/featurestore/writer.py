@@ -59,14 +59,22 @@ def read_snapshot(
     registry: Registry,
     meta: FeatureTableMeta,
     version: int | None = None,
+    as_of: float | str | None = None,
 ) -> DataFrame:
     """Contents of a feature table (S4: ``fs.read_table``).
 
     ``version`` time-travels to an earlier snapshot — every merge/overwrite
     lands in its own ``v{N}`` directory, so history is queryable for free
-    (the parquet-snapshot analog of Delta's ``versionAsOf``)."""
+    (the parquet-snapshot analog of Delta's ``versionAsOf``).  ``as_of``
+    (epoch seconds or an ISO ``YYYY-MM-DD[ HH:MM:SS]`` string, UTC) is the
+    ``timestampAsOf`` analog: the newest version PUBLISHED at or before the
+    instant, resolved from the registry's per-version publish history."""
     if meta.current_version == 0:
         raise ValueError(f"feature table {meta.name} has no data yet")
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass version= or as_of=, not both")
+        version = _resolve_as_of(meta, as_of)
     if version is None:
         version = meta.current_version
     if not 1 <= version <= meta.current_version:
@@ -75,6 +83,25 @@ def read_snapshot(
             f"for {meta.name}"
         )
     return spark.read.parquet(_version_dir(registry.table_dir(meta.name), version))
+
+
+def _resolve_as_of(meta: FeatureTableMeta, as_of: float | str) -> int:
+    """Newest version with publish-instant <= as_of (timestampAsOf)."""
+    if isinstance(as_of, str):
+        from datetime import datetime, timezone
+
+        fmt = "%Y-%m-%d %H:%M:%S" if " " in as_of else "%Y-%m-%d"
+        as_of = datetime.strptime(as_of, fmt).replace(
+            tzinfo=timezone.utc
+        ).timestamp()
+    history = (getattr(meta, "properties", {}) or {}).get("version_history", {})
+    eligible = [int(v) for v, ts in history.items() if ts <= as_of]
+    if not eligible:
+        raise ValueError(
+            f"no version of {meta.name} existed at or before {as_of} "
+            f"(earliest publish: {min(history.values()) if history else 'none recorded'})"
+        )
+    return max(eligible)
 
 
 def write_snapshot(

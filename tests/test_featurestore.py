@@ -1240,3 +1240,33 @@ def test_expectation_actions_drop_and_warn(spark, client):
             expectations={"x": {"predicate": "balance >= 0", "action": "quarantine"}},
         )
         client.write_table("exp_badaction", df, mode="merge")
+
+
+def test_timestamp_as_of_time_travel(spark, client):
+    """timestampAsOf analog: read_table(as_of=...) resolves the newest
+    version published at or before the instant from the registry's
+    per-version publish history."""
+    import time as _time
+
+    client.create_feature_table(
+        "tt", keys="customer_id",
+        df=spark.createDataFrame([Row(customer_id=1, balance=1.0)]),
+    )
+    t_after_v1 = _time.time()
+    _time.sleep(0.05)
+    client.write_table(
+        "tt", spark.createDataFrame([Row(customer_id=1, balance=2.0)]),
+        mode="merge",
+    )
+
+    v1 = client.read_table("tt", as_of=t_after_v1).collect()[0]["balance"]
+    now = client.read_table("tt", as_of=_time.time()).collect()[0]["balance"]
+    assert (v1, now) == (1.0, 2.0)
+
+    with pytest.raises(ValueError, match="no version of tt existed"):
+        client.read_table("tt", as_of=t_after_v1 - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        client.read_table("tt", version=1, as_of=t_after_v1)
+    # ISO string form parses as UTC
+    with pytest.raises(ValueError, match="no version of tt existed"):
+        client.read_table("tt", as_of="2001-01-01")
