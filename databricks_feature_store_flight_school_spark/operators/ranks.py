@@ -87,14 +87,20 @@ def global_row_number(
 def global_prefix_sum(
     df: DataFrame,
     order_by: Sequence[str | Column],
-    value_col: str,
-    sum_col: str = "running_sum",
+    value_col: str | Sequence[str],
+    sum_col: str | Sequence[str] = "running_sum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """``sum(value) OVER (ORDER BY order_by ROWS UNBOUNDED PRECEDING)``
     without the single-task global window: per-partition running sums plus a
-    bounded broadcast of preceding-partition VALUE totals.  Same total-order
-    and checkpoint contract as :func:`global_row_number`."""
+    bounded broadcast of preceding-partition VALUE totals.  Accepts several
+    value columns at once (e.g. per-group indicator counts for a KS test) —
+    they share ONE range exchange and one offsets broadcast.  Same
+    total-order and checkpoint contract as :func:`global_row_number`."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    sum_cols = [sum_col] if isinstance(sum_col, str) else list(sum_col)
+    if len(value_cols) != len(sum_cols):
+        raise ValueError("value_col and sum_col lists must align")
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -103,22 +109,32 @@ def global_prefix_sum(
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    totals = ranged.groupBy(_PID).agg(F.sum(value_col).alias("__t"))
+    totals = ranged.groupBy(_PID).agg(
+        *[F.sum(v).alias(f"__t{i}") for i, v in enumerate(value_cols)]
+    )
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        _PID, F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias(_OFFSET)
+        _PID,
+        *[
+            F.coalesce(F.sum(f"__t{i}").over(w_off), F.lit(0)).alias(f"{_OFFSET}{i}")
+            for i in range(len(value_cols))
+        ],
     )
     w_local = (
         Window.partitionBy(_PID)
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        ranged.withColumn(_LOCAL, F.sum(value_col).over(w_local))
-        .join(F.broadcast(offsets), _PID)
-        .withColumn(sum_col, F.col(_OFFSET) + F.col(_LOCAL))
-        .drop(_PID, _LOCAL, _OFFSET)
-    )
+    out = ranged
+    for i, v in enumerate(value_cols):
+        out = out.withColumn(f"{_LOCAL}{i}", F.sum(v).over(w_local))
+    out = out.join(F.broadcast(offsets), _PID)
+    for i, s in enumerate(sum_cols):
+        out = out.withColumn(s, F.col(f"{_OFFSET}{i}") + F.col(f"{_LOCAL}{i}"))
+    drop = [_PID] + [f"{_LOCAL}{i}" for i in range(len(value_cols))] + [
+        f"{_OFFSET}{i}" for i in range(len(value_cols))
+    ]
+    return out.drop(*drop)
 
 
 def global_ntile(

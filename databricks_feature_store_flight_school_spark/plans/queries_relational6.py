@@ -666,3 +666,76 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
         .orderBy("day")
     )
+
+
+@register(
+    "q_ks_test",
+    """
+    WITH base AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END AS g1,
+               CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END AS g2
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+    ),
+    lv AS (SELECT v, sum(g1) AS n1, sum(g2) AS n2 FROM base GROUP BY v),
+    run AS (
+        SELECT sum(n1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+               sum(n2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+        FROM lv
+    ),
+    tot AS (
+        SELECT CAST(sum(n1) AS BIGINT) AS t1, CAST(sum(n2) AS BIGINT) AS t2
+        FROM lv
+    )
+    SELECT t1 AS n_1995, t2 AS n_1996,
+           round(max(abs(c1 * 1.0 / t1 - c2 * 1.0 / t2)), 6) AS ks_stat,
+           max(abs(c1 * 1.0 / t1 - c2 * 1.0 / t2))
+             > 1.358 * sqrt((t1 + t2) * 1.0 / (t1 * 1.0 * t2)) AS significant_95
+    FROM run, tot
+    GROUP BY t1, t2
+    """,
+    "window", "stats", "hypothesis-test", "drift",
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test — did the order-price distribution
+    shift between 1995 and 1996?  The distribution-drift detector that
+    complements q_feature_drift_psi (PSI needs binning; KS compares the full
+    ECDFs: statistic = max |F1(v) - F2(v)|).
+
+    Scale shape: one grouped pass to VALUE LEVELS (per-value counts for
+    both groups), then BOTH running counts from a single multi-column
+    global_prefix_sum (one range exchange, one offsets broadcast — never a
+    partition-less window over the level table), totals folded in as a
+    1-row broadcast.  The ECDF differences are exact integer ratios, so the
+    statistic matches the oracle bit-for-bit."""
+    from ..operators.ranks import global_prefix_sum
+
+    o = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    base = o.where(yr.isin(1995, 1996)).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(yr == 1995, 1).otherwise(0).alias("g1"),
+        F.when(yr == 1996, 1).otherwise(0).alias("g2"),
+    )
+    lv = base.groupBy("v").agg(F.sum("g1").alias("n1"), F.sum("g2").alias("n2"))
+    run = global_prefix_sum(lv, ["v"], ["n1", "n2"], ["c1", "c2"])
+    tot = lv.agg(
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum("n2").cast("bigint").alias("t2"),
+    )
+    diff = F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))
+    crit = 1.358 * F.sqrt((F.col("t1") + F.col("t2")) / (F.col("t1") * F.col("t2").cast("double")))
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .groupBy("t1", "t2")
+        .agg(
+            F.round(F.max(diff), 6).alias("ks_stat"),
+            (F.max(diff) > F.max(crit)).alias("significant_95"),
+        )
+        .select(
+            F.col("t1").alias("n_1995"),
+            F.col("t2").alias("n_1996"),
+            "ks_stat",
+            "significant_95",
+        )
+    )

@@ -37,6 +37,7 @@ CURRENT_ROUND = [
     "q_embedding_covariance",
     "q_gini_coefficient",
     "q_key_skew_profile",
+    "q_ks_test",
     "q_linear_interpolation",
     "q_lorenz_curve",
     "q_mann_whitney",

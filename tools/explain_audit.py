@@ -40,6 +40,7 @@ GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
     "q_ewma": "frame fold over the daily-total rollup — |calendar days| rows",
     "q_gini_coefficient": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
     "q_hybrid_rrf": "rank fusion over two orderBy().limit(k) lists — <= 2k rows",
+    "q_ks_test": "prefix-sum offsets — <= num_partitions rows (ranks primitive over price levels)",
     "q_lorenz_curve": "running share over the 10-row decile table + rank-offsets prefix sum",
     "q_mann_whitney": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
     "q_month_over_month": "lag over the monthly rollup — |months| rows",
