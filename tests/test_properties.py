@@ -158,3 +158,25 @@ def test_int8_quantization_error_bound(spark, vec):
     )
     row = df.select(worst.alias("worst"), maxabs.alias("m")).collect()[0]
     assert row["worst"] <= 0.5 * row["m"] / 127.0 * (1 + 1e-9)
+
+
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+    nparts=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_global_row_number_property(spark, vals, nparts):
+    """global_row_number == the index in the Python-sorted order, for any
+    values (duplicates included) and any partition count."""
+    from databricks_feature_store_flight_school_spark.operators.ranks import (
+        global_row_number,
+    )
+
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v int, k int")
+    got = {
+        (r["v"], r["k"]): r["i"]
+        for r in global_row_number(df, ["v", "k"], num_partitions=nparts).collect()
+    }
+    want = {vk: i + 1 for i, vk in enumerate(sorted(rows))}
+    assert got == want
