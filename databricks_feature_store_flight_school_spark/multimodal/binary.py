@@ -299,3 +299,80 @@ def extract_features_arrow(df: DataFrame, id_col: str, binary_col: str) -> DataF
             )
 
     return df.select(id_col, binary_col).mapInArrow(featurize, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("resized", BinaryType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("byte_size", LongType()),
+    ]
+)
+
+
+def _resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic FAKE resize: sample the byte stream down (or repeat it
+    up) to exactly ``width*height`` bytes — the real op is _resize_pil; the
+    stub keeps schema/batching/determinism testable without codec libs."""
+    target = max(1, width * height)
+    n = len(payload)
+    if n == 0:
+        return b"\x00" * target
+    # evenly-spaced index sample (floor(i * n / target)) — deterministic,
+    # monotone, works for both down- and up-sizing
+    return bytes(payload[(i * n) // target] for i in range(target))
+
+
+def _resize_pil(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize via PIL (env-gated like _decode_pil): decode, LANCZOS
+    resample, re-encode PNG."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        out = im.resize((width, height), Image.LANCZOS)
+        buf = io.BytesIO()
+        out.save(buf, format="PNG")
+        return buf.getvalue()
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int,
+    height: int,
+    codec: str = "stub",
+) -> DataFrame:
+    """mapInPandas resize: binary -> resized binary + output dims (the
+    preprocessing step before a vision encoder; SURVEY.md §2.12 multimodal).
+
+    Same codec contract as :func:`decode_image_batch`: ``'stub'`` (default,
+    deterministic byte resample — what tests pin), ``'pil'`` (real LANCZOS
+    resample + PNG re-encode), ``'auto'``.  Narrow map — blobs never cross
+    a shuffle; output row count == input row count."""
+    if codec == "auto":
+        codec = "pil" if _HAVE_PIL else "stub"
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"unknown codec {codec!r}: use 'stub', 'pil', or 'auto'")
+    if codec == "pil" and not _HAVE_PIL:
+        raise RuntimeError("codec='pil' but PIL is not installed")
+    resize = _resize_pil if codec == "pil" else _resize_stub
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize(b, width, height) for b in pdf[binary_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "resized": out,
+                    "out_width": pd.Series([width] * len(out), dtype="int32"),
+                    "out_height": pd.Series([height] * len(out), dtype="int32"),
+                    "byte_size": pd.Series([len(b) for b in out], dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, RESIZED_SCHEMA)

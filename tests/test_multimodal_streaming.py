@@ -592,3 +592,48 @@ def test_decode_codec_validation(spark):
         assert (auto["width"], auto["height"], auto["mode"]) == (
             stub["width"], stub["height"], stub["mode"],
         )
+
+
+def test_resize_images_stub_contract(spark):
+    """Resize (brief's multimodal op list): deterministic stub produces
+    exactly width*height bytes per blob, row count preserved, repeat-run
+    identical; empty blobs handled."""
+    from databricks_feature_store_flight_school_spark.multimodal.binary import (
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(200)))), (2, bytearray(b"")),
+         (3, bytearray(b"xyz"))],
+        "doc_id long, blob binary",
+    )
+    out1 = {r["doc_id"]: r for r in resize_images(df, "doc_id", "blob", 8, 6).collect()}
+    out2 = {r["doc_id"]: r for r in resize_images(df, "doc_id", "blob", 8, 6).collect()}
+    assert set(out1) == {1, 2, 3}
+    for i in (1, 2, 3):
+        assert out1[i]["byte_size"] == 48
+        assert len(out1[i]["resized"]) == 48
+        assert (out1[i]["out_width"], out1[i]["out_height"]) == (8, 6)
+        assert bytes(out1[i]["resized"]) == bytes(out2[i]["resized"])
+    # downsample of a monotone stream stays monotone (evenly-spaced sample)
+    vals = list(out1[1]["resized"])
+    assert vals == sorted(vals)
+
+
+def test_resize_images_pil_real(spark):
+    """Env-gated: real PIL resize roundtrip — output decodes to the target
+    dimensions."""
+    import io
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    from databricks_feature_store_flight_school_spark.multimodal.binary import (
+        resize_images,
+    )
+
+    im = PIL_Image.new("RGB", (32, 20))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, blob binary")
+    row = resize_images(df, "doc_id", "blob", 8, 5, codec="pil").collect()[0]
+    back = PIL_Image.open(io.BytesIO(bytes(row["resized"])))
+    assert (back.width, back.height) == (8, 5)
