@@ -107,3 +107,37 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub (byte histogram standing in for a CNN/audio
     embedding forward pass): one FEATURE_DIM vector per blob via mapInPandas."""
     return M.extract_features(_with_payload(spark, sf_dir), "doc_id", "payload")
+
+
+@register(
+    "q_media_resize",
+    """
+    SELECT doc_id,
+           8 AS out_width,
+           6 AS out_height,
+           CAST(48 AS BIGINT) AS byte_size,
+           md5(array_to_string(
+               list_transform(range(0, 48),
+                   i -> substr(text, (i * length(text)) // 48 + 1, 1)),
+               '')) AS resized_md5
+    FROM documents
+    """,
+    "multimodal", "mapInPandas",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage (multimodal/binary.resize_images, 8x6 stub resample)
+    through mapInPandas, digest-compared: the oracle replays the stub's
+    evenly-spaced byte sample in SQL over the same payload (documents text
+    is pure ASCII, so byte i == substr(text, i+1, 1)) and md5s the result —
+    pinning the resized BYTES, not just the shape.  The pil codec swaps in
+    for real media with the same plumbing."""
+    resized = M.resize_images(
+        _with_payload(spark, sf_dir), "doc_id", "payload", width=8, height=6
+    )
+    return resized.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        "byte_size",
+        F.md5("resized").alias("resized_md5"),
+    )

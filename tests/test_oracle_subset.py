@@ -42,6 +42,7 @@ CURRENT_ROUND = [
     "q_lorenz_curve",
     "q_mann_whitney",
     "q_market_basket",
+    "q_media_resize",
     "q_nation_pagerank",
     "q_null_profile",
     "q_peak_concurrency",
