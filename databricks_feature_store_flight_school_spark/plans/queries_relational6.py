@@ -739,3 +739,59 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_95",
         )
     )
+
+
+@register(
+    "q_percentile_scalable",
+    """
+    WITH lv AS (
+        SELECT l_extendedprice AS v, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    run AS (
+        SELECT v, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c
+        FROM lv
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM lv)
+    SELECT CAST(max(N) AS BIGINT) AS n_rows,
+           min(CASE WHEN c >= ceil(0.50 * N) THEN v END) AS p50,
+           min(CASE WHEN c >= ceil(0.95 * N) THEN v END) AS p95,
+           min(CASE WHEN c >= ceil(0.99 * N) THEN v END) AS p99
+    FROM run, tot
+    """,
+    "window", "stats", "percentile",
+)
+def q_percentile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles WITHOUT a sort and WITHOUT per-group value
+    buffering — the 100 TB percentile recipe: aggregate to value LEVELS
+    (one grouped pass), cumulative counts via the range-partitioned
+    global_prefix_sum, then each percentile is `min v with cum >= ceil(p*N)`
+    in one reduction.  Contrast the built-ins: exact `percentile` buffers
+    every value per group in executor memory, `approx_percentile` trades
+    exactness for a sketch (cf. q_sketch_rollup); the level-table form is
+    exact at any scale for discrete-ish value domains (prices, durations,
+    token counts — cardinality bounded by the domain, not the row count)."""
+    from ..operators.ranks import global_prefix_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lv = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # Spark resolves case-insensitively by default, so the total's alias
+    # must not collide with the level count "n"
+    run = global_prefix_sum(lv, ["v"], "n", sum_col="c").drop("n")
+    tot = lv.agg(F.sum("n").cast("bigint").alias("n_total"))
+
+    def pick(p: float):
+        return F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(p) * F.col("n_total")), F.col("v"))
+        )
+
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n_total").cast("bigint").alias("n_rows"),
+            pick(0.50).alias("p50"),
+            pick(0.95).alias("p95"),
+            pick(0.99).alias("p99"),
+        )
+    )

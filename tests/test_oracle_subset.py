@@ -46,6 +46,7 @@ CURRENT_ROUND = [
     "q_nation_pagerank",
     "q_null_profile",
     "q_peak_concurrency",
+    "q_percentile_scalable",
     "q_revenue_pareto",
     "q_rfm_segments",
     "q_source_mixture",

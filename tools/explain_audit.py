@@ -46,6 +46,7 @@ GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
     "q_month_over_month": "lag over the monthly rollup — |months| rows",
     "q_new_customers_running": "running sum over first-seen months — |months| rows",
     "q_peak_concurrency": "prefix-sum offsets — <= num_partitions rows (ranks primitive over the minute rollup)",
+    "q_percentile_scalable": "prefix-sum offsets — <= num_partitions rows (ranks primitive over price levels)",
     "q_revenue_pareto": "rank/cumsum after orderBy().limit(100) — 100 rows",
     "q_rfm_segments": "rank-offsets prefix sums — <= num_partitions rows (ranks primitive x3)",
     "q_rolling_corr": "RANGE frame over the daily rollup — |calendar days| rows",
