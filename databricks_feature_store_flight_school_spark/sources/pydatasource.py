@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -164,8 +165,63 @@ class JsonlDocsWriter(DataSourceWriter):
                 os.remove(m.tmp_path)
 
 
+def _read_jsonl_file(path: str) -> Iterator[tuple]:
+    stem = os.path.splitext(os.path.basename(path))[0]
+    file_source = None if stem.startswith("part-") else stem
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            yield (int(rec["doc_id"]), rec.get("text"), rec.get("source", file_source))
+
+
+class JsonlDocsStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING half of the read surface (Spark 4 Python
+    ``SimpleDataSourceStreamReader``): tail the directory for new ``.jsonl``
+    files; the offset is the sorted list of files already consumed, so the
+    source is RESTARTABLE — ``readBetweenOffsets`` deterministically
+    replays any (start, end] range from the same offsets after a crash,
+    which is exactly the replayability contract structured streaming
+    checkpoints rely on.  New files are discovered in sorted-name order;
+    a file is the ingestion unit (append-only directories, the classic
+    landing-zone shape)."""
+
+    def __init__(self, options: dict):
+        self.dir = options["path"]
+
+    def _files(self) -> list[str]:
+        return sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".jsonl")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        new = [f for f in self._files() if f not in seen]
+        rows: list[tuple] = []
+        for f in new:
+            rows.extend(_read_jsonl_file(os.path.join(self.dir, f)))
+        end = {"seen": sorted(seen | set(new))}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        delta = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        for f in delta:
+            path = os.path.join(self.dir, f)
+            if os.path.exists(path):
+                yield from _read_jsonl_file(path)
+
+    def commit(self, end: dict) -> None:
+        # offsets are self-contained (file lists); nothing to clean up
+        pass
+
+
 class JsonlDocsDataSource(DataSource):
     """``spark.read.format("jsonl_docs").option("path", dir)`` /
+    ``spark.readStream.format("jsonl_docs")...`` /
     ``df.write.format("jsonl_docs").option("path", dir).mode(...)`` after
     ``spark.dataSource.register(JsonlDocsDataSource)``."""
 
@@ -178,6 +234,9 @@ class JsonlDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return JsonlDocsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SimpleDataSourceStreamReader:
+        return JsonlDocsStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         names = [f.name for f in schema.fields]

@@ -304,3 +304,53 @@ def test_python_datasource_write_roundtrip(spark, tmp_path):
     bad = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with _pytest.raises(Exception, match="jsonl_docs writes"):
         bad.write.format("jsonl_docs").option("path", d).mode("append").save()
+
+
+def test_python_datasource_streaming_tail(spark, tmp_path):
+    """Custom Python STREAMING source (Spark 4 SimpleDataSourceStreamReader):
+    readStream tails the directory, each new file arrives exactly once
+    across micro-batches, and the checkpointed offsets survive a query
+    restart (files landed while stopped are picked up, already-consumed
+    files are not re-emitted)."""
+    import json as _json
+
+    from databricks_feature_store_flight_school_spark.sources.pydatasource import (
+        JsonlDocsDataSource,
+    )
+
+    spark.dataSource.register(JsonlDocsDataSource)
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out_tbl")
+
+    def land(name, ids):
+        with open(src / name, "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({"doc_id": i, "text": f"d{i}", "source": "web"}) + "\n")
+
+    land("a.jsonl", [1, 2])
+
+    def run_once():
+        q = (
+            spark.readStream.format("jsonl_docs")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2}
+
+    # new file lands while the query is DOWN; restart resumes from offsets
+    land("b.jsonl", [3])
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    assert len(rows) == 3  # no duplicates: a.jsonl not re-read
