@@ -795,3 +795,117 @@ def q_percentile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick(0.99).alias("p99"),
         )
     )
+
+
+@register(
+    "q_seasonal_decompose",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, round(sum(value), 2) AS v
+        FROM events GROUP BY 1
+    ),
+    ma AS (
+        SELECT d, v,
+               CASE WHEN count(*) OVER w = 7
+                    THEN avg(v) OVER w END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, v,
+           round(trend, 6) AS trend,
+           round(v - trend, 6) AS detrended
+    FROM ma
+    ORDER BY day
+    """,
+    "window", "timeseries", "decomposition",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition step 1: centred 7-day moving-average TREND
+    over the daily series plus the detrended residual (what a seasonal-
+    adjustment or anomaly model consumes next).  Edge days with fewer than
+    7 neighbours get NULL trend (both engines apply the same exact-count
+    guard).  One fact pass to the daily rollup; the centred frame runs over
+    |calendar days| (bounded; audit-whitelisted)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trend = F.when(F.count(F.lit(1)).over(w) == 7, F.avg("v").over(w))
+    return (
+        daily.withColumn("trend", trend)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "v",
+            F.round("trend", 6).alias("trend"),
+            F.round(F.col("v") - F.col("trend"), 6).alias("detrended"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "q_growth_accounting",
+    """
+    WITH um AS (
+        SELECT DISTINCT user_id, date_trunc('month', CAST(ts AS DATE)) AS m
+        FROM events
+    ),
+    flags AS (
+        SELECT user_id, m,
+               min(m) OVER (PARTITION BY user_id) AS first_m,
+               lag(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m
+        FROM um
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           count(*) AS active_users,
+           CAST(sum(CASE WHEN m = first_m THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN prev_m = m - INTERVAL 1 MONTH THEN 1 ELSE 0 END) AS BIGINT) AS retained_users,
+           CAST(sum(CASE WHEN m <> first_m
+                     AND (prev_m IS NULL OR prev_m < m - INTERVAL 1 MONTH)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS resurrected_users
+    FROM flags
+    GROUP BY m
+    ORDER BY month
+    """,
+    "window", "agg", "engagement",
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting (the Social-Capital MAU framework): each month's
+    actives split into NEW (first month ever), RETAINED (also active the
+    previous month), and RESURRECTED (returning after a gap).  One distinct
+    pass to (user, month), user-keyed windows (entity-partitioned — scales
+    horizontally), then a months-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    um = ev.select(
+        "user_id", F.date_trunc("month", F.to_date("ts")).alias("m")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("m")
+    flags = um.select(
+        "m",
+        F.min("m").over(wu).alias("first_m"),
+        F.lag("m").over(wo).alias("prev_m"),
+    )
+    is_retained = F.col("prev_m") == F.col("m") - F.expr("INTERVAL 1 MONTH")
+    return (
+        flags.groupBy(F.date_format("m", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.sum(F.when(F.col("m") == F.col("first_m"), 1).otherwise(0)).alias(
+                "new_users"
+            ),
+            F.sum(F.when(is_retained, 1).otherwise(0)).alias("retained_users"),
+            F.sum(
+                F.when(
+                    (F.col("m") != F.col("first_m"))
+                    & (
+                        F.col("prev_m").isNull()
+                        | (F.col("prev_m") < F.col("m") - F.expr("INTERVAL 1 MONTH"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("resurrected_users"),
+        )
+        .orderBy("month")
+    )

@@ -1214,3 +1214,50 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_text_readability",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(trim(text), ' ')) AS words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+        FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables,
+           round(206.835 - 1.015 * words * 1.0 / sentences
+                         - 84.6 * syllables * 1.0 / greatest(words, 1), 6)
+               AS flesch_score
+    FROM t
+    ORDER BY doc_id
+    """,
+    "text", "quality", "readability",
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with a vowel-group syllable proxy — the
+    readability axis of corpus quality filtering (too-hard and too-trivial
+    documents both correlate with boilerplate).  Pure Column regexp
+    arithmetic inside the scan stage; the identical RE2-safe patterns run
+    on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(T.tokens("text"))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * words / sentences
+        - 84.6 * syllables / F.greatest(words, F.lit(1))
+    )
+    return d.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+        F.round(flesch, 6).alias("flesch_score"),
+    ).orderBy("doc_id")

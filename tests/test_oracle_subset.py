@@ -36,6 +36,7 @@ CURRENT_ROUND = [
     "q_dow_seasonality",
     "q_embedding_covariance",
     "q_gini_coefficient",
+    "q_growth_accounting",
     "q_key_skew_profile",
     "q_ks_test",
     "q_linear_interpolation",
@@ -49,7 +50,9 @@ CURRENT_ROUND = [
     "q_percentile_scalable",
     "q_revenue_pareto",
     "q_rfm_segments",
+    "q_seasonal_decompose",
     "q_source_mixture",
+    "q_text_readability",
     "q_term_pmi",
     "q_weighted_median",
     "q_window_dist_functions",
