@@ -124,6 +124,13 @@ class FeatureStoreClient:
             version=version, as_of=as_of,
         )
 
+    def restore_table(self, name: str, version: int) -> FeatureTableMeta:
+        """Delta RESTORE analog: re-publish snapshot ``version`` as a new
+        current version (history preserved; see writer.restore_version)."""
+        return writer.restore_version(
+            self.spark, self.registry, self.registry.get(name), version
+        )
+
     def write_table(
         self, name: str, df: DataFrame, mode: str = "merge", validate: bool = True
     ) -> FeatureTableMeta:

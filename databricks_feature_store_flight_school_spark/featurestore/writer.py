@@ -469,3 +469,38 @@ def delete_keys(
     )
     meta.current_version = updated.current_version
     return updated
+
+
+def restore_version(
+    spark: SparkSession,
+    registry: Registry,
+    meta: FeatureTableMeta,
+    version: int,
+) -> FeatureTableMeta:
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF`` analog: re-publish an
+    earlier snapshot's rows as a NEW version (history is preserved — restore
+    is itself a versioned write, so it is auditable and re-restorable, and
+    concurrent writers still serialize through the same stage-then-CAS
+    publish).  The restored version must still be on disk (i.e. not yet
+    retired by ``vacuum_snapshots``)."""
+    source = read_snapshot(spark, registry, meta, version=version)
+    expected = meta.current_version
+    new_version = expected + 1
+    table_dir = registry.table_dir(meta.name)
+    staging = os.path.join(
+        table_dir, f".staging-v{new_version:06d}-restore-{os.getpid()}"
+    )
+    writer = source.write.mode("overwrite")
+    if meta.partition_columns:
+        writer = writer.partitionBy(*meta.partition_columns)
+    writer.parquet(staging)
+    updated = registry.publish_version(
+        meta.name,
+        expected_version=expected,
+        staging_dir=staging,
+        final_dir=_version_dir(table_dir, new_version),
+        schema_json=source.schema.json(),
+    )
+    meta.current_version = updated.current_version
+    meta.schema_json = updated.schema_json
+    return updated

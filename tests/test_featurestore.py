@@ -1270,3 +1270,22 @@ def test_timestamp_as_of_time_travel(spark, client):
     # ISO string form parses as UTC
     with pytest.raises(ValueError, match="no version of tt existed"):
         client.read_table("tt", as_of="2001-01-01")
+
+
+def test_restore_version(spark, client):
+    """RESTORE analog: an earlier snapshot's rows come back as a NEW version
+    (auditable, re-restorable), and time travel still reaches every state."""
+    client.create_feature_table(
+        "rst", keys="customer_id",
+        df=spark.createDataFrame([Row(customer_id=1, balance=1.0)]),
+    )
+    client.write_table(
+        "rst", spark.createDataFrame([Row(customer_id=1, balance=2.0)]),
+        mode="merge",
+    )
+    meta = client.restore_table("rst", version=1)
+    assert meta.current_version == 3
+    assert client.read_table("rst").collect()[0]["balance"] == 1.0
+    # all three states remain readable by version
+    assert client.read_table("rst", version=2).collect()[0]["balance"] == 2.0
+    assert client.read_table("rst", version=3).collect()[0]["balance"] == 1.0
