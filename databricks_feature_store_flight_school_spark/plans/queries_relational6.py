@@ -909,3 +909,112 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "q_triangle_count",
+    """
+    WITH e0 AS (
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                        greatest(c.c_nationkey, s.s_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges
+    FROM e0 e1
+    JOIN e0 e2 ON e2.a = e1.b
+    JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    "graph", "join",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the undirected nation trade graph — the graph
+    clustering-coefficient primitive, via the canonical ORIENTED edge
+    enumeration (every edge stored once as a < b; each triangle a<b<c is
+    then found exactly once by the two-hop join a-b, b-c closed by a-c).
+    The fact pass reduces to distinct dimension-key edges first; the
+    triangle joins run on the edge table, never on facts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.select("l_orderkey", "l_suppkey")
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+    )
+    e0 = pairs.select(
+        F.least("c_nationkey", "s_nationkey").alias("a"),
+        F.greatest("c_nationkey", "s_nationkey").alias("b"),
+    ).distinct()
+    e1 = e0.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e0.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e0.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+    edges = e0.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(edges))
+
+
+@register(
+    "q_roc_auc",
+    """
+    WITH scored AS (
+        SELECT o_orderstatus = 'O' AS label,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+        FROM orders
+    ),
+    s AS (
+        SELECT sum(CASE WHEN label THEN r END) AS r1,
+               sum(CASE WHEN label THEN 1 ELSE 0 END) AS n_pos,
+               sum(CASE WHEN NOT label THEN 1 ELSE 0 END) AS n_neg
+        FROM scored
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           round((r1 - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * 1.0 * n_neg), 6) AS auc
+    FROM s
+    """,
+    "window", "stats", "model-eval",
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC via the rank-sum identity AUC = (R+ - n+(n+ +1)/2) / (n+ n-)
+    — the probability a random positive outranks a random negative, i.e.
+    the model-evaluation twin of q_mann_whitney (here: does order price
+    'predict' open status?).  One FACT-cardinality rank through
+    operators/ranks.global_row_number + one reduction; no sorting the world
+    through a single task, no per-threshold ROC sweep."""
+    from ..operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "O").alias("label"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    ranked = global_row_number(o, ["o_totalprice", "o_orderkey"], rank_col="r")
+    s = ranked.agg(
+        F.sum(F.when(F.col("label"), F.col("r"))).alias("r1"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~F.col("label"), 1).otherwise(0)).alias("n_neg"),
+    )
+    np_, nn, r1 = (
+        F.col("n_pos").cast("double"),
+        F.col("n_neg").cast("double"),
+        F.col("r1").cast("double"),
+    )
+    return s.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round((r1 - np_ * (np_ + 1) / 2.0) / (np_ * nn), 6).alias("auc"),
+    )

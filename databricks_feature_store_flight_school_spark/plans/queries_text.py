@@ -1261,3 +1261,48 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         syllables.alias("syllables"),
         F.round(flesch, 6).alias("flesch_score"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_zipf_fit",
+    """
+    WITH tf AS (
+        SELECT w, count(*) AS freq
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    ranked AS (
+        SELECT freq,
+               row_number() OVER (ORDER BY freq DESC, w) AS rnk
+        FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           round(regr_slope(ln(freq), ln(rnk)), 6) AS zipf_slope,
+           round(regr_r2(ln(freq), ln(rnk)), 6) AS r_squared
+    FROM ranked
+    """,
+    "text", "stats", "zipf",
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: log-log OLS slope of term frequency against frequency
+    rank (natural corpora slope toward -1; strong deviation flags synthetic
+    or templated text — a corpus forensics check).  The vocabulary rank is
+    VOCAB-cardinality (millions of terms at corpus scale), so it comes from
+    operators/ranks.global_row_number, and the fit itself is one
+    regr_slope/regr_r2 reduction — never a collected frequency table."""
+    from ..operators.ranks import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(T.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = global_row_number(
+        tf, [F.col("freq").desc(), F.col("w")], rank_col="rnk"
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 6).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 6).alias("r_squared"),
+    )

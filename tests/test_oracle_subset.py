@@ -50,12 +50,15 @@ CURRENT_ROUND = [
     "q_percentile_scalable",
     "q_revenue_pareto",
     "q_rfm_segments",
+    "q_roc_auc",
     "q_seasonal_decompose",
     "q_source_mixture",
     "q_text_readability",
     "q_term_pmi",
+    "q_triangle_count",
     "q_weighted_median",
     "q_window_dist_functions",
+    "q_zipf_fit",
 ]
 
 

@@ -48,11 +48,13 @@ GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
     "q_peak_concurrency": "prefix-sum offsets — <= num_partitions rows (ranks primitive over the minute rollup)",
     "q_percentile_scalable": "prefix-sum offsets — <= num_partitions rows (ranks primitive over price levels)",
     "q_revenue_pareto": "rank/cumsum after orderBy().limit(100) — 100 rows",
+    "q_roc_auc": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
     "q_rfm_segments": "rank-offsets prefix sums — <= num_partitions rows (ranks primitive x3)",
     "q_rolling_corr": "RANGE frame over the daily rollup — |calendar days| rows",
     "q_seasonal_decompose": "centred MA frame over the daily rollup — |calendar days| rows",
     "q_survival_km": "at-risk/survival windows over lifetime-month buckets — tens of rows",
     "q_term_pmi": "row_number runs after orderBy().limit(20) — 20 rows",
+    "q_zipf_fit": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
     "q_window_dist_functions": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
 }
 
