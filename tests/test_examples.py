@@ -15,7 +15,8 @@ REPO = Path(__file__).resolve().parent.parent
 
 @pytest.mark.parametrize(
     "script",
-    ["examples/feature_store_demo.py", "examples/corpus_pipeline_demo.py"],
+    ["examples/feature_store_demo.py", "examples/corpus_pipeline_demo.py",
+     "examples/scalable_analytics_demo.py"],
 )
 def test_example_script_runs(script, tmp_path):
     args = [sys.executable, str(REPO / script)]
