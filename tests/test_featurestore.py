@@ -1289,3 +1289,21 @@ def test_restore_version(spark, client):
     # all three states remain readable by version
     assert client.read_table("rst", version=2).collect()[0]["balance"] == 2.0
     assert client.read_table("rst", version=3).collect()[0]["balance"] == 1.0
+
+
+def test_merge_type_widening(spark, client):
+    """Schema evolution widens types through the merge (Delta autoMerge
+    upcast analog): an int feature merged with a double source lands as
+    double, existing rows upcast losslessly."""
+    client.create_feature_table(
+        "widen", keys="customer_id",
+        df=spark.createDataFrame([Row(customer_id=1, x=1)]),  # x: bigint
+    )
+    client.write_table(
+        "widen", spark.createDataFrame([Row(customer_id=2, x=2.5)]),
+        mode="merge",
+    )
+    out = client.read_table("widen")
+    assert dict(out.dtypes)["x"] == "double"
+    got = {r["customer_id"]: r["x"] for r in out.collect()}
+    assert got == {1: 1.0, 2: 2.5}
