@@ -82,7 +82,14 @@ def read_snapshot(
             f"version {version} out of range [1, {meta.current_version}] "
             f"for {meta.name}"
         )
-    return spark.read.parquet(_version_dir(registry.table_dir(meta.name), version))
+    vdir = _version_dir(registry.table_dir(meta.name), version)
+    if not os.path.isdir(vdir):
+        raise ValueError(
+            f"version {version} of {meta.name} was retired by "
+            f"vacuum_snapshots; only versions still on disk are readable "
+            f"(current: v{meta.current_version})"
+        )
+    return spark.read.parquet(vdir)
 
 
 def _resolve_as_of(meta: FeatureTableMeta, as_of: float | str) -> int:

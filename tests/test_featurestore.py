@@ -1307,3 +1307,24 @@ def test_merge_type_widening(spark, client):
     assert dict(out.dtypes)["x"] == "double"
     got = {r["customer_id"]: r["x"] for r in out.collect()}
     assert got == {1: 1.0, 2: 2.5}
+
+
+def test_read_vacuumed_version_clear_error(spark, client):
+    from databricks_feature_store_flight_school_spark.featurestore.writer import (
+        vacuum_snapshots,
+    )
+
+    client.create_feature_table(
+        "vac2", keys="customer_id",
+        df=spark.createDataFrame([Row(customer_id=1, x=1)]),
+    )
+    for v in (2.0, 3.0):
+        client.write_table(
+            "vac2", spark.createDataFrame([Row(customer_id=1, x=v)]), mode="merge"
+        )
+    meta = client.get_feature_table("vac2")
+    removed = vacuum_snapshots(client.registry, meta, keep_last=1)
+    assert removed == [1, 2]
+    with pytest.raises(ValueError, match="retired by"):
+        client.read_table("vac2", version=1)
+    assert client.read_table("vac2").count() == 1  # current still fine
