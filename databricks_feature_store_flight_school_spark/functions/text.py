@@ -248,3 +248,26 @@ def redact_pii(col: Column | str) -> Column:
     for pattern, tag in PII_PATTERNS:
         c = F.regexp_replace(c, pattern, tag)
     return c
+
+
+def sentence_count(col: Column | str) -> Column:
+    """Terminal-punctuation-run count, floored at 1 (readability denominators)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.greatest(F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1))
+
+
+def syllable_count(col: Column | str) -> Column:
+    """Vowel-group syllable proxy (the standard cheap estimator)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0))
+
+
+def flesch_score(col: Column | str) -> Column:
+    """Flesch reading ease: 206.835 - 1.015 w/s - 84.6 syl/w (pure Column
+    regexp arithmetic; mirrored by the q_text_readability oracle)."""
+    words = F.size(tokens(col))
+    return (
+        F.lit(206.835)
+        - 1.015 * words / sentence_count(col)
+        - 84.6 * syllable_count(col) / F.greatest(words, F.lit(1))
+    )

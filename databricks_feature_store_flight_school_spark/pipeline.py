@@ -142,3 +142,107 @@ class CorpusPipeline:
             )
             .orderBy(lang_col)
         )
+
+
+    # -- round-5 stages ------------------------------------------------------
+
+    def filter_readability(
+        self, min_score: float = -100.0, max_score: float = 150.0
+    ) -> "CorpusPipeline":
+        """Keep documents inside a Flesch reading-ease band (both tails of
+        readability correlate with boilerplate/gibberish).  Row-local scan
+        expression like the other filters."""
+        s = T.flesch_score(self.text_col)
+        return replace(
+            self, df=self.df.where((s >= min_score) & (s <= max_score))
+        )
+
+    def sample_mixture(
+        self, weights: dict[str, float], source_col: str = "source"
+    ) -> "CorpusPipeline":
+        """Rebalance the corpus toward target source proportions — the
+        largest subset achievable at exactly ``weights`` proportions without
+        upsampling (sources absent from ``weights`` are dropped), selected
+        deterministically by md5 THRESHOLD per document (the q_source_mixture
+        plan as a pipeline stage: a narrow map over a |sources|-row broadcast
+        plan; no per-source window or sort)."""
+        spark = self.df.sparkSession
+        wdf = spark.createDataFrame(
+            [(k, float(v)) for k, v in weights.items()], f"{source_col} string, __w double"
+        )
+        cnt = (
+            self.df.groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .join(wdf, source_col)
+        )
+        tot = cnt.agg(F.sum("__w").alias("__tw"))
+        with_tw = cnt.crossJoin(F.broadcast(tot))
+        feasible = with_tw.agg(
+            F.floor(F.min(F.col("__n") * F.col("__tw") / F.col("__w"))).alias("__f")
+        )
+        rated = (
+            with_tw.crossJoin(F.broadcast(feasible))
+            .withColumn(
+                "__rate",
+                F.floor((F.col("__w") / F.col("__tw")) * F.col("__f")).cast("bigint")
+                / F.col("__n"),
+            )
+            .select(source_col, "__rate")
+        )
+        thresh = F.lower(
+            F.lpad(
+                F.hex(F.floor(F.col("__rate") * F.lit(281474976710656.0)).cast("bigint")),
+                12,
+                "0",
+            )
+        )
+        kept = (
+            self.df.join(F.broadcast(rated), source_col)
+            .where(
+                (F.col("__rate") >= 1.0)
+                | (
+                    F.substring(F.md5(F.col(self.id_col).cast("string")), 1, 12)
+                    < thresh
+                )
+            )
+            .drop("__rate")
+        )
+        return replace(self, df=kept)
+
+    def filter_lm_score(self, min_avg_logprob: float) -> "CorpusPipeline":
+        """Drop documents scoring below ``min_avg_logprob`` under a bigram
+        LM trained on THIS corpus (add-1 smoothing) — the CCNet-style
+        perplexity-proxy filter as a pipeline stage.  Heavier than the
+        row-local filters (n-gram count joins), so order it after them."""
+        docs = self.df.select(self.id_col, T.tokens(self.text_col).alias("__w"))
+        bi = docs.select(
+            self.id_col,
+            F.explode(
+                F.expr(
+                    "transform(slice(__w, 1, size(__w) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(__w, i + 2) AS w2))"
+                )
+            ).alias("__b"),
+        ).select(self.id_col, "__b.w1", "__b.w2")
+        uni = (
+            docs.select(F.explode("__w").alias("w1"))
+            .groupBy("w1")
+            .agg(F.count(F.lit(1)).alias("__cu"))
+        )
+        vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+        cbi = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__cb"))
+        scores = (
+            bi.join(cbi, ["w1", "w2"])
+            .join(uni, "w1")
+            .crossJoin(F.broadcast(vocab))
+            .groupBy(self.id_col)
+            .agg(
+                F.avg(
+                    F.log((F.col("__cb") + 1.0) / (F.col("__cu") + F.col("__v")))
+                ).alias("__lp")
+            )
+        )
+        keep = scores.where(F.col("__lp") >= min_avg_logprob).select(self.id_col)
+        return replace(
+            self, df=self.df.join(keep, on=self.id_col, how="left_semi")
+        )

