@@ -1242,24 +1242,12 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic inside the scan stage; the identical RE2-safe patterns run
     on both engines."""
     d = load_table(spark, sf_dir, "documents")
-    words = F.size(T.tokens("text"))
-    sentences = F.greatest(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
-    )
-    syllables = F.size(
-        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
-    )
-    flesch = (
-        F.lit(206.835)
-        - 1.015 * words / sentences
-        - 84.6 * syllables / F.greatest(words, F.lit(1))
-    )
     return d.select(
         "doc_id",
-        words.alias("words"),
-        sentences.alias("sentences"),
-        syllables.alias("syllables"),
-        F.round(flesch, 6).alias("flesch_score"),
+        F.size(T.tokens("text")).alias("words"),
+        T.sentence_count("text").alias("sentences"),
+        T.syllable_count("text").alias("syllables"),
+        F.round(T.flesch_score("text"), 6).alias("flesch_score"),
     ).orderBy("doc_id")
 
 
