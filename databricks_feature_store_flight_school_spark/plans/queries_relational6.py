@@ -1018,3 +1018,58 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_neg").cast("bigint").alias("n_neg"),
         F.round((r1 - np_ * (np_ + 1) / 2.0) / (np_ * nn), 6).alias("auc"),
     )
+
+
+@register(
+    "q_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS fk,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    ORDER BY fk
+    """,
+    "agg", "join", "data-quality",
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for each foreign key —
+    the ingest-gate check a warehouse runs before exposing a snapshot
+    (the engine's programmatic analog of a constraint the reference's
+    Delta tables would declare).  Each FK is one LEFT ANTI join reduced to
+    a count; dimension sides broadcast, fact sides never shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def audit(fact: DataFrame, fk: str, dim: DataFrame, pk: str, name: str) -> DataFrame:
+        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphans = (
+            fact.select(F.col(fk))
+            .join(dim.select(F.col(pk).alias(fk)), on=fk, how="left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return (
+            total.crossJoin(F.broadcast(orphans))
+            .select(F.lit(name).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(audit(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(audit(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
+        .orderBy("fk")
+    )

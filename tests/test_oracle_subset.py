@@ -48,6 +48,7 @@ CURRENT_ROUND = [
     "q_null_profile",
     "q_peak_concurrency",
     "q_percentile_scalable",
+    "q_referential_integrity",
     "q_revenue_pareto",
     "q_rfm_segments",
     "q_roc_auc",
