@@ -1877,7 +1877,13 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     — second-moment statistics over a RANGE (time) frame, the regime-shift
     detector for co-moving metrics.  The fact table collapses to one row per
     day first, so the sliding window runs over days, not line items; the
-    range frame is seconds-keyed (epoch) identically on both engines."""
+    range frame is seconds-keyed (epoch) identically on both engines.
+
+    The correlation is assembled from guarded moment sums rather than
+    ``F.corr``: under Spark 4's default ANSI mode a frame with zero
+    variance (possible at sparse scale factors — caught by the sf0.001
+    oracle-subset net) makes corr's internal division THROW; the explicit
+    form yields NULL there, which is exactly DuckDB corr's answer."""
     li = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
     )
@@ -1888,10 +1894,19 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.orderBy(F.unix_timestamp(F.col("d").cast("timestamp")))
         .rangeBetween(-2592000, 0)
     )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("qty").over(w)
+    sy = F.sum("rev").over(w)
+    sxx = F.sum(F.col("qty") * F.col("qty")).over(w)
+    syy = F.sum(F.col("rev") * F.col("rev")).over(w)
+    sxy = F.sum(F.col("qty") * F.col("rev")).over(w)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.when((vx > 0) & (vy > 0), (n * sxy - sx * sy) / F.sqrt(vx * vy))
     return (
         daily.select(
             F.date_format("d", "yyyy-MM-dd").alias("day"),
-            F.round(F.corr("qty", "rev").over(w), 6).alias("corr_30d"),
+            F.round(corr, 6).alias("corr_30d"),
             F.count(F.lit(1)).over(w).cast("bigint").alias("n_days"),
         )
         .orderBy("day")
