@@ -354,3 +354,40 @@ def test_python_datasource_streaming_tail(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r["doc_id"] for r in rows} == {1, 2, 3}
     assert len(rows) == 3  # no duplicates: a.jsonl not re-read
+
+
+def test_stream_reader_offset_replay_unit(tmp_path):
+    """readBetweenOffsets must deterministically replay exactly the files in
+    (start, end] — the contract checkpoint recovery depends on — and read()
+    must advance the offset by the newly-landed files only."""
+    import json as _json
+
+    from databricks_feature_store_flight_school_spark.sources.pydatasource import (
+        JsonlDocsStreamReader,
+    )
+
+    d = tmp_path / "s"
+    d.mkdir()
+
+    def land(name, ids):
+        with open(d / name, "w") as fh:
+            for i in ids:
+                fh.write(_json.dumps({"doc_id": i, "text": "t", "source": "web"}) + "\n")
+
+    r = JsonlDocsStreamReader({"path": str(d)})
+    o0 = r.initialOffset()
+    land("a.jsonl", [1])
+    rows1, o1 = r.read(o0)
+    assert [t[0] for t in rows1] == [1] and o1 == {"seen": ["a.jsonl"]}
+
+    land("b.jsonl", [2, 3])
+    rows2, o2 = r.read(o1)
+    assert [t[0] for t in rows2] == [2, 3]
+    assert o2 == {"seen": ["a.jsonl", "b.jsonl"]}
+
+    # replay of (o0, o1] and (o1, o2] hits exactly those files
+    assert [t[0] for t in r.readBetweenOffsets(o0, o1)] == [1]
+    assert [t[0] for t in r.readBetweenOffsets(o1, o2)] == [2, 3]
+    # replay across both ranges == full history; empty range == nothing
+    assert [t[0] for t in r.readBetweenOffsets(o0, o2)] == [1, 2, 3]
+    assert list(r.readBetweenOffsets(o2, o2)) == []
