@@ -149,7 +149,8 @@ def global_ntile(
     row), so results hash-match an oracle's ntile.  Total row count folds in
     as a 1-row broadcast, never a driver scalar."""
     ranked = global_row_number(df, order_by, rank_col="__i", num_partitions=num_partitions)
-    total = df.agg(F.count(F.lit(1)).alias(_TOTAL))
+    # count the CHECKPOINTED ranked frame, not df — no second source scan
+    total = ranked.agg(F.count(F.lit(1)).alias(_TOTAL))
     i, N = F.col("__i"), F.col(_TOTAL)
     small = F.floor(N / n)           # rows in a small bucket
     rem = N % n                      # number of big buckets (small+1 rows)
@@ -175,7 +176,7 @@ def global_percent_rank(
     caller's tie-break decides equal keys), which equals SQL percent_rank
     exactly when the order is unique."""
     ranked = global_row_number(df, order_by, rank_col="__i", num_partitions=num_partitions)
-    total = df.agg(F.count(F.lit(1)).alias(_TOTAL))
+    total = ranked.agg(F.count(F.lit(1)).alias(_TOTAL))
     pr = F.when(F.col(_TOTAL) > 1, (F.col("__i") - 1) / (F.col(_TOTAL) - 1)).otherwise(
         F.lit(0.0)
     )

@@ -2078,7 +2078,9 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
     ranked = global_row_number(cust, ["revenue", "o_custkey"], rank_col="i")
-    totals = cust.agg(
+    # totals from the CHECKPOINTED ranked frame — not a second customer
+    # aggregation over the fact table
+    totals = ranked.agg(
         F.count(F.lit(1)).alias("n"), F.sum("revenue").alias("tot")
     )
     return (

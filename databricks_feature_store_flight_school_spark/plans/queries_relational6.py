@@ -120,7 +120,8 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = global_ntile(
         cust, [F.col("revenue").desc(), F.col("o_custkey")], 10, bucket_col="decile"
     )
-    overall = cust.agg(F.avg("converted").alias("rate_all"))
+    # base rate from the checkpointed scored frame, not a second fact pass
+    overall = scored.agg(F.avg("converted").alias("rate_all"))
     return (
         scored.groupBy("decile")
         .agg(
@@ -719,9 +720,10 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lv = base.groupBy("v").agg(F.sum("g1").alias("n1"), F.sum("g2").alias("n2"))
     run = global_prefix_sum(lv, ["v"], ["n1", "n2"], ["c1", "c2"])
-    tot = lv.agg(
-        F.sum("n1").cast("bigint").alias("t1"),
-        F.sum("n2").cast("bigint").alias("t2"),
+    # group totals == terminal cumulative counts: no second fact pass
+    tot = run.agg(
+        F.max("c1").cast("bigint").alias("t1"),
+        F.max("c2").cast("bigint").alias("t2"),
     )
     diff = F.abs(F.col("c1") / F.col("t1") - F.col("c2") / F.col("t2"))
     crit = 1.358 * F.sqrt((F.col("t1") + F.col("t2")) / (F.col("t1") * F.col("t2").cast("double")))
@@ -779,7 +781,9 @@ def q_percentile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark resolves case-insensitively by default, so the total's alias
     # must not collide with the level count "n"
     run = global_prefix_sum(lv, ["v"], "n", sum_col="c").drop("n")
-    tot = lv.agg(F.sum("n").cast("bigint").alias("n_total"))
+    # N == the terminal cumulative count: read it off the checkpointed run
+    # instead of re-aggregating the fact table
+    tot = run.agg(F.max("c").cast("bigint").alias("n_total"))
 
     def pick(p: float):
         return F.min(
