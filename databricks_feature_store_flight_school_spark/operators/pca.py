@@ -32,15 +32,10 @@ from ..functions.vectors import to_double
 
 def covariance_and_mean(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
     """(d x d sample covariance, d mean vector) of an array column —
-    driver result is MODEL-sized (d^2 + d floats), never data rows."""
-    x = df.select(F.posexplode(to_double(F.col(vec_col))).alias("i", "v"))
-    means = {
-        r["i"]: r["m"]
-        for r in x.groupBy("i").agg(F.avg("v").alias("m")).collect()
-    }
-    d = len(means)
-    mean = np.array([means[i] for i in range(d)])
-
+    driver result is MODEL-sized (d^2 + d floats), never data rows.
+    ONE scan: the per-dimension means ride along as avg(x_i) on the
+    diagonal cells of the same pair aggregation that produces the
+    covariances."""
     # upper-triangle (dim_i, dim_j, x_i, x_j) pairs generated PER ROW with a
     # nested higher-order transform — no row id, no self-join (a join keyed
     # on monotonically_increasing_id would instantiate the id twice and can
@@ -58,11 +53,17 @@ def covariance_and_mean(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.nda
         ).alias("p")
     ).select("p.*")
     cells = (
-        pairs.groupBy("ai", "bi").agg(F.covar_samp("av", "bv").alias("c")).collect()
+        pairs.groupBy("ai", "bi")
+        .agg(F.covar_samp("av", "bv").alias("c"), F.avg("av").alias("m"))
+        .collect()
     )
+    d = max(r["bi"] for r in cells) + 1 if cells else 0
     cov = np.zeros((d, d))
+    mean = np.zeros(d)
     for r in cells:
         cov[r["ai"], r["bi"]] = cov[r["bi"], r["ai"]] = r["c"]
+        if r["ai"] == r["bi"]:
+            mean[r["ai"]] = r["m"]
     return cov, mean
 
 
