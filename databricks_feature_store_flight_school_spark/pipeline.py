@@ -174,6 +174,7 @@ class CorpusPipeline:
             self.df.groupBy(source_col)
             .agg(F.count(F.lit(1)).alias("__n"))
             .join(wdf, source_col)
+            .localCheckpoint(eager=False)  # one corpus scan for all 3 uses
         )
         tot = cnt.agg(F.sum("__w").alias("__tw"))
         with_tw = cnt.crossJoin(F.broadcast(tot))

@@ -1165,8 +1165,13 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a |sources|-row computation folded in-plan.  Deterministic on both
     engines: md5 of the same key string, same double threshold."""
     d = load_table(spark, sf_dir, "documents")
-    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_available")).withColumn(
-        "w", F.substring("source", 4, 10).cast("int") % 4 + 1
+    # the |sources|-row counts frame feeds THREE downstream derivations
+    # (tot_w, feasible, rates); a lazy checkpoint pins one materialisation
+    # so the corpus is scanned once, not once per reference
+    cnt = (
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_available"))
+        .withColumn("w", F.substring("source", 4, 10).cast("int") % 4 + 1)
+        .localCheckpoint(eager=False)
     )
     tw = cnt.agg(F.sum("w").alias("tot_w"))
     with_tw = cnt.crossJoin(F.broadcast(tw))
