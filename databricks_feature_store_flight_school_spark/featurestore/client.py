@@ -131,6 +131,73 @@ class FeatureStoreClient:
             self.spark, self.registry, self.registry.get(name), version
         )
 
+    def table_changes(
+        self, name: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two committed versions — the Delta CDF
+        (``table_changes(name, v1, v2)`` / ``readChangeFeed``) analog on the
+        engine's versioned snapshots.  Diffs snapshot ``from_version``
+        against ``to_version`` (default: current) with ONE full-outer join
+        co-partitioned on the table's primary keys and classifies each key:
+
+        - ``insert``  — key absent at from_version
+        - ``delete``  — key absent at to_version
+        - ``update``  — present in both, any value column differs
+          (null-safe compare); unchanged keys are dropped
+
+        Output: key columns, ``_change_type``, then ``old_<c>`` / ``new_<c>``
+        for every value column of the NEW schema (schema evolution shows as
+        ``old_<c>`` = NULL for columns the older snapshot lacked).  Scale:
+        one keys-partitioned shuffle join and narrow compares — never a
+        snapshot collect; downstream incremental consumers (online-store
+        sync, cache invalidation) read |changed| rows, not |table|.
+        """
+        from pyspark.sql import functions as F
+
+        meta = self.registry.get(name)
+        old = writer.read_snapshot(self.spark, self.registry, meta, version=from_version)
+        new = writer.read_snapshot(self.spark, self.registry, meta, version=to_version)
+        keys = list(meta.keys)
+        val_cols = [c for c in new.columns if c not in keys]
+        o = old.select(
+            *[F.col(k).alias(f"__ok_{k}") for k in keys],
+            *[
+                (F.col(c) if c in old.columns else F.lit(None)).alias(f"old_{c}")
+                for c in val_cols
+            ],
+        )
+        n = new.select(
+            *keys, *[F.col(c).alias(f"new_{c}") for c in val_cols]
+        )
+        cond = None
+        for k in keys:
+            piece = F.col(k).eqNullSafe(F.col(f"__ok_{k}"))
+            cond = piece if cond is None else cond & piece
+        joined = n.join(o, on=cond, how="full_outer")
+        in_old = F.col(f"__ok_{keys[0]}").isNotNull()
+        in_new = F.col(keys[0]).isNotNull()
+        differs = F.lit(False)
+        for c in val_cols:
+            differs = differs | ~F.col(f"new_{c}").eqNullSafe(F.col(f"old_{c}"))
+        change = (
+            F.when(~in_old, F.lit("insert"))
+            .when(~in_new, F.lit("delete"))
+            .when(differs, F.lit("update"))
+        )
+        out_keys = [
+            F.coalesce(F.col(k), F.col(f"__ok_{k}")).alias(k) for k in keys
+        ]
+        return (
+            joined.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .select(
+                *out_keys,
+                "_change_type",
+                *[F.col(f"old_{c}") for c in val_cols],
+                *[F.col(f"new_{c}") for c in val_cols],
+            )
+        )
+
     def write_table(
         self, name: str, df: DataFrame, mode: str = "merge", validate: bool = True
     ) -> FeatureTableMeta:

@@ -60,6 +60,7 @@ def _load_all() -> None:
         queries_relational4,
         queries_relational5,
         queries_relational6,
+        queries_relational7,
         queries_text,
         queries_vectors,
     )

@@ -306,3 +306,73 @@ def q_fs_score_batch_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch = load_table(spark, sf_dir, "customer").select("c_custkey")
     return fs.score_batch(uri, batch, result_type="boolean")
+
+
+@register(
+    "q_fs_change_feed",
+    """
+    WITH v1 AS (
+        SELECT c_custkey, c_mktsegment AS segment, round(c_acctbal, 2) AS acctbal
+        FROM customer
+    ),
+    ins AS (
+        SELECT c_custkey + 1000000 AS c_custkey, 'NEW' AS segment,
+               round(round(c_acctbal, 2) / 2, 2) AS acctbal
+        FROM customer WHERE c_custkey % 97 = 0
+    ),
+    v3 AS (
+        SELECT c_custkey, segment,
+               CASE WHEN c_custkey % 5 = 0 THEN round(acctbal + 500, 2)
+                    ELSE acctbal END AS acctbal
+        FROM v1 WHERE c_custkey % 11 <> 0
+        UNION ALL
+        SELECT * FROM ins
+    ),
+    diff AS (
+        SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'insert'
+                    WHEN n.c_custkey IS NULL THEN 'delete'
+                    WHEN n.acctbal IS DISTINCT FROM o.acctbal
+                      OR n.segment IS DISTINCT FROM o.segment THEN 'update'
+               END AS _change_type,
+               o.segment AS old_segment, o.acctbal AS old_acctbal,
+               n.segment AS new_segment, n.acctbal AS new_acctbal
+        FROM v3 n FULL OUTER JOIN v1 o ON n.c_custkey = o.c_custkey
+    )
+    SELECT * FROM diff WHERE _change_type IS NOT NULL
+    """,
+    "featurestore", "cdc", "change-feed",
+)
+def q_fs_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across three committed versions — the Delta CDF /
+    ``table_changes`` analog (the incremental-consumer primitive the
+    reference's online publish would ride at scale: sync |changed| rows,
+    not |table|).  v1 = all customer profiles; v2 = MERGE carrying both an
+    update slice (every 5th key, +500 balance) and an insert slice
+    (synthetic keys); v3 = row-level DELETE of every 11th key.  The feed
+    diffs v1 against current with one keys-partitioned full-outer join and
+    classifies insert / update / delete, dropping unchanged keys — a key
+    deleted after being updated correctly reports as a plain delete vs v1.
+
+    Scale: read_snapshot never collects; the diff is a single co-partitioned
+    shuffle join on the primary key plus narrow null-safe compares."""
+    fs = _client(spark)
+    base = _profile_features(spark, sf_dir)
+    fs.create_feature_table("profile_cf", keys="c_custkey", df=base)
+    update = (
+        base.where(F.col("c_custkey") % 5 == 0)
+        .withColumn("acctbal", F.round(F.col("acctbal") + 500, 2))
+    )
+    insert = (
+        base.where(F.col("c_custkey") % 97 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit("NEW").alias("segment"),
+            F.round(F.col("acctbal") / 2, 2).alias("acctbal"),
+        )
+    )
+    fs.write_table("profile_cf", update.unionByName(insert), mode="merge")
+    fs.delete_from_table(
+        "profile_cf", base.where(F.col("c_custkey") % 11 == 0).select("c_custkey")
+    )
+    return fs.table_changes("profile_cf", from_version=1)

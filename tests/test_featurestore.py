@@ -1328,3 +1328,46 @@ def test_read_vacuumed_version_clear_error(spark, client):
     with pytest.raises(ValueError, match="retired by"):
         client.read_table("vac2", version=1)
     assert client.read_table("vac2").count() == 1  # current still fine
+
+
+def test_table_changes_insert_update_delete_and_unchanged_dropped(spark, client):
+    """Delta-CDF analog: diff two versions, classify per key, drop unchanged."""
+    base = spark.createDataFrame(
+        [Row(k=1, v="a", n=1), Row(k=2, v="b", n=2), Row(k=3, v="c", n=3)]
+    )
+    client.create_feature_table("cdf", keys="k", df=base)
+    client.write_table(
+        "cdf",
+        spark.createDataFrame([Row(k=2, v="B", n=2), Row(k=4, v="d", n=4)]),
+        mode="merge",
+    )
+    client.delete_from_table("cdf", spark.createDataFrame([Row(k=3)]))
+
+    rows = {r["k"]: r for r in client.table_changes("cdf", 1).collect()}
+    assert set(rows) == {2, 3, 4}  # k=1 unchanged -> dropped
+    assert rows[2]["_change_type"] == "update"
+    assert rows[2]["old_v"] == "b" and rows[2]["new_v"] == "B"
+    assert rows[3]["_change_type"] == "delete"
+    assert rows[3]["old_v"] == "c" and rows[3]["new_v"] is None
+    assert rows[4]["_change_type"] == "insert"
+    assert rows[4]["old_v"] is None and rows[4]["new_v"] == "d"
+
+
+def test_table_changes_schema_evolution_old_column_null(spark, client):
+    """A column the older snapshot lacked shows old_<c> = NULL, and a
+    bounded to_version pins the diff window (v1 -> v2, ignoring v3)."""
+    client.create_feature_table(
+        "cdf2", keys="k", df=spark.createDataFrame([Row(k=1, v="a")])
+    )
+    client.write_table(
+        "cdf2", spark.createDataFrame([Row(k=1, v="a", extra=7)]), mode="merge"
+    )
+    client.write_table(
+        "cdf2", spark.createDataFrame([Row(k=1, v="z", extra=8)]), mode="merge"
+    )
+
+    chg = client.table_changes("cdf2", 1, 2).collect()
+    assert len(chg) == 1 and chg[0]["_change_type"] == "update"
+    assert chg[0]["old_extra"] is None and chg[0]["new_extra"] == 7
+    # null-safe compare: v unchanged between v1 and v2, extra NULL -> 7 differs
+    assert chg[0]["old_v"] == "a" and chg[0]["new_v"] == "a"

@@ -31,6 +31,10 @@ CURRENT_ROUND = [
     "q_activity_bitmap",
     "q_autocorrelation",
     "q_bigram_lm_score",
+    "q_bootstrap_ci",
+    "q_exists_subquery",
+    "q_fs_change_feed",
+    "q_lateral_topk",
     "q_dau_mau",
     "q_decile_lift",
     "q_dow_seasonality",
