@@ -1299,3 +1299,134 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("freq"), F.log("rnk")), 6).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("freq"), F.log("rnk")), 6).alias("r_squared"),
     )
+
+
+_DSIR_BUCKETS = 64
+
+
+@register(
+    "q_dsir_selection",
+    f"""
+    WITH tok2 AS (
+        SELECT doc_id, source, lang,
+               ('0x' || substr(md5(term), 1, 4))::INT % {_DSIR_BUCKETS} AS b
+        FROM (
+            SELECT doc_id, source, lang,
+                   unnest(string_split(trim(lower(text)), ' ')) AS term
+            FROM documents
+        )
+        WHERE term <> ''
+    ),
+    tgt AS (SELECT b, count(*) AS c FROM tok2 WHERE source = 'src0' GROUP BY b),
+    rawc AS (SELECT b, count(*) AS c FROM tok2 WHERE source <> 'src0' GROUP BY b),
+    tt AS (SELECT sum(c) AS tot FROM tgt),
+    rt AS (SELECT sum(c) AS tot FROM rawc),
+    lr AS (
+        SELECT g.b,
+               ln((coalesce(t.c, 0) + 1) / (tt.tot + {_DSIR_BUCKETS}.0))
+             - ln((coalesce(r.c, 0) + 1) / (rt.tot + {_DSIR_BUCKETS}.0)) AS lr
+        FROM generate_series(0, {_DSIR_BUCKETS - 1}) AS g(b)
+        LEFT JOIN tgt t ON t.b = g.b
+        LEFT JOIN rawc r ON r.b = g.b, tt, rt
+    ),
+    w AS (
+        SELECT k.doc_id, any_value(k.source) AS source, any_value(k.lang) AS lang,
+               sum(lr.lr) AS logw
+        FROM tok2 k JOIN lr ON lr.b = k.b
+        WHERE k.source <> 'src0'
+        GROUP BY k.doc_id
+    ),
+    sc AS (
+        SELECT doc_id, source, lang, logw,
+               logw + (-ln(-ln(
+                   (('0x' || substr(md5('g:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     + 0.5) / 4294967296.0))) AS score
+        FROM w
+    )
+    SELECT doc_id, source, lang,
+           round(logw, 6) AS logw, round(score, 6) AS sel_score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 50
+    """,
+    "text", "data-selection", "dsir", "sampling",
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): pick raw-pool documents whose hashed
+    n-gram distribution matches a target corpus.  Target = src0 docs, raw
+    pool = everything else; features are hashed UNIGRAM buckets
+    (md5(term) mod 64); each candidate's log importance weight is the sum of
+    per-bucket log-ratios log p_tgt(b)/p_raw(b) (add-1 smoothing), and the
+    selection is Gumbel-top-k — the exact DSIR sampling-without-replacement
+    trick, made DETERMINISTIC by drawing each doc's Gumbel from
+    md5('g:'||doc_id) (catalog convention, cf. q_bootstrap_ci).
+
+    Scale shape: one token explode feeding map-side-combined bucket counts
+    (the shuffle carries B=64 cells per partition per side); the bucket
+    log-ratio table is B rows, BROADCAST into the token stream; per-doc
+    weights are one doc-keyed aggregate; Gumbel-top-k lowers to
+    TakeOrderedAndProject (no global sort).  Nothing scales with corpus
+    size except the two narrow passes over the tokens."""
+    B = _DSIR_BUCKETS
+    docs = load_table(spark, sf_dir, "documents")
+    tok2 = (
+        docs.select(
+            "doc_id", "source", "lang",
+            F.explode(T.tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .withColumn(
+            "b",
+            (F.conv(F.substring(F.md5("term"), 1, 4), 16, 10).cast("int") % B),
+        )
+        .drop("term")
+    )
+    tgt = tok2.where(F.col("source") == "src0").groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    rawc = tok2.where(F.col("source") != "src0").groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    tt = tgt.agg(F.sum("tc").alias("t_tot"))
+    rt = rawc.agg(F.sum("rc").alias("r_tot"))
+    lr = (
+        spark.range(B).select(F.col("id").cast("int").alias("b"))
+        .join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(rawc), "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + 1) / (F.col("t_tot") + B))
+                - F.log((F.coalesce(F.col("rc"), F.lit(0)) + 1) / (F.col("r_tot") + B))
+            ).alias("lr"),
+        )
+    )
+    w = (
+        tok2.where(F.col("source") != "src0")
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.first("lang").alias("lang"),
+            F.sum("lr").alias("logw"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("g:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    sc = w.withColumn("score", F.col("logw") + (-F.log(-F.log(u))))
+    return (
+        sc.orderBy(F.col("score").desc(), "doc_id")
+        .limit(50)
+        .select(
+            "doc_id", "source", "lang",
+            F.round("logw", 6).alias("logw"),
+            F.round("score", 6).alias("sel_score"),
+        )
+    )

@@ -70,6 +70,14 @@ def test_query_runs_nonempty_schema(spark, sf_dir, name):
         ("q_groupwise_min_joinback", "BroadcastHashJoin", "SortMergeJoin"),
         # band join: tiny interval dim -> broadcast nested-loop, no shuffle join
         ("q_price_band_join", "BroadcastNestedLoopJoin", "SortMergeJoin"),
+        # EXISTS -> LEFT SEMI hash join (RewritePredicateSubquery), never a
+        # per-outer-row nested loop
+        ("q_exists_subquery", "LeftSemi", "BroadcastNestedLoopJoin"),
+        # NOT EXISTS -> LEFT ANTI on the same key (co-partitioned exchanges)
+        ("q_exists_subquery", "LeftAnti", "BroadcastNestedLoopJoin"),
+        # correlated LATERAL ORDER BY..LIMIT -> partitioned window rank over
+        # ONE inner scan (DecorrelateInnerQuery), never a nested loop
+        ("q_lateral_topk", "Window", "BroadcastNestedLoopJoin"),
     ],
 )
 def test_subquery_shape_plans(spark, sf_dir, name, want, forbid):
