@@ -179,3 +179,29 @@ class Registry:
         with os.fdopen(fd, "w") as fh:
             json.dump(asdict(meta), fh, indent=2)
         os.replace(tmp, self._path(meta.name))
+
+    # -- per-consumer change-feed offsets -----------------------------------
+    # One JSON file per (table, consumer) under _consumers/; single-writer
+    # per consumer by contract, so an atomic tmp+rename write (no CAS lock)
+    # is sufficient.  The offset is the last table VERSION the consumer has
+    # fully processed — the change-feed analog of a streaming checkpoint.
+
+    def _consumer_path(self, name: str, consumer_id: str) -> str:
+        d = os.path.join(self.warehouse, "_consumers")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{_sanitize(name)}.{_sanitize(consumer_id)}.json")
+
+    def get_consumer_offset(self, name: str, consumer_id: str) -> int:
+        """Last fully-processed version for this consumer (0 = never)."""
+        path = self._consumer_path(name, consumer_id)
+        if not os.path.exists(path):
+            return 0
+        with open(path) as fh:
+            return int(json.load(fh)["version"])
+
+    def set_consumer_offset(self, name: str, consumer_id: str, version: int) -> None:
+        path = self._consumer_path(name, consumer_id)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": int(version), "committed_at": time.time()}, fh)
+        os.replace(tmp, path)

@@ -1371,3 +1371,37 @@ def test_table_changes_schema_evolution_old_column_null(spark, client):
     assert chg[0]["old_extra"] is None and chg[0]["new_extra"] == 7
     # null-safe compare: v unchanged between v1 and v2, extra NULL -> 7 differs
     assert chg[0]["old_v"] == "a" and chg[0]["new_v"] == "a"
+
+
+def test_consume_changes_offsets_and_redelivery(spark, client):
+    """Change-feed consumption: bootstrap delivers the snapshot as inserts,
+    an UNcommitted consume re-delivers (at-least-once), a committed one
+    advances, and caught-up consumers get None."""
+    client.create_feature_table(
+        "feed", keys="k", df=spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    )
+
+    first = client.consume_changes("feed", "sink")
+    assert first is not None
+    changes, version, commit = first
+    got = {r["k"]: r for r in changes.collect()}
+    assert version == 1 and set(got) == {1, 2}
+    assert all(r["_change_type"] == "insert" and r["old_v"] is None for r in got.values())
+
+    # not committed -> same window re-delivered
+    again, version2, commit2 = client.consume_changes("feed", "sink")
+    assert version2 == 1 and again.count() == 2
+    commit2()
+    assert client.consume_changes("feed", "sink") is None
+
+    # a second consumer has its own offset
+    assert client.consume_changes("feed", "other")[1] == 1
+
+    # new version -> only the diff is delivered
+    client.write_table("feed", spark.createDataFrame([Row(k=2, v="B")]), mode="merge")
+    changes3, version3, commit3 = client.consume_changes("feed", "sink")
+    rows3 = changes3.collect()
+    assert version3 == 2 and len(rows3) == 1
+    assert rows3[0]["k"] == 2 and rows3[0]["_change_type"] == "update"
+    commit3()
+    assert client.consume_changes("feed", "sink") is None

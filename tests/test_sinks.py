@@ -391,3 +391,51 @@ def test_stream_reader_offset_replay_unit(tmp_path):
     # replay across both ranges == full history; empty range == nothing
     assert [t[0] for t in r.readBetweenOffsets(o0, o2)] == [1, 2, 3]
     assert list(r.readBetweenOffsets(o2, o2)) == []
+
+
+def test_publish_table_jdbc_incremental(spark, tmp_path):
+    """S9 incremental online publish riding the change feed: bootstrap
+    overwrite, then steady-state syncs apply only |changed| rows
+    (delete-then-insert upsert + key-targeted deletes), and a caught-up
+    publish is a no-op."""
+    from pyspark.sql import Row
+
+    from databricks_feature_store_flight_school_spark.featurestore import (
+        FeatureStoreClient,
+    )
+
+    fs = FeatureStoreClient(spark, str(tmp_path / "wh"))
+    fs.create_feature_table(
+        "inc_feat",
+        keys="customer_id",
+        df=spark.createDataFrame(
+            [Row(customer_id=1, score=0.25), Row(customer_id=2, score=0.75)]
+        ),
+    )
+    url = f"jdbc:derby:{tmp_path}/inc_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    def online():
+        back = (
+            spark.read.format("jdbc").option("url", url)
+            .option("dbtable", "inc_feat").options(**props).load()
+        )
+        return {r["customer_id"]: r["score"] for r in back.collect()}
+
+    # bootstrap = full overwrite
+    fs.publish_table("inc_feat", url, mode="incremental", properties=props)
+    assert online() == {1: 0.25, 2: 0.75}
+
+    # update + insert + delete across two offline versions, one sync
+    fs.write_table(
+        "inc_feat",
+        spark.createDataFrame([Row(customer_id=1, score=0.9), Row(customer_id=3, score=0.5)]),
+        mode="merge",
+    )
+    fs.delete_from_table("inc_feat", spark.createDataFrame([Row(customer_id=2)]))
+    fs.publish_table("inc_feat", url, mode="incremental", properties=props)
+    assert online() == {1: 0.9, 3: 0.5}
+
+    # caught up -> no-op (and the mirror is untouched)
+    fs.publish_table("inc_feat", url, mode="incremental", properties=props)
+    assert online() == {1: 0.9, 3: 0.5}
