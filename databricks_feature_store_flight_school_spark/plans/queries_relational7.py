@@ -224,3 +224,74 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("mu") - 1.96 * F.stddev_samp("m"), 2).alias("ci_lo"),
         F.round(F.max("mu") + 1.96 * F.stddev_samp("m"), 2).alias("ci_hi"),
     )
+
+
+@register(
+    "q_grouped_percentile_scalable",
+    """
+    WITH lv AS (
+        SELECT l_returnflag, l_quantity AS v, count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    ),
+    run AS (
+        SELECT l_returnflag, v, n,
+               sum(n) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(n) OVER (PARTITION BY l_returnflag) AS tot
+        FROM lv
+    )
+    SELECT l_returnflag,
+           CAST(max(tot) AS BIGINT) AS n_rows,
+           min(CASE WHEN c >= ceil(0.50 * tot) THEN v END) AS p50,
+           min(CASE WHEN c >= ceil(0.95 * tot) THEN v END) AS p95,
+           min(CASE WHEN c >= ceil(0.99 * tot) THEN v END) AS p99
+    FROM run
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "window", "stats", "percentile",
+)
+def q_grouped_percentile_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles without buffering any group's values —
+    the grouped form of the q_percentile_scalable recipe and the one to
+    reach for when groups are both MANY and LARGE (per-customer latencies,
+    per-source token counts): one grouped pass to (group, value) level
+    counts, then the cumulative/total windows run PARTITIONED BY group over
+    the level table, whose size is |groups| x |value domain| — independent
+    of row count — so no task ever sees fact cardinality and no skewed
+    group buffers its values (contrast ``percentile``'s per-group value
+    buffer, q_percentile_exact).  Each percentile is `min v with cum >=
+    ceil(p * tot)` folded into the final per-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lv = li.groupBy("l_returnflag", F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql.window import Window
+
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    run = lv.select(
+        "l_returnflag", "v", "n",
+        F.sum("n").over(wc).alias("c"),
+        F.sum("n").over(wt).alias("tot"),
+    )
+
+    def pick(p: float):
+        return F.min(
+            F.when(F.col("c") >= F.ceil(F.lit(p) * F.col("tot")), F.col("v"))
+        )
+
+    return (
+        run.groupBy("l_returnflag")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_rows"),
+            pick(0.50).alias("p50"),
+            pick(0.95).alias("p95"),
+            pick(0.99).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )

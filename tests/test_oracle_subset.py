@@ -33,6 +33,7 @@ CURRENT_ROUND = [
     "q_bigram_lm_score",
     "q_bootstrap_ci",
     "q_dsir_selection",
+    "q_grouped_percentile_scalable",
     "q_exists_subquery",
     "q_fs_change_feed",
     "q_lateral_topk",

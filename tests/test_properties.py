@@ -180,3 +180,72 @@ def test_global_row_number_property(spark, vals, nparts):
     }
     want = {vk: i + 1 for i, vk in enumerate(sorted(rows))}
     assert got == want
+
+
+#: ops: ("merge", [(k, v)...]) or ("delete", [k...]); versions accrue 1/op
+_cdf_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.lists(st.tuples(st.integers(0, 4), st.integers(0, 9)),
+                     min_size=1, max_size=4),
+        ),
+        st.tuples(st.just("delete"),
+                  st.lists(st.integers(0, 4), min_size=1, max_size=3)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_cdf_ops, initial=st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 9)), min_size=1, max_size=4
+))
+@settings(**_SETTINGS)
+def test_table_changes_matches_snapshot_model(spark, tmp_path_factory, ops, initial):
+    """table_changes(v_i, v_j) must equal the dict-diff of the two model
+    snapshots for EVERY version pair — inserts/updates/deletes classified,
+    unchanged keys absent — no matter how merges and key-deletes interleave."""
+    client = FeatureStoreClient(spark, str(tmp_path_factory.mktemp("cdf_wh")))
+    snap: dict[int, int] = {k: v for k, v in initial}
+    client.create_feature_table(
+        "t", keys="k",
+        df=spark.createDataFrame([Row(k=k, v=v) for k, v in snap.items()]),
+    )
+    snapshots = {1: dict(snap)}
+    version = 1
+    for op, payload in ops:
+        if op == "merge":
+            dedup = {k: v for k, v in payload}
+            snap.update(dedup)
+            client.write_table(
+                "t",
+                spark.createDataFrame([Row(k=k, v=v) for k, v in dedup.items()]),
+                mode="merge",
+            )
+        else:
+            for k in payload:
+                snap.pop(k, None)
+            client.delete_from_table(
+                "t", spark.createDataFrame([Row(k=k) for k in set(payload)])
+            )
+        version += 1
+        snapshots[version] = dict(snap)
+
+    # check the full window and one interior pair
+    pairs = [(1, version)] + ([(1, max(2, version - 1))] if version > 1 else [])
+    for lo, hi in pairs:
+        old, new = snapshots[lo], snapshots[hi]
+        want = {}
+        for k in set(old) | set(new):
+            if k not in old:
+                want[k] = ("insert", None, new[k])
+            elif k not in new:
+                want[k] = ("delete", old[k], None)
+            elif old[k] != new[k]:
+                want[k] = ("update", old[k], new[k])
+        got = {
+            r["k"]: (r["_change_type"], r["old_v"], r["new_v"])
+            for r in client.table_changes("t", lo, hi).collect()
+        }
+        assert got == want, f"window v{lo}->v{hi}"
