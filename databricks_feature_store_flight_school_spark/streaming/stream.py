@@ -375,6 +375,34 @@ def streaming_interval_join_left(
     return l.join(r, cond, "left_outer").drop(r[key])
 
 
+def streaming_interval_join_full(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream FULL OUTER join within a time interval: unmatched rows
+    from EITHER side emit with nulls for the other side once the opposite
+    watermark passes their join window (clicks that never converted AND
+    purchases that were never preceded by a click, in one query).  Same
+    bounded-state contract as the left-outer form: a row buffers only until
+    the watermark proves no match can still arrive, then emits exactly
+    once.  Both sides therefore need watermarks AND the time-interval
+    condition — Spark rejects an unbounded full-outer stream join, which is
+    the engine enforcing the 100 TB rule (state must provably drain)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond, "full_outer")
+
+
 def streaming_hourly_daily_rollup(
     stream: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -637,3 +637,81 @@ def test_resize_images_pil_real(spark):
     row = resize_images(df, "doc_id", "blob", 8, 5, codec="pil").collect()[0]
     back = PIL_Image.open(io.BytesIO(bytes(row["resized"])))
     assert (back.width, back.height) == (8, 5)
+
+
+def test_streaming_interval_full_join_emits_both_unmatched_sides(spark, sf_dir):
+    """FULL OUTER stream-stream interval join: matched pairs equal the batch
+    inner set; unmatched rows from BOTH sides (purchases with no prior
+    click, clicks that never converted) emit null-padded below each side's
+    watermark horizon — never a false null, never a gap below the horizon."""
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        read_event_stream,
+        run_stream_to_memory,
+        streaming_interval_join_full,
+    )
+
+    ev = read_event_stream(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = streaming_interval_join_full(
+        p, c, key="user_id", left_ts="p_ts", right_ts="c_ts",
+        lookback="30 minutes", watermark="10 minutes",
+    ).select("purchase_id", "click_id", "p_ts", "c_ts")
+    run_stream_to_memory(joined, "ssj_full_out", output_mode="append")
+    rows = spark.sql(
+        "SELECT purchase_id, click_id, p_ts, c_ts FROM ssj_full_out"
+    ).collect()
+
+    evb = load_table(spark, sf_dir, "events")
+    pb = evb.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    cb = evb.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (pb.user_id == cb.c_user)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+    )
+    batch = pb.join(cb, cond, "full_outer").collect()
+
+    got_pairs = {
+        (r["purchase_id"], r["click_id"]) for r in rows
+        if r["purchase_id"] is not None and r["click_id"] is not None
+    }
+    want_pairs = {
+        (r["purchase_id"], r["click_id"]) for r in batch
+        if r["purchase_id"] is not None and r["click_id"] is not None
+    }
+    assert got_pairs == want_pairs and len(want_pairs) > 0
+
+    # left-null side (unmatched purchases)
+    got_lnull = {r["purchase_id"]: r["p_ts"] for r in rows
+                 if r["click_id"] is None and r["purchase_id"] is not None}
+    want_lnull = {r["purchase_id"]: r["p_ts"] for r in batch
+                  if r["click_id"] is None and r["purchase_id"] is not None}
+    assert set(got_lnull) <= set(want_lnull), "false null on the purchase side"
+    if got_lnull:
+        horizon = max(got_lnull.values())
+        missed = {k for k, ts in want_lnull.items()
+                  if ts <= horizon and k not in got_lnull}
+        assert not missed, f"unmatched purchases below horizon missing: {missed}"
+
+    # right-null side (clicks that never converted)
+    got_rnull = {r["click_id"]: r["c_ts"] for r in rows
+                 if r["purchase_id"] is None and r["click_id"] is not None}
+    want_rnull = {r["click_id"]: r["c_ts"] for r in batch
+                  if r["purchase_id"] is None and r["click_id"] is not None}
+    assert set(got_rnull) <= set(want_rnull), "false null on the click side"
+    assert got_rnull or got_lnull, "no unmatched rows exercised on either side"
+    if got_rnull:
+        horizon = max(got_rnull.values())
+        missed = {k for k, ts in want_rnull.items()
+                  if ts <= horizon and k not in got_rnull}
+        assert not missed, f"unconverted clicks below horizon missing: {missed}"
