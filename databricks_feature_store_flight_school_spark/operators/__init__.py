@@ -11,6 +11,7 @@ from .dedup import (
     shingle_pairs_jaccard,
     simhash_df,
 )
+from .ivm import agg_deltas, apply_deltas, compute_agg
 from .pca import pca_fit, pca_project
 from .ranks import global_ntile, global_percent_rank, global_prefix_sum, global_row_number
 from .similarity import arrow_cosine_topk, cosine_topk, ivf_topk, lsh_topk, nearest_neighbor_join
@@ -19,11 +20,14 @@ from .topk import top_k, top_k_per_group
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 
 __all__ = [
+    "agg_deltas",
+    "apply_deltas",
     "arrow_cosine_topk",
     "asof_join",
     "bucketed_table",
     "connected_components",
     "content_hash",
+    "compute_agg",
     "content_hash_dedup",
     "cosine_topk",
     "exact_dedup",

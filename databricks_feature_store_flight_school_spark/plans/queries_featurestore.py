@@ -376,3 +376,76 @@ def q_fs_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "profile_cf", base.where(F.col("c_custkey") % 11 == 0).select("c_custkey")
     )
     return fs.table_changes("profile_cf", from_version=1)
+
+
+@register(
+    "q_fs_incremental_agg",
+    """
+    WITH final AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey % 50
+                    ELSE o_custkey END AS cust,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN round(round(o_totalprice, 2) + 10, 2)
+                    ELSE round(o_totalprice, 2) END AS amount
+        FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT cust, round(sum(amount), 2) AS total, count(*) AS n_rows
+    FROM final GROUP BY cust
+    """,
+    "featurestore", "ivm", "cdc", "incremental",
+)
+def q_fs_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change feed (operators/ivm.py):
+    a per-customer SUM/COUNT feature is maintained purely from consumed
+    change windows — bootstrap inserts, then a merge that BOTH re-prices and
+    MOVES orders between customers (every 7th key: +10 and cust -> cust%50,
+    exercising the two-sided old-group/new-group adjustment), then a delete
+    of every 11th key — and must equal the oracle's from-scratch recompute
+    of the final state.  Refresh cost is O(|changes|) per window (full-outer
+    join on the group key); the base fact table is scanned once at
+    bootstrap and never again."""
+    from ..operators.ivm import agg_deltas, apply_deltas, compute_agg
+
+    fs = _client(spark)
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.round("o_totalprice", 2).alias("amount"),
+    )
+    fs.create_feature_table("orders_ivm", keys="okey", df=base)
+    measures = {"total": "amount"}
+
+    def consume_into(agg):
+        consumed = fs.consume_changes("orders_ivm", "agg")
+        changes, _v, commit = consumed
+        out = apply_deltas(agg, agg_deltas(changes, "cust", measures),
+                           "cust", list(measures))
+        commit()
+        return out
+
+    empty = compute_agg(fs.read_table("orders_ivm").limit(0), "cust", measures)
+    agg = consume_into(empty)
+
+    update = (
+        fs.read_table("orders_ivm")
+        .where(F.col("okey") % 7 == 0)
+        .select(
+            "okey",
+            (F.col("cust") % 50).alias("cust"),
+            F.round(F.col("amount") + 10, 2).alias("amount"),
+        )
+    )
+    fs.write_table("orders_ivm", update, mode="merge")
+    agg = consume_into(agg)
+
+    fs.delete_from_table(
+        "orders_ivm",
+        fs.read_table("orders_ivm").where(F.col("okey") % 11 == 0).select("okey"),
+    )
+    agg = consume_into(agg)
+
+    return agg.select(
+        "cust",
+        F.round("total", 2).alias("total"),
+        F.col("_n_rows").alias("n_rows"),
+    )

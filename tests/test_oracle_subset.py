@@ -36,6 +36,7 @@ CURRENT_ROUND = [
     "q_grouped_percentile_scalable",
     "q_exists_subquery",
     "q_fs_change_feed",
+    "q_fs_incremental_agg",
     "q_lateral_topk",
     "q_dau_mau",
     "q_decile_lift",

@@ -249,3 +249,91 @@ def test_table_changes_matches_snapshot_model(spark, tmp_path_factory, ops, init
             for r in client.table_changes("t", lo, hi).collect()
         }
         assert got == want, f"window v{lo}->v{hi}"
+
+
+#: base-table ops for the IVM property: merge rows (order_id, cust, amount)
+#: or delete order_ids.  Group moves happen when a merge re-assigns cust.
+_ivm_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(0, 50)),
+                min_size=1, max_size=5,
+            ),
+        ),
+        st.tuples(st.just("delete"),
+                  st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_ivm_ops, initial=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(0, 50)),
+    min_size=1, max_size=5,
+))
+@settings(**_SETTINGS)
+def test_ivm_incremental_equals_recompute(spark, tmp_path_factory, ops, initial):
+    """Maintaining a per-group SUM/COUNT aggregate from the change feed
+    (agg_deltas + apply_deltas per consumed window) must equal recomputing
+    it from the final snapshot — through inserts, group-moving updates, and
+    deletes that retire groups entirely."""
+    from databricks_feature_store_flight_school_spark.operators import (
+        agg_deltas, apply_deltas, compute_agg,
+    )
+
+    client = FeatureStoreClient(spark, str(tmp_path_factory.mktemp("ivm_wh")))
+    rows = {k: (g, a) for k, g, a in initial}
+    client.create_feature_table(
+        "base", keys="order_id",
+        df=spark.createDataFrame(
+            [Row(order_id=k, cust=g, amount=a) for k, (g, a) in rows.items()]
+        ),
+    )
+    measures = {"total": "amount"}
+
+    # bootstrap the maintained aggregate from the first consumed window
+    # (offset-0 delivers the snapshot as inserts), then fold each later
+    # window's deltas in — never rescanning the base table
+    changes, _v, commit = client.consume_changes("base", "agg")
+    empty = compute_agg(
+        client.read_table("base").limit(0), "cust", measures
+    )
+    agg = apply_deltas(empty, agg_deltas(changes, "cust", measures),
+                       "cust", list(measures)).localCheckpoint()
+    commit()
+
+    for op, payload in ops:
+        if op == "merge":
+            batch = {k: (g, a) for k, g, a in payload}
+            rows.update(batch)
+            client.write_table(
+                "base",
+                spark.createDataFrame(
+                    [Row(order_id=k, cust=g, amount=a)
+                     for k, (g, a) in batch.items()]
+                ),
+                mode="merge",
+            )
+        else:
+            for k in payload:
+                rows.pop(k, None)
+            client.delete_from_table(
+                "base", spark.createDataFrame([Row(order_id=k) for k in set(payload)])
+            )
+        consumed = client.consume_changes("base", "agg")
+        if consumed is None:
+            continue
+        changes, _v, commit = consumed
+        agg = apply_deltas(agg, agg_deltas(changes, "cust", measures),
+                           "cust", list(measures)).localCheckpoint()
+        commit()
+
+    want = {
+        r["cust"]: (r["total"], r["_n_rows"])
+        for r in compute_agg(client.read_table("base"), "cust", measures).collect()
+    }
+    got = {r["cust"]: (r["total"], r["_n_rows"]) for r in agg.collect()}
+    assert got == want
