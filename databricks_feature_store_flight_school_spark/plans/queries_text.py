@@ -1430,3 +1430,62 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("sel_score"),
         )
     )
+
+
+@register(
+    "q_weighted_sample_per_source",
+    """
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln(n_chars) + (-ln(-ln(
+                   (('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     + 0.5) / 4294967296.0))) AS g
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars, g,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY g DESC, doc_id) AS rn
+        FROM keyed
+    )
+    SELECT source, doc_id, n_chars, round(g, 6) AS gumbel_key
+    FROM ranked WHERE rn <= 3
+    """,
+    "text", "sampling", "weighted",
+)
+def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 3 docs per source, inclusion
+    probability proportional to document length — the Efraimidis-Spirakis
+    exponential-keys scheme in its Gumbel form: key = ln(weight) + Gumbel,
+    per-group top-k by key.  The Gumbel draw is DETERMINISTIC from
+    md5('ws:'||doc_id) (catalog convention, cf. q_dsir_selection), so both
+    engines select the identical sample.
+
+    This is the per-source quota subsample of a training-mixture pipeline
+    (take k docs per source, longer docs proportionally likelier) done in
+    ONE pass: no per-source sort of the corpus — the rank window partitions
+    by source, and at 100 TB the k survivors per group could equally ride
+    ``top_k_per_group``'s partial-aggregate path.  Contrast
+    q_stratified_sample (uniform Bernoulli per stratum, no quota) and
+    q_dsir_selection (global quota, distribution-matching weights)."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = docs.select(
+        "doc_id", "source", "n_chars",
+        (F.log(F.col("n_chars")) + (-F.log(-F.log(u)))).alias("g"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("g").desc(), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("source", "doc_id", "n_chars", F.round("g", 6).alias("gumbel_key"))
+    )

@@ -34,6 +34,7 @@ CURRENT_ROUND = [
     "q_bootstrap_ci",
     "q_dsir_selection",
     "q_grouped_percentile_scalable",
+    "q_weighted_sample_per_source",
     "q_exists_subquery",
     "q_fs_change_feed",
     "q_fs_incremental_agg",
