@@ -126,3 +126,95 @@ def compute_agg(
         ],
         F.count(F.lit(1)).alias(COUNT_COL),
     )
+
+
+def compute_minmax(
+    facts: DataFrame, group_col: str, measures: dict[str, str], agg: str = "min"
+) -> DataFrame:
+    """From-scratch per-group MIN/MAX twin (bootstrap + property oracle)."""
+    f = F.min if agg == "min" else F.max
+    return facts.groupBy(group_col).agg(
+        *[f(src).alias(out) for out, src in measures.items()]
+    )
+
+
+def apply_minmax(
+    maintained: DataFrame,
+    changes: DataFrame,
+    base_current: DataFrame,
+    group_col: str,
+    measures: dict[str, str],
+    agg: str = "min",
+) -> DataFrame:
+    """Maintain per-group MIN/MAX from a change feed.
+
+    MIN/MAX are NOT self-maintainable under deletes (Gupta & Mumick's
+    distinction): removing a row only matters if it carried the group's
+    current extremum, and then the new extremum is unknowable from the
+    change alone.  The classic strategy, implemented here:
+
+    - NEW images (insert/update) fold in for free:
+      ``ext' = least/greatest(ext, new_value)``.
+    - OLD images (delete/update) mark their OLD group *affected* only when
+      the departing value TIES the maintained extremum; affected groups are
+      recomputed against ``base_current`` — but only those groups (a
+      left-semi join prunes the scan; with partitioning/clustering on the
+      group key this reads |affected| partitions, not the table).
+
+    A group that loses its last row routes through the recompute branch
+    (its last value was its extremum) and drops out naturally, and a
+    brand-new group materialises from its new image alone — so the result
+    matches a from-scratch recompute exactly (property-pinned).
+    """
+    cmp = F.least if agg == "min" else F.greatest
+    extf = F.min if agg == "min" else F.max
+
+    new_ext = (
+        changes.where(F.col("_change_type").isin("insert", "update"))
+        .select(
+            F.col(f"new_{group_col}").alias(group_col),
+            *[F.col(f"new_{src}").alias(out) for out, src in measures.items()],
+        )
+        .groupBy(group_col)
+        .agg(*[extf(out).alias(out) for out in measures])
+    )
+    old_img = changes.where(
+        F.col("_change_type").isin("delete", "update")
+    ).select(
+        F.col(f"old_{group_col}").alias(group_col),
+        *[F.col(f"old_{src}").alias(f"__old_{out}") for out, src in measures.items()],
+    )
+    hit = None
+    for out in measures:
+        piece = (
+            F.col(f"__old_{out}") <= F.col(out)
+            if agg == "min"
+            else F.col(f"__old_{out}") >= F.col(out)
+        )
+        hit = piece if hit is None else hit | piece
+    affected = (
+        old_img.join(maintained, on=group_col, how="inner")
+        .where(hit)
+        .select(group_col)
+        .distinct()
+    )
+
+    recomputed = compute_minmax(
+        base_current.join(affected, on=group_col, how="left_semi"),
+        group_col,
+        {out: src for out, src in measures.items()},
+        agg,
+    )
+    untouched = maintained.join(affected, on=group_col, how="left_anti")
+    fresh = new_ext.join(affected, on=group_col, how="left_anti")
+    merged = untouched.join(
+        fresh.select(
+            group_col, *[F.col(out).alias(f"__new_{out}") for out in measures]
+        ),
+        on=group_col,
+        how="full_outer",
+    ).select(
+        group_col,
+        *[cmp(F.col(out), F.col(f"__new_{out}")).alias(out) for out in measures],
+    )
+    return merged.unionByName(recomputed)

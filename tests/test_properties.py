@@ -337,3 +337,72 @@ def test_ivm_incremental_equals_recompute(spark, tmp_path_factory, ops, initial)
     }
     got = {r["cust"]: (r["total"], r["_n_rows"]) for r in agg.collect()}
     assert got == want
+
+
+@given(ops=_ivm_ops, initial=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(0, 50)),
+    min_size=1, max_size=5,
+))
+@settings(**_SETTINGS)
+def test_ivm_minmax_affected_group_recompute(spark, tmp_path_factory, ops, initial):
+    """MIN/MAX maintenance (NOT self-maintainable under deletes): new images
+    fold in with least/greatest, departures that tie the extremum route
+    their group through the bounded recompute branch — and the maintained
+    frame must equal a from-scratch recompute after every window."""
+    from databricks_feature_store_flight_school_spark.operators.ivm import (
+        apply_minmax, compute_minmax,
+    )
+
+    client = FeatureStoreClient(spark, str(tmp_path_factory.mktemp("mm_wh")))
+    rows = {k: (g, a) for k, g, a in initial}
+    client.create_feature_table(
+        "base", keys="order_id",
+        df=spark.createDataFrame(
+            [Row(order_id=k, cust=g, amount=a) for k, (g, a) in rows.items()]
+        ),
+    )
+    measures = {"lo": "amount"}
+
+    changes, _v, commit = client.consume_changes("base", "mm")
+    maintained = apply_minmax(
+        compute_minmax(client.read_table("base").limit(0), "cust", measures),
+        changes, client.read_table("base"), "cust", measures, agg="min",
+    ).localCheckpoint()
+    commit()
+
+    for op, payload in ops:
+        if op == "merge":
+            batch = {k: (g, a) for k, g, a in payload}
+            rows.update(batch)
+            client.write_table(
+                "base",
+                spark.createDataFrame(
+                    [Row(order_id=k, cust=g, amount=a)
+                     for k, (g, a) in batch.items()]
+                ),
+                mode="merge",
+            )
+        else:
+            for k in payload:
+                rows.pop(k, None)
+            client.delete_from_table(
+                "base", spark.createDataFrame([Row(order_id=k) for k in set(payload)])
+            )
+        consumed = client.consume_changes("base", "mm")
+        if consumed is None:
+            continue
+        changes, _v, commit = consumed
+        maintained = apply_minmax(
+            maintained, changes, client.read_table("base"), "cust", measures,
+            agg="min",
+        ).localCheckpoint()
+        commit()
+
+        want = {
+            r["cust"]: r["lo"]
+            for r in compute_minmax(
+                client.read_table("base"), "cust", measures
+            ).collect()
+        }
+        got = {r["cust"]: r["lo"] for r in maintained.collect()}
+        assert got == want
