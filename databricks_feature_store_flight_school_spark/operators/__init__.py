@@ -11,7 +11,14 @@ from .dedup import (
     shingle_pairs_jaccard,
     simhash_df,
 )
-from .ivm import agg_deltas, apply_deltas, apply_minmax, compute_agg, compute_minmax
+from .ivm import (
+    agg_deltas,
+    apply_deltas,
+    apply_distinct,
+    apply_minmax,
+    compute_agg,
+    compute_minmax,
+)
 from .pca import pca_fit, pca_project
 from .ranks import global_ntile, global_percent_rank, global_prefix_sum, global_row_number
 from .similarity import arrow_cosine_topk, cosine_topk, ivf_topk, lsh_topk, nearest_neighbor_join
@@ -22,6 +29,7 @@ from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 __all__ = [
     "agg_deltas",
     "apply_deltas",
+    "apply_distinct",
     "apply_minmax",
     "arrow_cosine_topk",
     "asof_join",

@@ -38,24 +38,30 @@ from pyspark.sql import DataFrame, functions as F
 COUNT_COL = "_n_rows"
 
 
+def _cols(group_cols: str | list[str]) -> list[str]:
+    return [group_cols] if isinstance(group_cols, str) else list(group_cols)
+
+
 def agg_deltas(
-    changes: DataFrame, group_col: str, measures: dict[str, str]
+    changes: DataFrame, group_cols: str | list[str], measures: dict[str, str]
 ) -> DataFrame:
     """Per-group additive adjustments from a change-feed frame.
 
     ``measures`` maps output sum-column name -> base value column (the
-    change feed carries it as ``old_<col>`` / ``new_<col>``).  ``group_col``
-    is likewise a base value column.  Returns one row per touched group:
-    ``group_col``, ``<out>_delta`` per measure, ``_n_rows_delta``.
+    change feed carries it as ``old_<col>`` / ``new_<col>``).  ``group_cols``
+    (one or several base value columns) is likewise read from the images.
+    Returns one row per touched group: the group columns, ``<out>_delta``
+    per measure, ``_n_rows_delta``.
 
     Null measure values contribute 0 (SQL SUM ignores nulls) but still
     count toward the row count, matching a from-scratch
     ``groupBy().agg(sum, count)``.
     """
+    gcols = _cols(group_cols)
     old_side = (
         changes.where(F.col("_change_type").isin("update", "delete"))
         .select(
-            F.col(f"old_{group_col}").alias(group_col),
+            *[F.col(f"old_{g}").alias(g) for g in gcols],
             *[
                 (-F.coalesce(F.col(f"old_{src}"), F.lit(0))).alias(out)
                 for out, src in measures.items()
@@ -66,7 +72,7 @@ def agg_deltas(
     new_side = (
         changes.where(F.col("_change_type").isin("update", "insert"))
         .select(
-            F.col(f"new_{group_col}").alias(group_col),
+            *[F.col(f"new_{g}").alias(g) for g in gcols],
             *[
                 (F.coalesce(F.col(f"new_{src}"), F.lit(0))).alias(out)
                 for out, src in measures.items()
@@ -76,7 +82,7 @@ def agg_deltas(
     )
     return (
         old_side.unionByName(new_side)
-        .groupBy(group_col)
+        .groupBy(*gcols)
         .agg(
             *[F.sum(out).alias(f"{out}_delta") for out in measures],
             F.sum(COUNT_COL).alias(f"{COUNT_COL}_delta"),
@@ -85,7 +91,8 @@ def agg_deltas(
 
 
 def apply_deltas(
-    agg: DataFrame, deltas: DataFrame, group_col: str, measure_cols: list[str]
+    agg: DataFrame, deltas: DataFrame, group_cols: str | list[str],
+    measure_cols: list[str],
 ) -> DataFrame:
     """Merge an :func:`agg_deltas` frame into the maintained aggregate.
 
@@ -95,7 +102,8 @@ def apply_deltas(
     delta alone, and groups whose maintained count hits zero are dropped —
     the exact result a from-scratch recompute would produce.
     """
-    joined = agg.join(deltas, on=group_col, how="full_outer")
+    gcols = _cols(group_cols)
+    joined = agg.join(deltas, on=gcols, how="full_outer")
     out_cols = [
         (
             F.coalesce(F.col(c), F.lit(0))
@@ -108,18 +116,18 @@ def apply_deltas(
         + F.coalesce(F.col(f"{COUNT_COL}_delta"), F.lit(0))
     )
     return (
-        joined.select(group_col, *out_cols, new_count.alias(COUNT_COL))
+        joined.select(*gcols, *out_cols, new_count.alias(COUNT_COL))
         .where(F.col(COUNT_COL) > 0)
     )
 
 
 def compute_agg(
-    facts: DataFrame, group_col: str, measures: dict[str, str]
+    facts: DataFrame, group_cols: str | list[str], measures: dict[str, str]
 ) -> DataFrame:
     """From-scratch twin of the maintained aggregate (bootstrap + the
     oracle the property test compares against): groupBy + SUM per measure +
     COUNT, same null-as-zero convention as :func:`agg_deltas`."""
-    return facts.groupBy(group_col).agg(
+    return facts.groupBy(*_cols(group_cols)).agg(
         *[
             F.sum(F.coalesce(F.col(src), F.lit(0))).alias(out)
             for out, src in measures.items()
@@ -218,3 +226,31 @@ def apply_minmax(
         *[cmp(F.col(out), F.col(f"__new_{out}")).alias(out) for out in measures],
     )
     return merged.unionByName(recomputed)
+
+
+def apply_distinct(
+    aux: DataFrame, changes: DataFrame, group_col: str, value_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Maintain per-group COUNT(DISTINCT value) from a change feed.
+
+    COUNT DISTINCT is not self-maintainable from the view alone (a
+    departing value might or might not still be carried by other rows), but
+    becomes so with an *auxiliary view* — the other Gupta & Mumick trick,
+    complementing :func:`apply_minmax`'s bounded recompute: maintain
+    support counts per (group, value) pair, which IS additive
+    (:func:`agg_deltas` over the composite key), and the distinct count is
+    just the number of surviving pairs per group.
+
+    Returns ``(aux', derived)``: the updated auxiliary frame (persist this
+    between refreshes) and the derived ``(group, n_distinct)`` view.  Aux
+    size is |group, value| pairs — the same cardinality a from-scratch
+    ``count(DISTINCT)`` must shuffle anyway; refresh cost stays
+    O(|changes|)."""
+    aux2 = apply_deltas(
+        aux, agg_deltas(changes, [group_col, value_col], {}),
+        [group_col, value_col], [],
+    )
+    derived = aux2.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+    return aux2, derived

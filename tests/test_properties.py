@@ -406,3 +406,67 @@ def test_ivm_minmax_affected_group_recompute(spark, tmp_path_factory, ops, initi
         }
         got = {r["cust"]: r["lo"] for r in maintained.collect()}
         assert got == want
+
+
+@given(ops=_ivm_ops, initial=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(0, 5)),
+    min_size=1, max_size=5,
+))
+@settings(**_SETTINGS)
+def test_ivm_count_distinct_via_auxiliary_view(spark, tmp_path_factory, ops, initial):
+    """COUNT DISTINCT maintenance through the auxiliary support-count view:
+    after every window the derived (group, n_distinct) frame must equal a
+    from-scratch countDistinct — including values shared by several rows
+    (support > 1: one row's departure must NOT retire the value)."""
+    from databricks_feature_store_flight_school_spark.operators.ivm import (
+        apply_distinct, COUNT_COL,
+    )
+
+    client = FeatureStoreClient(spark, str(tmp_path_factory.mktemp("cd_wh")))
+    rows = {k: (g, a) for k, g, a in initial}
+    client.create_feature_table(
+        "base", keys="order_id",
+        df=spark.createDataFrame(
+            [Row(order_id=k, cust=g, amount=a) for k, (g, a) in rows.items()]
+        ),
+    )
+    schema = f"cust int, amount int, {COUNT_COL} bigint"
+    aux = spark.createDataFrame([], schema)
+
+    def step():
+        nonlocal aux
+        consumed = client.consume_changes("base", "cd")
+        if consumed is None:
+            return
+        changes, _v, commit = consumed
+        aux, derived = apply_distinct(aux, changes, "cust", "amount")
+        aux = aux.localCheckpoint()
+        commit()
+        want = {
+            r["cust"]: r["n"]
+            for r in client.read_table("base")
+            .groupBy("cust").agg(F.countDistinct("amount").alias("n")).collect()
+        }
+        got = {r["cust"]: r["n_distinct"] for r in derived.collect()}
+        assert got == want
+
+    step()
+    for op, payload in ops:
+        if op == "merge":
+            batch = {k: (g, a) for k, g, a in payload}
+            rows.update(batch)
+            client.write_table(
+                "base",
+                spark.createDataFrame(
+                    [Row(order_id=k, cust=g, amount=a)
+                     for k, (g, a) in batch.items()]
+                ),
+                mode="merge",
+            )
+        else:
+            for k in payload:
+                rows.pop(k, None)
+            client.delete_from_table(
+                "base", spark.createDataFrame([Row(order_id=k) for k in set(payload)])
+            )
+        step()
