@@ -317,7 +317,7 @@ def q_fs_score_batch_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ins AS (
         SELECT c_custkey + 1000000 AS c_custkey, 'NEW' AS segment,
-               round(round(c_acctbal, 2) / 2, 2) AS acctbal
+               round(round(c_acctbal, 2) + 250, 2) AS acctbal
         FROM customer WHERE c_custkey % 97 = 0
     ),
     v3 AS (
@@ -368,7 +368,7 @@ def q_fs_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("c_custkey") + 1000000).alias("c_custkey"),
             F.lit("NEW").alias("segment"),
-            F.round(F.col("acctbal") / 2, 2).alias("acctbal"),
+            F.round(F.col("acctbal") + 250, 2).alias("acctbal"),
         )
     )
     fs.write_table("profile_cf", update.unionByName(insert), mode="merge")

@@ -624,7 +624,10 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            max_by(o_orderkey, o_totalprice) AS priciest_order,
            round(max(o_totalprice), 2) AS top_price,
-           min_by(o_orderkey, o_orderdate) AS earliest_order
+           min_by(o_orderkey,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE)) AS BIGINT)
+                      * 10000000000 + o_orderkey) AS earliest_order
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -634,15 +637,23 @@ def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_argmax_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """arg-min/arg-max aggregates (max_by / min_by): the single-pass form of
     'row with the extreme value per group' — no self-join, no window.
-    Deterministic here because o_totalprice/o_orderdate ties don't occur in
-    the synthetic data for these groupings."""
+    min_by ties ARE possible on o_orderdate (several orders share the
+    earliest day at sf>=0.1), so the ordering key is the composite
+    (days-since-epoch, orderkey) packed into one BIGINT — min_by stays a
+    single-pass aggregate and both engines pick the same row.  max_by on
+    o_totalprice keeps the raw key (price ties don't occur in the fixture;
+    caught at sf0.1 by the multi-SF replica sweep, round 5)."""
     o = load_table(spark, sf_dir, "orders")
+    date_key = (
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint") * 10000000000 + F.col("o_orderkey")
+    )
     return (
         o.groupBy("o_orderpriority")
         .agg(
             F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
             F.round(F.max("o_totalprice"), 2).alias("top_price"),
-            F.min_by("o_orderkey", "o_orderdate").alias("earliest_order"),
+            F.min_by("o_orderkey", date_key).alias("earliest_order"),
         )
         .orderBy("o_orderpriority")
     )
