@@ -29,6 +29,7 @@ import check_oracle  # noqa: E402
 #: queries added/rewritten in the current round — always checked
 CURRENT_ROUND = [
     "q_activity_bitmap",
+    "q_argmax_aggregates",
     "q_autocorrelation",
     "q_bigram_lm_score",
     "q_bootstrap_ci",
@@ -55,6 +56,7 @@ CURRENT_ROUND = [
     "q_nation_pagerank",
     "q_null_profile",
     "q_peak_concurrency",
+    "q_pricing_summary",
     "q_percentile_scalable",
     "q_referential_integrity",
     "q_revenue_pareto",
