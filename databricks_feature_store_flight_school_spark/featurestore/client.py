@@ -220,7 +220,12 @@ class FeatureStoreClient:
         if last >= current:
             return None
         if last == 0:
-            snap = self.read_table(name)
+            # Pin the bootstrap to the version captured above: an unpinned
+            # read would re-resolve the registry, so a concurrent publish
+            # between the two reads could deliver v(current+1) data while
+            # commit() records offset `current` — the next window would then
+            # be double-applied.
+            snap = self.read_table(name, version=current)
             keys = list(meta.keys)
             val_cols = [c for c in snap.columns if c not in keys]
             changes = snap.select(
@@ -388,7 +393,15 @@ class FeatureStoreClient:
         driver = properties.get("driver")
         if driver:
             jvm.java.lang.Class.forName(driver)
-        conn = jvm.java.sql.DriverManager.getConnection(jdbc_url)
+        # Honor connection credentials (user/password/...) in the DELETE
+        # phase too — the INSERT phase already passes full properties to
+        # Spark's JDBC writer, and a credentialed target (Postgres/MySQL)
+        # would otherwise reject or mis-identify the delete connection.
+        jprops = jvm.java.util.Properties()
+        for k, v in properties.items():
+            if k != "driver":
+                jprops.setProperty(k, str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(jdbc_url, jprops)
         try:
             # Spark's JDBC writer creates columns with QUOTED (case-exact)
             # identifiers; match it with ANSI double quotes (Derby/Postgres;

@@ -245,11 +245,39 @@ def apply_distinct(
     between refreshes) and the derived ``(group, n_distinct)`` view.  Aux
     size is |group, value| pairs — the same cardinality a from-scratch
     ``count(DISTINCT)`` must shuffle anyway; refresh cost stays
-    O(|changes|)."""
-    aux2 = apply_deltas(
-        aux, agg_deltas(changes, [group_col, value_col], {}),
-        [group_col, value_col], [],
+    O(|changes|).
+
+    NULL values are ignored, matching SQL ``COUNT(DISTINCT v)``: an image
+    whose value is NULL contributes nothing on that side (so NULL→5 only
+    adds support for (g,5), and 5→NULL only retires (g,5))."""
+    old_side = (
+        changes.where(
+            F.col("_change_type").isin("update", "delete")
+            & F.col(f"old_{value_col}").isNotNull()
+        )
+        .select(
+            F.col(f"old_{group_col}").alias(group_col),
+            F.col(f"old_{value_col}").alias(value_col),
+            F.lit(-1).alias(COUNT_COL),
+        )
     )
+    new_side = (
+        changes.where(
+            F.col("_change_type").isin("update", "insert")
+            & F.col(f"new_{value_col}").isNotNull()
+        )
+        .select(
+            F.col(f"new_{group_col}").alias(group_col),
+            F.col(f"new_{value_col}").alias(value_col),
+            F.lit(1).alias(COUNT_COL),
+        )
+    )
+    deltas = (
+        old_side.unionByName(new_side)
+        .groupBy(group_col, value_col)
+        .agg(F.sum(COUNT_COL).alias(f"{COUNT_COL}_delta"))
+    )
+    aux2 = apply_deltas(aux, deltas, [group_col, value_col], [])
     derived = aux2.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_distinct")
     )

@@ -61,6 +61,15 @@ def covariance_and_mean(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.nda
     cov = np.zeros((d, d))
     mean = np.zeros(d)
     for r in cells:
+        if r["c"] is None:
+            # covar_samp needs >= 2 observations; with a single input row it
+            # returns NULL, which would otherwise surface as an opaque
+            # numpy TypeError below.
+            raise ValueError(
+                "covariance_and_mean needs at least 2 rows in "
+                f"'{vec_col}' (covar_samp returned NULL for cell "
+                f"({r['ai']}, {r['bi']}))"
+            )
         cov[r["ai"], r["bi"]] = cov[r["bi"], r["ai"]] = r["c"]
         if r["ai"] == r["bi"]:
             mean[r["ai"]] = r["m"]

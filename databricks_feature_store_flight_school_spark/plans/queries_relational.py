@@ -196,23 +196,40 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join with a non-key equality (customer and
-    supplier in the same nation).  supplier/nation/region broadcast."""
+    supplier in the same nation).
+
+    100 TB plan: the region restriction is resolved FIRST into the
+    qualifying nationkey set (region ⨝ nation — at most 25 rows, always
+    broadcastable), which then semi-join-filters BOTH customer and supplier
+    *below* the fact joins, so only qualifying rows ever enter the
+    orders/lineitem shuffles.  supplier itself carries NO broadcast hint —
+    it is sf-proportional (sf × 10k rows), so a forced broadcast is an OOM
+    at 100×; AQE is free to broadcast it when the runtime size allows."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    qual_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    nkeys = qual_nations.select("n_nationkey")
+    customer = customer.join(
+        F.broadcast(nkeys), customer.c_nationkey == nkeys.n_nationkey, "left_semi"
+    )
+    supplier = supplier.join(
+        F.broadcast(nkeys), supplier.s_nationkey == nkeys.n_nationkey, "left_semi"
+    )
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey)
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (lineitem.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )
-        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(qual_nations), supplier.s_nationkey == qual_nations.n_nationkey)
         .groupBy(F.col("n_name").alias("nation_name"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc())

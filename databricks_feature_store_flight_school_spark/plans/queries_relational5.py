@@ -508,26 +508,30 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ 1/(60 + rank) — the standard RRF combiner for hybrid search.  Fusing
     bounded top-k lists (not full rankings) is the scale-honest form: each
     ranker's TakeOrderedAndProject bounds what crosses the join, and the
-    outer join + final rank run on ≤40 rows."""
+    outer join + final rank run on ≤40 rows.
+
+    No eager driver action at plan-build: the corpus size (aligns vec ids
+    with doc ids) and the query vector both ride the plan as 1-row
+    broadcast cross-joins (the q_term_pmi corpus-scalar pattern) instead of
+    a build-time ``.count()`` / ``.first()``."""
     from ..functions import vectors as V
 
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # bounded metadata lookup; aligns vec ids with doc ids
+    n_docs = d.agg(F.count(F.lit(1)).alias("__n_docs"))
     bm = q_bm25_scores(spark, sf_dir).select("doc_id", F.col("rank").alias("r_bm"))
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[
-            "embedding"
-        ]
-    ]
-    qlit = F.array(*[F.lit(x) for x in qvec])
+    qdf = (
+        emb.where(F.col("vec_id") == 0)
+        .select(V.to_double(F.col("embedding")).alias("__q"))
+    )
     v = V.to_double(F.col("embedding"))
-    sim = V.dot(v, qlit) / (V.norm(v) * V.norm(qlit))
+    sim = V.dot(v, F.col("__q")) / (V.norm(v) * V.norm(F.col("__q")))
     w = Window.orderBy(F.col("sim").desc(), "doc_id")
     cs = (
-        emb.where(F.col("vec_id") < n_docs)
+        emb.crossJoin(F.broadcast(n_docs))
+        .where(F.col("vec_id") < F.col("__n_docs"))
+        .crossJoin(F.broadcast(qdf))
         .select(F.col("vec_id").alias("doc_id"), sim.alias("sim"))
         .orderBy(F.col("sim").desc(), "doc_id")
         .limit(20)

@@ -30,6 +30,14 @@ TABLES = (
 )
 
 
+#: (abs sf_dir, table) -> inferred StructType.  The testdata is immutable, so
+#: the footer-inference job (one driver-side read per spark.read.parquet)
+#: only needs to run once per table — every later load passes the schema
+#: explicitly, which keeps query BUILDING job-free (asserted by the
+#: lazy-build tests) and skips redundant footer reads across the catalog.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalising types.
 
@@ -38,7 +46,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same truncation DuckDB applies, so oracle comparisons line up.
     """
     prepare(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (os.path.abspath(sf_dir), name)
+    cached = _SCHEMA_CACHE.get(key)
+    reader = spark.read if cached is None else spark.read.schema(cached)
+    df = reader.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if cached is None:
+        _SCHEMA_CACHE[key] = df.schema
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # Integer division, NOT `/ 1000` — float division round-trips through
         # double, whose ulp at 2024-epoch nanosecond magnitudes is 256 ns, so

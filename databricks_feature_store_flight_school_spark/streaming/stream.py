@@ -392,15 +392,27 @@ def streaming_interval_join_full(
     the watermark proves no match can still arrive, then emits exactly
     once.  Both sides therefore need watermarks AND the time-interval
     condition — Spark rejects an unbounded full-outer stream join, which is
-    the engine enforcing the 100 TB rule (state must provably drain)."""
-    l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    the engine enforcing the 100 TB rule (state must provably drain).
+
+    The result carries a SINGLE ``key`` column — ``coalesce(left.key,
+    right.key)`` — so unmatched rows from either side still have their key
+    populated and ``result[key]`` is never ambiguous (the left-outer variant
+    drops the right key for the same reason)."""
+    # explicit aliases: both sides often derive from the SAME source stream
+    # (e.g. one events feed filtered two ways), and qualified names are the
+    # only unambiguous way to address each side's key after the join
+    l = left.withWatermark(left_ts, watermark).alias("__sjl")
+    r = right.withWatermark(right_ts, watermark).alias("__sjr")
+    lk, rk = F.col(f"__sjl.{key}"), F.col(f"__sjr.{key}")
     cond = (
-        (l[key] == r[key])
+        (lk == rk)
         & (F.col(right_ts) <= F.col(left_ts))
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
     )
-    return l.join(r, cond, "full_outer")
+    joined = l.join(r, cond, "full_outer")
+    rest = [F.col(f"__sjl.{c}") for c in left.columns if c != key]
+    rest += [F.col(f"__sjr.{c}") for c in right.columns if c != key]
+    return joined.select(F.coalesce(lk, rk).alias(key), *rest)
 
 
 def streaming_hourly_daily_rollup(

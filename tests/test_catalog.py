@@ -137,6 +137,48 @@ def test_sql_surface_equals_dataframe_plan(spark, sf_dir, name):
     assert (a.astype(str).values == b.astype(str).values).all(), name
 
 
+def test_local_supplier_volume_no_supplier_broadcast(spark, sf_dir):
+    """Q5 at 100×: supplier is sf-proportional, so it must NOT carry a
+    broadcast hint (an OOM at scale); the region restriction must instead
+    semi-join-filter customer and supplier BELOW the fact joins via the
+    ≤25-row qualifying-nationkey set.  With the size-based auto-broadcast
+    disabled, the only broadcasts left are the hint-forced nationkey frames
+    — so a re-added F.broadcast(supplier) shows up as a BroadcastHashJoin
+    keyed on s_suppkey and fails here."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = query_map()["q_local_supplier_volume"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert plan.count("LeftSemi") >= 2, plan[:3000]
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "s_suppkey" not in line, f"supplier broadcast:\n{line}"
+
+
+def test_hybrid_rrf_builds_lazily(spark, sf_dir):
+    """Plan construction must not launch Spark jobs: the corpus count and
+    the query vector ride the plan as 1-row broadcasts, not build-time
+    .count()/.first() actions.  Any job triggered during the build would run
+    under the probe job group and fail the emptiness check."""
+    sc = spark.sparkContext
+    # warm-up: the FIRST load of each table runs a one-off footer-inference
+    # job (cached afterwards, sources/tables.py); that is scan setup, not
+    # query work, so it is excluded from the probe
+    query_map()["q_hybrid_rrf"](spark, sf_dir)
+    group = "rrf_lazy_build_probe"
+    sc.setJobGroup(group, "building q_hybrid_rrf must be lazy")
+    try:
+        df = query_map()["q_hybrid_rrf"](spark, sf_dir)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert not jobs, f"q_hybrid_rrf launched jobs at build time: {jobs}"
+    assert df.columns == ["doc_id", "rrf_score", "rank"]
+
+
 def test_plan_audit_no_unbounded_global_windows(spark, sf_dir):
     """Enforced plan audit (tools/explain_audit.py): every partition-less
     WindowExec in the catalog must be whitelisted with a boundedness reason

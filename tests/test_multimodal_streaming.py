@@ -660,7 +660,11 @@ def test_streaming_interval_full_join_emits_both_unmatched_sides(spark, sf_dir):
     joined = streaming_interval_join_full(
         p, c, key="user_id", left_ts="p_ts", right_ts="c_ts",
         lookback="30 minutes", watermark="10 minutes",
-    ).select("purchase_id", "click_id", "p_ts", "c_ts")
+    )
+    # single coalesced key column — selecting it must not be ambiguous, and
+    # unmatched rows from either side must still carry their key
+    assert joined.columns.count("user_id") == 1
+    joined = joined.select("purchase_id", "click_id", "p_ts", "c_ts")
     run_stream_to_memory(joined, "ssj_full_out", output_mode="append")
     rows = spark.sql(
         "SELECT purchase_id, click_id, p_ts, c_ts FROM ssj_full_out"
