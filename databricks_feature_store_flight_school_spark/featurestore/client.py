@@ -16,6 +16,7 @@ used automatically if delta-spark is importable — writer.py).
 
 from __future__ import annotations
 
+import json
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -242,6 +243,149 @@ class FeatureStoreClient:
             self.registry.set_consumer_offset(name, consumer_id, current)
 
         return changes, current, commit
+
+    # -- materialized views (incremental view maintenance facade) -----------
+
+    #: aggregate fns derive_stats can serve from the maintained moments
+    _MV_FNS = ("sum", "count", "avg", "var_samp", "var_pop", "stddev_samp", "stddev_pop")
+
+    def create_materialized_view(
+        self,
+        name: str,
+        source: str,
+        group_cols: str | list[str],
+        aggs: dict[str, tuple[str, str]],
+        description: str = "",
+    ) -> FeatureTableMeta:
+        """Register an incrementally-maintained aggregate view over a feature
+        table — the user-facing face of ``operators/ivm.py``.
+
+        ``aggs`` maps output column -> ``(fn, source_column)`` with fn in
+        ``sum | count | avg | var_samp | var_pop | stddev_samp | stddev_pop``
+        (``("count", "*")`` counts rows).  The view's state is itself a
+        feature table keyed by ``group_cols`` holding additive moments (sum,
+        sum of squares, non-null count per measure), so every
+        :meth:`refresh_materialized_view` costs O(|changes since last
+        refresh|) — never a rescan of the source — and the state enjoys the
+        full table surface (time travel, publish, change feed).
+
+        Grouping/measure columns must be VALUE columns of the source: the
+        change feed carries ``old_``/``new_`` images only for non-key
+        columns (a key never changes in place — key churn arrives as
+        delete + insert, which the algebra already handles)."""
+        from ..operators.ivm import _moment_cols  # shared naming
+        from pyspark.sql.types import (
+            DoubleType, LongType, StructField, StructType,
+        )
+
+        gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+        src_meta = self.registry.get(source)
+        src_schema = StructType.fromJson(json.loads(src_meta.schema_json))
+        src_fields = {f.name: f for f in src_schema.fields}
+        src_cols = sorted({src for _fn, src in aggs.values() if src != "*"})
+        for out, (fn, src) in aggs.items():
+            if fn not in self._MV_FNS:
+                raise ValueError(
+                    f"aggregate {out!r}: unknown fn {fn!r} (use one of {self._MV_FNS})"
+                )
+            if src == "*" and fn != "count":
+                raise ValueError(f"aggregate {out!r}: '*' is only valid with count")
+        for c in gcols + src_cols:
+            if c not in src_fields:
+                raise ValueError(f"column {c!r} not in source table {source!r}")
+            if c in src_meta.keys:
+                raise ValueError(
+                    f"column {c!r} is a primary key of {source!r}; materialized "
+                    "views group/aggregate over value columns (the change feed "
+                    "carries images only for those)"
+                )
+        fields = [StructField(g, src_fields[g].dataType) for g in gcols]
+        for m in _moment_cols(src_cols):
+            fields.append(
+                StructField(m, LongType() if m.startswith("__c_") else DoubleType())
+            )
+        fields.append(StructField("_n_rows", LongType()))
+        return self.registry.create(
+            FeatureTableMeta(
+                name=name,
+                keys=gcols,
+                schema_json=StructType(fields).json(),
+                description=description or f"materialized view over {source}",
+                properties={
+                    "mv": {
+                        "source": source,
+                        "group_cols": gcols,
+                        "aggs": {out: list(spec) for out, spec in aggs.items()},
+                    }
+                },
+            )
+        )
+
+    def refresh_materialized_view(self, name: str) -> FeatureTableMeta:
+        """Advance the view's state to the source's current version.
+
+        Exactly-once by construction: the refresh folds the change window
+        (applied, current] into the moment state with one group-key
+        full-outer join, and the new state snapshot publishes atomically
+        WITH ``mv_applied_version=current`` in the same registry CAS — a
+        crash before the publish re-applies the identical window onto the
+        OLD state (idempotent), and after it the next refresh sees the
+        advanced offset.  No change window can be applied twice.
+
+        First refresh bootstraps from the pinned current snapshot (one
+        source scan — the only full scan the view ever does)."""
+        from ..operators.ivm import (
+            _moment_cols, apply_deltas, compute_stats, stats_deltas,
+        )
+
+        meta = self.registry.get(name)
+        mv = (meta.properties or {}).get("mv")
+        if not mv:
+            raise ValueError(f"{name!r} is not a materialized view")
+        applied = int(meta.properties.get("mv_applied_version", 0))
+        src_meta = self.registry.get(mv["source"])
+        current = src_meta.current_version
+        if current == 0:
+            raise ValueError(f"source table {mv['source']!r} has no data yet")
+        if applied >= current:
+            return meta
+        gcols = list(mv["group_cols"])
+        src_cols = sorted(
+            {src for _fn, src in mv["aggs"].values() if src != "*"}
+        )
+        if applied == 0:
+            state = compute_stats(
+                self.read_table(mv["source"], version=current), gcols, src_cols
+            )
+        else:
+            changes = self.table_changes(
+                mv["source"], from_version=applied, to_version=current
+            )
+            state = apply_deltas(
+                self.read_table(name),
+                stats_deltas(changes, gcols, src_cols),
+                gcols,
+                _moment_cols(src_cols),
+            )
+        return writer.write_snapshot(
+            self.registry, meta, state, mode="overwrite", validate=False,
+            properties_update={"mv_applied_version": current},
+        )
+
+    def read_materialized_view(self, name: str) -> DataFrame:
+        """The view as its user-facing aggregates (derived from the moment
+        state — no source access, no recompute)."""
+        from ..operators.ivm import derive_stats
+
+        meta = self.registry.get(name)
+        mv = (meta.properties or {}).get("mv")
+        if not mv:
+            raise ValueError(f"{name!r} is not a materialized view")
+        return derive_stats(
+            self.read_table(name),
+            list(mv["group_cols"]),
+            {out: tuple(spec) for out, spec in mv["aggs"].items()},
+        )
 
     def write_table(
         self, name: str, df: DataFrame, mode: str = "merge", validate: bool = True

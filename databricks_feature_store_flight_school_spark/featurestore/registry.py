@@ -130,6 +130,7 @@ class Registry:
         staging_dir: str,
         final_dir: str,
         schema_json: str,
+        properties_update: dict | None = None,
     ) -> FeatureTableMeta:
         """Compare-and-swap publish of a staged snapshot: atomically verify
         ``current_version == expected_version``, rename the staged data into
@@ -137,7 +138,13 @@ class Registry:
         file.  A writer that lost the race gets :class:`ConcurrentWriteError`
         (and its staging dir removed) instead of silently clobbering the
         winner's rows.  Single-writer-per-table is still the recommended
-        operating mode; this guard turns violations into loud failures."""
+        operating mode; this guard turns violations into loud failures.
+
+        ``properties_update`` merges extra table properties into the SAME
+        registry write that flips the version pointer — the transactional
+        hook incremental consumers need (e.g. a materialized view records
+        the source version its state reflects atomically with the state
+        itself, so a crash can never leave the two disagreeing)."""
         import shutil
 
         lock = os.path.join(self._dir, f".{_sanitize(name)}.lock")
@@ -168,6 +175,8 @@ class Registry:
             cur.properties.setdefault("version_history", {})[
                 str(cur.current_version)
             ] = time.time()
+            if properties_update:
+                cur.properties.update(properties_update)
             self._write(cur)
             return cur
         finally:

@@ -113,7 +113,7 @@ def _resolve_as_of(meta: FeatureTableMeta, as_of: float | str) -> int:
 
 def write_snapshot(
     registry: Registry, meta: FeatureTableMeta, df: DataFrame, mode: str,
-    validate: bool = True,
+    validate: bool = True, properties_update: dict | None = None,
 ) -> FeatureTableMeta:
     """Write ``df`` into the feature table; returns updated metadata.
 
@@ -124,6 +124,10 @@ def write_snapshot(
     null key columns, or several source rows for one key (whose winner would
     otherwise be arbitrary).  Costs one small aggregate job over the source;
     pass False only for sources already known clean.
+
+    ``properties_update`` lands in the registry atomically with the version
+    flip (registry.publish_version) — see the materialized-view refresh for
+    why that matters.
     """
     if mode not in ("merge", "overwrite"):
         raise ValueError(f"unsupported write mode: {mode}")
@@ -173,6 +177,7 @@ def write_snapshot(
         staging_dir=staging,
         final_dir=_version_dir(table_dir, new_version),
         schema_json=merged.schema.json(),
+        properties_update=properties_update,
     )
     meta.current_version = updated.current_version
     meta.schema_json = updated.schema_json

@@ -18,11 +18,21 @@ from .ivm import (
     apply_minmax,
     compute_agg,
     compute_minmax,
+    compute_stats,
+    derive_stats,
+    stats_deltas,
 )
 from .pca import pca_fit, pca_project
 from .ranks import global_ntile, global_percent_rank, global_prefix_sum, global_row_number
 from .similarity import arrow_cosine_topk, cosine_topk, ivf_topk, lsh_topk, nearest_neighbor_join
-from .skew import bucketed_table, salted_join, write_bucketed
+from .skew import (
+    auto_salt_factor,
+    auto_salted_join,
+    bucketed_table,
+    key_skew_profile,
+    salted_join,
+    write_bucketed,
+)
 from .topk import top_k, top_k_per_group
 from .windows import session_window_agg, sliding_window_agg, tumbling_window_agg
 
@@ -33,11 +43,17 @@ __all__ = [
     "apply_minmax",
     "arrow_cosine_topk",
     "asof_join",
+    "auto_salt_factor",
+    "auto_salted_join",
+    "key_skew_profile",
     "bucketed_table",
     "connected_components",
     "content_hash",
     "compute_agg",
     "compute_minmax",
+    "compute_stats",
+    "derive_stats",
+    "stats_deltas",
     "content_hash_dedup",
     "cosine_topk",
     "exact_dedup",

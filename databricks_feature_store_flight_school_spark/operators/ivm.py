@@ -228,6 +228,112 @@ def apply_minmax(
     return merged.unionByName(recomputed)
 
 
+def _moment_cols(src_cols: list[str]) -> list[str]:
+    """State columns maintained per source measure column: sum, sum of
+    squares, and non-null count (the moments AVG/VAR/STDDEV derive from)."""
+    out: list[str] = []
+    for c in src_cols:
+        out += [f"__s_{c}", f"__q_{c}", f"__c_{c}"]
+    return out
+
+
+def compute_stats(
+    facts: DataFrame, group_cols: str | list[str], src_cols: list[str]
+) -> DataFrame:
+    """From-scratch moment state for :func:`derive_stats` aggregates
+    (bootstrap + the property-test oracle): per group and per measure column
+    ``__s_<c>`` = SUM (nulls as 0), ``__q_<c>`` = SUM of squares,
+    ``__c_<c>`` = COUNT of non-null values, plus the global ``_n_rows``.
+
+    Moments are maintained in double: one extra additive column per measure
+    buys AVG/VAR_SAMP/STDDEV_SAMP maintenance at the same O(|changes|)
+    refresh cost as plain SUM/COUNT — the classic self-maintainable
+    extension of Gupta & Mumick's algebra to second moments."""
+    aggs = []
+    for c in src_cols:
+        v = F.col(c).cast("double")
+        aggs += [
+            F.sum(F.coalesce(v, F.lit(0.0))).alias(f"__s_{c}"),
+            F.sum(F.coalesce(v * v, F.lit(0.0))).alias(f"__q_{c}"),
+            F.count(v).alias(f"__c_{c}"),
+        ]
+    return facts.groupBy(*_cols(group_cols)).agg(
+        *aggs, F.count(F.lit(1)).alias(COUNT_COL)
+    )
+
+
+def stats_deltas(
+    changes: DataFrame, group_cols: str | list[str], src_cols: list[str]
+) -> DataFrame:
+    """Per-group moment adjustments from a change-feed frame — the
+    :func:`agg_deltas` analog over (sum, sum-of-squares, non-null count)
+    per measure column.  Feed the result straight into :func:`apply_deltas`
+    with ``measure_cols=_moment_cols(src_cols)``."""
+    gcols = _cols(group_cols)
+
+    def _side(img: str, sign: int, kinds: list[str]) -> DataFrame:
+        cols = []
+        for c in src_cols:
+            v = F.col(f"{img}_{c}").cast("double")
+            cols += [
+                (F.lit(sign) * F.coalesce(v, F.lit(0.0))).alias(f"__s_{c}"),
+                (F.lit(sign) * F.coalesce(v * v, F.lit(0.0))).alias(f"__q_{c}"),
+                F.when(v.isNotNull(), F.lit(sign)).otherwise(F.lit(0)).alias(f"__c_{c}"),
+            ]
+        return changes.where(F.col("_change_type").isin(*kinds)).select(
+            *[F.col(f"{img}_{g}").alias(g) for g in gcols],
+            *cols,
+            F.lit(sign).alias(COUNT_COL),
+        )
+
+    mcols = _moment_cols(src_cols)
+    return (
+        _side("old", -1, ["update", "delete"])
+        .unionByName(_side("new", 1, ["update", "insert"]))
+        .groupBy(*gcols)
+        .agg(
+            *[F.sum(c).alias(f"{c}_delta") for c in mcols],
+            F.sum(COUNT_COL).alias(f"{COUNT_COL}_delta"),
+        )
+    )
+
+
+def derive_stats(
+    state: DataFrame,
+    group_cols: str | list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """User-facing aggregates from a maintained moment state.
+
+    ``aggs`` maps output column -> ``(fn, src_col)`` with fn one of
+    ``sum | count | avg | var_samp | var_pop | stddev_samp | stddev_pop``
+    (``("count", "*")`` is row count).  SQL null semantics: SUM/AVG over an
+    all-null group are NULL; VAR_SAMP/STDDEV_SAMP need >= 2 non-null values,
+    the _pop forms >= 1.  Variance derives from the moment identity
+    (q - s^2/n) / (n - ddof), clamped at 0 against floating cancellation."""
+    cols = []
+    for out, (fn, src) in aggs.items():
+        if fn == "count":
+            col = F.col(COUNT_COL) if src == "*" else F.col(f"__c_{src}")
+            cols.append(col.alias(out))
+            continue
+        s, q, n = (F.col(f"__{p}_{src}") for p in ("s", "q", "c"))
+        if fn == "sum":
+            expr = F.when(n > 0, s)
+        elif fn == "avg":
+            expr = F.when(n > 0, s / n)
+        elif fn in ("var_samp", "var_pop", "stddev_samp", "stddev_pop"):
+            ddof = 1 if fn.endswith("_samp") else 0
+            var = F.greatest((q - s * s / n) / (n - ddof), F.lit(0.0))
+            expr = F.when(n > ddof, var)
+            if fn.startswith("stddev"):
+                expr = F.sqrt(expr)
+        else:
+            raise ValueError(f"unknown aggregate fn {fn!r} for {out!r}")
+        cols.append(expr.alias(out))
+    return state.select(*_cols(group_cols), *cols)
+
+
 def apply_distinct(
     aux: DataFrame, changes: DataFrame, group_col: str, value_col: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -449,3 +449,94 @@ def q_fs_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total", 2).alias("total"),
         F.col("_n_rows").alias("n_rows"),
     )
+
+
+@register(
+    "q_fs_materialized_view",
+    """
+    WITH final AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey % 50
+                    ELSE o_custkey END AS cust,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN round(round(o_totalprice, 2) + 10, 2)
+                    ELSE round(o_totalprice, 2) END AS amount
+        FROM orders WHERE o_orderkey % 11 <> 0
+    )
+    SELECT cust,
+           round(sum(amount), 2) AS total,
+           count(*) AS n_orders,
+           CAST(round(sum(amount) * 100) AS BIGINT) * 100 // count(*)
+               AS avg_amount_e4,
+           round(stddev_samp(amount), 4) AS sd_amount
+    FROM final GROUP BY cust
+    """,
+    "featurestore", "ivm", "materialized-view", "incremental",
+)
+def q_fs_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-facing materialized-view facade over operators/ivm.py
+    (client.create_materialized_view / refresh / read): a per-customer
+    SUM/COUNT/AVG/STDDEV view over an orders feature table is refreshed
+    incrementally through the same churn script as q_fs_incremental_agg —
+    bootstrap, a merge that re-prices AND moves every 7th order between
+    customers, then a delete of every 11th — and must equal the oracle's
+    from-scratch recompute of the final state.
+
+    AVG/VAR/STDDEV ride the maintained moment state (sum, sum of squares,
+    non-null count per measure — the self-maintainable second-moment
+    extension of the IVM algebra), so each refresh is O(|changes|) with one
+    group-key full-outer join; the state publish and its applied-source-
+    version marker flip in the same registry CAS (exactly-once refresh,
+    no double-applied window even across crashes)."""
+    fs = _client(spark)
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.round("o_totalprice", 2).alias("amount"),
+    )
+    fs.create_feature_table("orders_mv_base", keys="okey", df=base)
+    fs.create_materialized_view(
+        "orders_mv", "orders_mv_base", "cust",
+        {
+            "total": ("sum", "amount"),
+            "n_orders": ("count", "*"),
+            "avg_amount": ("avg", "amount"),
+            "sd_amount": ("stddev_samp", "amount"),
+        },
+    )
+    fs.refresh_materialized_view("orders_mv")
+
+    update = (
+        fs.read_table("orders_mv_base")
+        .where(F.col("okey") % 7 == 0)
+        .select(
+            "okey",
+            (F.col("cust") % 50).alias("cust"),
+            F.round(F.col("amount") + 10, 2).alias("amount"),
+        )
+    )
+    fs.write_table("orders_mv_base", update, mode="merge")
+    fs.refresh_materialized_view("orders_mv")
+
+    fs.delete_from_table(
+        "orders_mv_base",
+        fs.read_table("orders_mv_base").where(F.col("okey") % 11 == 0).select("okey"),
+    )
+    fs.refresh_materialized_view("orders_mv")
+
+    # avg in exact fixed-point (1e-4 dollars, truncating integer division):
+    # money averages land on decimal .xxx5 half-boundaries whenever the
+    # group size is a power of two (cents/2^k terminates), where Spark's
+    # HALF_UP and DuckDB's binary rounding can disagree by 1 ulp — integer
+    # cents*100 DIV n is boundary-free and bit-identical on both engines.
+    # stddev keeps round(4): sqrt outputs are irrational off the degenerate
+    # cases (NULL for n=1, exact 0.0 for zero variance), never on a half.
+    mv = fs.read_materialized_view("orders_mv")
+    return mv.select(
+        "cust",
+        F.round("total", 2).alias("total"),
+        "n_orders",
+        F.expr(
+            "CAST(round(total * 100) AS BIGINT) * 100 DIV n_orders"
+        ).alias("avg_amount_e4"),
+        F.round("sd_amount", 4).alias("sd_amount"),
+    )

@@ -1405,3 +1405,51 @@ def test_consume_changes_offsets_and_redelivery(spark, client):
     assert rows3[0]["k"] == 2 and rows3[0]["_change_type"] == "update"
     commit3()
     assert client.consume_changes("feed", "sink") is None
+
+
+def test_materialized_view_validation_and_exactly_once(spark, client):
+    """MV facade contract: spec validation rejects unknown fns, key-column
+    grouping, and bare '*' outside count; the applied-source-version marker
+    flips atomically with the state publish (same registry write), a
+    caught-up refresh is a version no-op, and re-applying the same window is
+    impossible because the offset rides the state snapshot itself."""
+    client.create_feature_table(
+        "src", keys="id",
+        df=spark.createDataFrame(
+            [Row(id=i, grp=i % 2, val=float(i)) for i in range(6)]
+        ),
+    )
+    with pytest.raises(ValueError, match="unknown fn"):
+        client.create_materialized_view("v1", "src", "grp", {"x": ("median", "val")})
+    with pytest.raises(ValueError, match="primary key"):
+        client.create_materialized_view("v1", "src", "id", {"x": ("sum", "val")})
+    with pytest.raises(ValueError, match="only valid with count"):
+        client.create_materialized_view("v1", "src", "grp", {"x": ("sum", "*")})
+    with pytest.raises(ValueError, match="not in source"):
+        client.create_materialized_view("v1", "src", "grp", {"x": ("sum", "nope")})
+
+    client.create_materialized_view(
+        "v1", "src", "grp", {"total": ("sum", "val"), "n": ("count", "*")}
+    )
+    with pytest.raises(ValueError, match="not a materialized view"):
+        client.read_materialized_view("src")
+
+    client.refresh_materialized_view("v1")
+    meta = client.get_feature_table("v1")
+    # marker and state committed together: same registry document
+    assert meta.properties["mv_applied_version"] == 1
+    assert meta.current_version == 1
+
+    # caught-up refresh: no new version published
+    client.refresh_materialized_view("v1")
+    assert client.get_feature_table("v1").current_version == 1
+
+    # two source commits, one refresh: single window (1, 3] applied once
+    client.write_table("src", spark.createDataFrame([Row(id=0, grp=1, val=10.0)]))
+    client.write_table("src", spark.createDataFrame([Row(id=7, grp=0, val=3.0)]))
+    client.refresh_materialized_view("v1")
+    meta = client.get_feature_table("v1")
+    assert meta.properties["mv_applied_version"] == 3
+    got = {r["grp"]: (r["total"], r["n"])
+           for r in client.read_materialized_view("v1").collect()}
+    assert got == {0: (2.0 + 4.0 + 3.0, 3), 1: (1.0 + 3.0 + 5.0 + 10.0, 4)}

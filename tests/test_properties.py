@@ -470,3 +470,121 @@ def test_ivm_count_distinct_via_auxiliary_view(spark, tmp_path_factory, ops, ini
                 "base", spark.createDataFrame([Row(order_id=k) for k in set(payload)])
             )
         step()
+
+
+#: like _ivm_ops but amounts may be NULL — AVG/VAR/STDDEV/COUNT(col) must
+#: ignore nulls (SQL semantics) while COUNT(*) still counts the row
+_ivm_null_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                st.tuples(
+                    st.integers(0, 9), st.integers(0, 3),
+                    st.one_of(st.none(), st.integers(0, 50)),
+                ),
+                min_size=1, max_size=5,
+            ),
+        ),
+        st.tuples(st.just("delete"),
+                  st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_ivm_null_ops, initial=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 3),
+              st.one_of(st.none(), st.integers(0, 50))),
+    min_size=1, max_size=5,
+))
+@settings(**_SETTINGS)
+def test_materialized_view_incremental_equals_recompute(
+    spark, tmp_path_factory, ops, initial
+):
+    """The create/refresh/read materialized-view facade must equal a
+    from-scratch groupBy of the source's final state for every served
+    aggregate — SUM, COUNT(*), COUNT(col), AVG, VAR_SAMP, STDDEV_SAMP —
+    through inserts, group-moving updates, NULL measures, deletes, and
+    groups retired entirely; each refresh sees only that window's change
+    feed (exactly-once via the atomic applied-version publish)."""
+    import math
+
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("order_id", IntegerType()),
+        StructField("cust", IntegerType()),
+        StructField("amount", IntegerType()),
+    ])
+    client = FeatureStoreClient(spark, str(tmp_path_factory.mktemp("mv_wh")))
+    rows = {k: (g, a) for k, g, a in initial}
+    client.create_feature_table(
+        "base", keys="order_id",
+        df=spark.createDataFrame(
+            [(k, g, a) for k, (g, a) in rows.items()], schema
+        ),
+    )
+    client.create_materialized_view(
+        "view", "base", "cust",
+        {
+            "total": ("sum", "amount"),
+            "n_rows": ("count", "*"),
+            "n_vals": ("count", "amount"),
+            "mean": ("avg", "amount"),
+            "vs": ("var_samp", "amount"),
+            "sd": ("stddev_samp", "amount"),
+        },
+    )
+
+    def check():
+        client.refresh_materialized_view("view")
+        got = {
+            r["cust"]: (r["total"], r["n_rows"], r["n_vals"], r["mean"],
+                        r["vs"], r["sd"])
+            for r in client.read_materialized_view("view").collect()
+        }
+        want = {
+            r["cust"]: (r["total"], r["n_rows"], r["n_vals"], r["mean"],
+                        r["vs"], r["sd"])
+            for r in client.read_table("base").groupBy("cust").agg(
+                F.sum("amount").cast("double").alias("total"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count("amount").alias("n_vals"),
+                F.avg("amount").alias("mean"),
+                F.var_samp("amount").alias("vs"),
+                F.stddev_samp("amount").alias("sd"),
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for k in got:
+            for a, b in zip(got[k], want[k]):
+                if a is None or b is None:
+                    assert a == b, (k, got[k], want[k])
+                else:
+                    assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (
+                        k, got[k], want[k]
+                    )
+
+    check()
+    for op, payload in ops:
+        if op == "merge":
+            batch = {k: (g, a) for k, g, a in payload}
+            rows.update(batch)
+            client.write_table(
+                "base",
+                spark.createDataFrame(
+                    [(k, g, a) for k, (g, a) in batch.items()], schema
+                ),
+                mode="merge",
+            )
+        else:
+            for k in payload:
+                rows.pop(k, None)
+            client.delete_from_table(
+                "base", spark.createDataFrame([Row(order_id=k) for k in set(payload)])
+            )
+        check()

@@ -183,3 +183,50 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
 
     # and the data round-trips
     assert spark.read.parquet(zdir).count() == orders.count()
+
+
+def test_auto_salt_factor_from_profile():
+    """The derived factor: hot-key rows / even-partition share, clamped.
+    A 90%-one-key histogram over 8 partitions wants ~8 splits; a uniform
+    histogram wants none."""
+    from databricks_feature_store_flight_school_spark.operators.skew import (
+        auto_salt_factor,
+    )
+
+    skewed = {"n_rows": 1000, "max_rows": 900}
+    assert auto_salt_factor(skewed, num_partitions=8) == 8
+    assert auto_salt_factor(skewed, num_partitions=32, max_salt=16) == 16  # clamped
+    uniform = {"n_rows": 1000, "max_rows": 10}
+    assert auto_salt_factor(uniform, num_partitions=8) == 1
+    assert auto_salt_factor({}, num_partitions=8) == 1  # empty input
+
+
+def test_auto_salted_join_measures_and_matches(spark):
+    """auto_salted_join on a crafted 90%-one-key left side: the measured
+    profile picks a factor > 1, the result equals the plain join, and a
+    near-uniform left side short-circuits to the unsalted plan (no __salt
+    column anywhere in the physical plan)."""
+    from databricks_feature_store_flight_school_spark.operators.skew import (
+        auto_salted_join, key_skew_profile,
+    )
+
+    hot = [Row(k=1, v=i) for i in range(90)] + [
+        Row(k=2 + i % 5, v=i) for i in range(10)
+    ]
+    left = spark.createDataFrame(hot)
+    right = spark.createDataFrame([Row(k=j, d=f"dim{j}") for j in range(1, 8)])
+
+    prof = key_skew_profile(left, "k")
+    assert prof["max_rows"] == 90 and prof["n_rows"] == 100
+    assert prof["skew_ratio"] > 5
+
+    out = auto_salted_join(left, right, on="k", profile=prof)
+    plain = left.join(right, on="k", how="inner")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+    uniform = spark.createDataFrame(
+        [Row(k=1 + i % 7, v=i) for i in range(70)]
+    )
+    unsalted = auto_salted_join(uniform, right, on="k")
+    assert "__salt" not in unsalted._jdf.queryExecution().executedPlan().toString()
+    assert unsalted.count() == 70
