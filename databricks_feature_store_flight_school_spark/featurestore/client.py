@@ -465,17 +465,24 @@ class FeatureStoreClient:
     def publish_table(
         self,
         name: str,
-        jdbc_url: str,
+        jdbc_url: str | None = None,
         table: str | None = None,
         mode: str = "overwrite",
         properties: dict[str, str] | None = None,
+        online_store=None,
     ) -> None:
         """Copy a feature table to a row-oriented store over JDBC — the
         engine's ``fs.publish_table(..., online_store=AmazonRdsMySqlSpec)``
-        (Sean_Original.py:374-387).  Pass the JDBC driver class via
-        ``properties={'driver': ...}``; verified end-to-end against embedded
-        Derby in tests/test_sinks.py (publish -> JDBC read-back -> row
-        compare), swap the URL/driver for MySQL/Postgres in production.
+        (Sean_Original.py:374-387).  Call it either way:
+
+        - ``online_store=`` an :class:`~.online.OnlineStoreSpec`
+          (``AmazonRdsMySqlSpec(host, port, user, password)`` — the
+          reference's exact shape; ``EmbeddedDerbySpec`` for in-JVM tests);
+        - ``jdbc_url=`` + ``properties={'driver': ...}`` directly.
+
+        Verified end-to-end against embedded Derby in tests/test_sinks.py
+        (publish -> JDBC read-back -> row compare), swap the spec for
+        MySQL/Postgres in production.
 
         ``mode='incremental'`` publishes ONLY the change feed since the last
         incremental publish (per-consumer offset keyed by the target table):
@@ -489,6 +496,13 @@ class FeatureStoreClient:
         key-targeted DELETE batches stream through ``toLocalIterator`` (the
         driver holds one batch of keys at a time, bounded by the change
         window, never the table)."""
+        if online_store is not None:
+            if jdbc_url is not None:
+                raise ValueError("pass jdbc_url= or online_store=, not both")
+            jdbc_url, spec_props = online_store.jdbc_options()
+            properties = {**spec_props, **(properties or {})}
+        if jdbc_url is None:
+            raise ValueError("pass jdbc_url= or online_store=")
         target = table or name
         if mode == "incremental":
             consumed = self.consume_changes(name, f"jdbc:{target}")

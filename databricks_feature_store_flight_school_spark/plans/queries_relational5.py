@@ -966,9 +966,11 @@ def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
            n_a, n_b,
            round((p_a - p_b)
-                 / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
+                 / sqrt(NULLIF(p_pool * (1 - p_pool), 0)
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat,
            (abs((p_a - p_b)
-                / sqrt(p_pool * (1 - p_pool) * (1.0 / n_a + 1.0 / n_b))) > 1.959964)
+                / sqrt(NULLIF(p_pool * (1 - p_pool), 0)
+                       * (1.0 / n_a + 1.0 / n_b))) > 1.959964)
                AS significant_95
     FROM s
     """,
@@ -1005,8 +1007,15 @@ def q_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("n_b"),
         (F.sum("conv") / F.sum("n")).alias("p_pool"),
     )
+    # Degenerate experiments (everyone or no one converts) make
+    # p_pool*(1-p_pool) exactly 0: the z denominator is sqrt(0) and ANSI
+    # mode throws DIVIDE_BY_ZERO instead of emitting ±inf.  Guard the
+    # variance term to NULL (the oracle mirrors with NULLIF) — "no testable
+    # variance" reads as NULL z, NULL verdict on both engines.
+    var_term = F.col("p_pool") * (1 - F.col("p_pool"))
     z = (F.col("p_a") - F.col("p_b")) / F.sqrt(
-        F.col("p_pool") * (1 - F.col("p_pool")) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        F.when(var_term > 0, var_term)
+        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
     )
     return s.select(
         F.round("p_a", 6).alias("p_a"),

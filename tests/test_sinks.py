@@ -439,3 +439,54 @@ def test_publish_table_jdbc_incremental(spark, tmp_path):
     # caught up -> no-op (and the mirror is untouched)
     fs.publish_table("inc_feat", url, mode="incremental", properties=props)
     assert online() == {1: 0.9, 3: 0.5}
+
+
+def test_online_store_spec_publish(spark, tmp_path):
+    """publish_table(online_store=...) — the reference's spec-object call
+    shape (SO:374-387): the MySQL spec builds the RDS url/driver/credential
+    bundle positionally, and the Derby spec actually round-trips in-JVM
+    through the exact same path."""
+    from pyspark.sql import Row
+
+    from databricks_feature_store_flight_school_spark.featurestore import (
+        AmazonRdsMySqlSpec, EmbeddedDerbySpec, FeatureStoreClient,
+    )
+
+    # call-shape parity: positional (hostname, port, user, password)
+    rds = AmazonRdsMySqlSpec("mysql.example.internal", 3306, "svc", "hunter2")
+    url, props = rds.jdbc_options()
+    assert url.startswith("jdbc:mysql://mysql.example.internal:3306/")
+    assert "sql_mode=ANSI_QUOTES" in url  # incremental DELETEs need it
+    assert props["driver"] == "com.mysql.cj.jdbc.Driver"
+    assert props["user"] == "svc" and props["password"] == "hunter2"
+
+    fs = FeatureStoreClient(spark, str(tmp_path / "wh"))
+    fs.create_feature_table(
+        "spec_feat", keys="k",
+        df=spark.createDataFrame([Row(k=1, v=1.5), Row(k=2, v=2.5)]),
+    )
+    spec = EmbeddedDerbySpec(f"{tmp_path}/spec_db")
+    fs.publish_table("spec_feat", online_store=spec)
+    durl, dprops = spec.jdbc_options()
+    back = (
+        spark.read.format("jdbc").option("url", durl)
+        .option("dbtable", "spec_feat").options(**dprops).load()
+    )
+    assert {r["k"]: r["v"] for r in back.collect()} == {1: 1.5, 2: 2.5}
+
+    # incremental publish rides the same spec
+    fs.write_table("spec_feat", spark.createDataFrame([Row(k=3, v=3.5)]))
+    fs.publish_table("spec_feat", online_store=spec, mode="incremental")
+    fs.publish_table("spec_feat", online_store=spec, mode="incremental")  # caught-up no-op
+    back2 = (
+        spark.read.format("jdbc").option("url", durl)
+        .option("dbtable", "spec_feat").options(**dprops).load()
+    )
+    assert {r["k"]: r["v"] for r in back2.collect()} == {1: 1.5, 2: 2.5, 3: 3.5}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        fs.publish_table("spec_feat", durl, online_store=spec)
+    with pytest.raises(ValueError, match="jdbc_url= or online_store="):
+        fs.publish_table("spec_feat")
