@@ -228,6 +228,93 @@ def apply_minmax(
     return merged.unionByName(recomputed)
 
 
+#: signed-relation sign column (±1) used by the join-view delta algebra
+SIGN_COL = "_sign"
+
+
+def signed_changes(changes: DataFrame, key_cols: str | list[str]) -> DataFrame:
+    """Change feed -> signed multiset delta: one row per image with
+    ``_sign`` -1 (old image of update/delete) or +1 (new image of
+    update/insert).  Key columns pass through verbatim (a key never changes
+    in place — key churn arrives as delete + insert); every other base
+    column is read from its ``old_``/``new_`` image.
+
+    This is the bridge from the engine's CDF schema to the multiset form
+    the join rule needs: summing ``_sign`` over any grouping of a signed
+    relation gives exactly the count delta of that grouping."""
+    keys = _cols(key_cols)
+    val_cols = sorted(
+        {c[len("old_"):] for c in changes.columns if c.startswith("old_")}
+    )
+    old = changes.where(F.col("_change_type").isin("update", "delete")).select(
+        *keys,
+        *[F.col(f"old_{c}").alias(c) for c in val_cols],
+        F.lit(-1).alias(SIGN_COL),
+    )
+    new = changes.where(F.col("_change_type").isin("update", "insert")).select(
+        *keys,
+        *[F.col(f"new_{c}").alias(c) for c in val_cols],
+        F.lit(1).alias(SIGN_COL),
+    )
+    return old.unionByName(new)
+
+
+def join_deltas(
+    d_left: DataFrame | None,
+    right_new: DataFrame,
+    left_old: DataFrame,
+    d_right: DataFrame | None,
+    on: str | list[str],
+) -> DataFrame:
+    """Signed delta of the equi-join view ``left ⨝ right`` from the two
+    sides' signed deltas — Gupta & Mumick's join rule in its double-
+    counting-free form:
+
+        Δ(R ⨝ S)  =  ΔR ⨝ S_new  ∪  R_old ⨝ ΔS
+
+    (expanding S_new = S_old + ΔS absorbs the ΔR ⨝ ΔS cross term into the
+    first join, so a window where BOTH sides change is handled exactly).
+    Pass ``None`` for an unchanged side's delta.  Each term is one equi-join
+    shuffling |Δ| against the co-keyed base — never base ⨝ base; non-key
+    column names must be disjoint across the two inputs (feature-table
+    convention).  The result is a signed relation: feed it to
+    :func:`signed_agg_deltas` and then :func:`apply_deltas` to maintain an
+    aggregate over the join at O(|changes|) refresh cost."""
+    keys = _cols(on)
+    parts = []
+    if d_left is not None:
+        parts.append(d_left.join(right_new, on=keys, how="inner"))
+    if d_right is not None:
+        parts.append(
+            left_old.join(d_right, on=keys, how="inner")
+        )
+    if not parts:
+        raise ValueError("at least one of d_left/d_right must be provided")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=False)
+    return out
+
+
+def signed_agg_deltas(
+    signed: DataFrame, group_cols: str | list[str], measures: dict[str, str]
+) -> DataFrame:
+    """Per-group aggregate adjustments from a signed relation (the
+    :func:`agg_deltas` analog for :func:`join_deltas` output): each row
+    contributes ``_sign * measure`` (nulls as 0) and ``_sign`` to the row
+    count.  Output feeds :func:`apply_deltas` unchanged."""
+    gcols = _cols(group_cols)
+    return signed.groupBy(*gcols).agg(
+        *[
+            F.sum(
+                F.col(SIGN_COL) * F.coalesce(F.col(src), F.lit(0))
+            ).alias(f"{out}_delta")
+            for out, src in measures.items()
+        ],
+        F.sum(SIGN_COL).alias(f"{COUNT_COL}_delta"),
+    )
+
+
 def _moment_cols(src_cols: list[str]) -> list[str]:
     """State columns maintained per source measure column: sum, sum of
     squares, and non-null count (the moments AVG/VAR/STDDEV derive from)."""

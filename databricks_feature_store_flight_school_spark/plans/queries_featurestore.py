@@ -452,6 +452,127 @@ def q_fs_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_fs_ivm_join_view",
+    """
+    WITH o AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey % 50
+                    ELSE o_custkey END AS cust,
+               CASE WHEN o_orderkey % 7 = 0
+                    THEN round(round(o_totalprice, 2) + 10, 2)
+                    ELSE round(o_totalprice, 2) END AS amount
+        FROM orders WHERE o_orderkey % 11 <> 0
+    ),
+    c AS (
+        SELECT c_custkey AS cust,
+               CASE WHEN c_custkey % 5 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS segment
+        FROM customer WHERE c_custkey % 13 <> 0
+    )
+    SELECT segment, round(sum(amount), 2) AS total, count(*) AS n_orders
+    FROM o JOIN c USING (cust) GROUP BY segment
+    """,
+    "featurestore", "ivm", "cdc", "join",
+)
+def q_fs_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over an equi-JOIN maintained incrementally from BOTH
+    sides' change feeds (operators/ivm.py join_deltas — Gupta & Mumick's
+    join rule in the double-counting-free form ΔR⨝S_new ∪ R_old⨝ΔS): a
+    per-segment revenue view over orders ⨝ customer-dim is refreshed
+    through a window where BOTH tables change at once (orders re-priced and
+    moved between customers, customers re-segmented) and then a window of
+    two-sided deletes — and must equal the oracle's from-scratch recompute
+    of the joined final state.  Each refresh shuffles |Δ| against the
+    co-keyed base snapshot, never base ⨝ base: at 100 TB the dimension
+    churn term reads |changed customers| × their orders, not the fact
+    table."""
+    from ..operators.ivm import (
+        apply_deltas, compute_agg, join_deltas, signed_agg_deltas,
+        signed_changes,
+    )
+
+    fs = _client(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        F.round("o_totalprice", 2).alias("amount"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    fs.create_feature_table("jv_orders", keys="okey", df=orders)
+    fs.create_feature_table("jv_cust", keys="cust", df=cust)
+    measures = {"total": "amount"}
+    vl = vr = 1
+
+    def snap(name, v):
+        return fs.read_table(name, version=v)
+
+    agg = compute_agg(
+        snap("jv_orders", vl).join(snap("jv_cust", vr), on="cust"),
+        "segment", measures,
+    )
+
+    def advance(agg):
+        nonlocal vl, vr
+        nvl = fs.get_feature_table("jv_orders").current_version
+        nvr = fs.get_feature_table("jv_cust").current_version
+        d_l = (
+            signed_changes(fs.table_changes("jv_orders", vl, nvl), "okey")
+            if nvl > vl else None
+        )
+        d_r = (
+            signed_changes(fs.table_changes("jv_cust", vr, nvr), "cust")
+            if nvr > vr else None
+        )
+        sd = join_deltas(
+            d_l, snap("jv_cust", nvr), snap("jv_orders", vl), d_r, on="cust"
+        )
+        out = apply_deltas(
+            agg, signed_agg_deltas(sd, "segment", measures),
+            "segment", list(measures),
+        )
+        vl, vr = nvl, nvr
+        return out
+
+    # window 1: BOTH sides change — re-price + move every 7th order,
+    # re-segment every 5th customer
+    fs.write_table(
+        "jv_orders",
+        snap("jv_orders", vl).where(F.col("okey") % 7 == 0).select(
+            "okey",
+            (F.col("cust") % 50).alias("cust"),
+            F.round(F.col("amount") + 10, 2).alias("amount"),
+        ),
+        mode="merge",
+    )
+    fs.write_table(
+        "jv_cust",
+        snap("jv_cust", vr).where(F.col("cust") % 5 == 0)
+        .withColumn("segment", F.lit("MOVED")),
+        mode="merge",
+    )
+    agg = advance(agg).localCheckpoint()
+
+    # window 2: two-sided deletes
+    fs.delete_from_table(
+        "jv_orders",
+        fs.read_table("jv_orders").where(F.col("okey") % 11 == 0).select("okey"),
+    )
+    fs.delete_from_table(
+        "jv_cust",
+        fs.read_table("jv_cust").where(F.col("cust") % 13 == 0).select("cust"),
+    )
+    agg = advance(agg)
+
+    return agg.select(
+        "segment",
+        F.round("total", 2).alias("total"),
+        F.col("_n_rows").alias("n_orders"),
+    )
+
+
+@register(
     "q_fs_materialized_view",
     """
     WITH final AS (

@@ -39,6 +39,7 @@ CURRENT_ROUND = [
     "q_exists_subquery",
     "q_fs_change_feed",
     "q_fs_incremental_agg",
+    "q_fs_ivm_join_view",
     "q_fs_materialized_view",
     "q_lateral_topk",
     "q_dau_mau",

@@ -588,3 +588,126 @@ def test_materialized_view_incremental_equals_recompute(
                 "base", spark.createDataFrame([Row(order_id=k) for k in set(payload)])
             )
         check()
+
+
+#: churn either side of the join: ("left", [(order_id, cust, amount)...]),
+#: ("ldel", [order_id...]), ("right", [(cust, nation)...]), ("rdel", [cust...])
+_join_ivm_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("left"), st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 4), st.integers(0, 50)),
+            min_size=1, max_size=4)),
+        st.tuples(st.just("ldel"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("right"), st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 2)),
+            min_size=1, max_size=3)),
+        st.tuples(st.just("rdel"), st.lists(st.integers(0, 4), min_size=1, max_size=2)),
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(
+    ops=_join_ivm_ops,
+    init_l=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 4), st.integers(0, 50)),
+        min_size=1, max_size=5),
+    init_r=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 2)),
+        min_size=1, max_size=4),
+)
+@settings(**_SETTINGS)
+def test_ivm_join_view_deltas(spark, tmp_path_factory, ops, init_l, init_r):
+    """Aggregate over an equi-JOIN maintained from BOTH sides' change feeds
+    (Gupta & Mumick's join rule, double-counting-free form
+    ΔR⨝S_new ∪ R_old⨝ΔS): per-nation order totals over
+    orders ⨝ customer-dim must equal a from-scratch recompute of the joined
+    final state through order churn, dimension re-assignment (a customer
+    moving nations moves ALL its orders' contributions), and deletes on
+    either side — including windows where both sides change at once."""
+    from databricks_feature_store_flight_school_spark.operators.ivm import (
+        apply_deltas, compute_agg, join_deltas, signed_agg_deltas,
+        signed_changes,
+    )
+
+    client = FeatureStoreClient(spark, str(tmp_path_factory.mktemp("jivm_wh")))
+    lrows = {k: (c, a) for k, c, a in init_l}
+    rrows = {c: n for c, n in init_r}
+    client.create_feature_table(
+        "orders_j", keys="order_id",
+        df=spark.createDataFrame(
+            [Row(order_id=k, cust=c, amount=a) for k, (c, a) in lrows.items()]
+        ),
+    )
+    client.create_feature_table(
+        "custdim_j", keys="cust",
+        df=spark.createDataFrame(
+            [Row(cust=c, nation=n) for c, n in rrows.items()]
+        ),
+    )
+    measures = {"total": "amount"}
+
+    def joined(lv, rv):
+        return client.read_table("orders_j", version=lv).join(
+            client.read_table("custdim_j", version=rv), on="cust", how="inner"
+        )
+
+    vl, vr = 1, 1
+    agg = compute_agg(joined(vl, vr), "nation", measures).localCheckpoint()
+
+    for op, payload in ops:
+        if op == "left":
+            batch = {k: (c, a) for k, c, a in payload}
+            lrows.update(batch)
+            client.write_table("orders_j", spark.createDataFrame(
+                [Row(order_id=k, cust=c, amount=a) for k, (c, a) in batch.items()]
+            ), mode="merge")
+        elif op == "ldel":
+            for k in payload:
+                lrows.pop(k, None)
+            client.delete_from_table(
+                "orders_j",
+                spark.createDataFrame([Row(order_id=k) for k in set(payload)]))
+        elif op == "right":
+            batch = dict(payload)
+            rrows.update(batch)
+            client.write_table("custdim_j", spark.createDataFrame(
+                [Row(cust=c, nation=n) for c, n in batch.items()]
+            ), mode="merge")
+        else:
+            for c in payload:
+                rrows.pop(c, None)
+            client.delete_from_table(
+                "custdim_j",
+                spark.createDataFrame([Row(cust=c) for c in set(payload)]))
+
+        nvl = client.get_feature_table("orders_j").current_version
+        nvr = client.get_feature_table("custdim_j").current_version
+        d_l = (
+            signed_changes(client.table_changes("orders_j", vl, nvl), "order_id")
+            if nvl > vl else None
+        )
+        d_r = (
+            signed_changes(client.table_changes("custdim_j", vr, nvr), "cust")
+            if nvr > vr else None
+        )
+        if d_l is not None or d_r is not None:
+            sd = join_deltas(
+                d_l,
+                client.read_table("custdim_j", version=nvr),
+                client.read_table("orders_j", version=vl),
+                d_r,
+                on="cust",
+            )
+            agg = apply_deltas(
+                agg, signed_agg_deltas(sd, "nation", measures),
+                "nation", list(measures),
+            ).localCheckpoint()
+        vl, vr = nvl, nvr
+
+        want = {
+            r["nation"]: (r["total"], r["_n_rows"])
+            for r in compute_agg(joined(vl, vr), "nation", measures).collect()
+        }
+        got = {r["nation"]: (r["total"], r["_n_rows"]) for r in agg.collect()}
+        assert got == want

@@ -9,6 +9,7 @@ order-insensitive value multiset.  Use while iterating:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -103,7 +104,11 @@ def main() -> int:
     sf_dir = args[0] if args and Path(args[0]).is_dir() else "/root/testdata/sf0.01"
     names = [a for a in args if not Path(a).is_dir()]
 
-    spark = get_spark(shuffle_partitions=8)
+    # 8 shuffle partitions suit the default sf0.01 gate; scale sweeps
+    # (sf1 via tools/gen_testdata.py) want the full local[32] width
+    spark = get_spark(
+        shuffle_partitions=int(os.environ.get("ORACLE_SHUFFLE_PARTITIONS", "8"))
+    )
     con = duckdb_connection(sf_dir)
     qmap = entrymod.queries()
     omap = entrymod.oracle_sql()
