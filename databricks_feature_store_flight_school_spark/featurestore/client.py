@@ -256,6 +256,8 @@ class FeatureStoreClient:
         group_cols: str | list[str],
         aggs: dict[str, tuple[str, str]],
         description: str = "",
+        dim: str | None = None,
+        join_on: str | list[str] | None = None,
     ) -> FeatureTableMeta:
         """Register an incrementally-maintained aggregate view over a feature
         table — the user-facing face of ``operators/ivm.py``.
@@ -269,7 +271,15 @@ class FeatureStoreClient:
         refresh|) — never a rescan of the source — and the state enjoys the
         full table surface (time travel, publish, change feed).
 
-        Grouping/measure columns must be VALUE columns of the source: the
+        With ``dim=``/``join_on=`` the view aggregates over the equi-join
+        ``source ⨝ dim`` (the fact-to-dimension lookup shape: ``join_on``
+        is a value column of the source and the primary key of the dim) —
+        maintained from BOTH tables' change feeds via the join-delta rule,
+        so re-assigning one dimension row moves all its facts' contributions
+        without touching the fact table.  Grouping columns may then come
+        from either table.
+
+        Grouping/measure columns must be VALUE columns of their table: the
         change feed carries ``old_``/``new_`` images only for non-key
         columns (a key never changes in place — key churn arrives as
         delete + insert, which the algebra already handles)."""
@@ -281,7 +291,30 @@ class FeatureStoreClient:
         gcols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
         src_meta = self.registry.get(source)
         src_schema = StructType.fromJson(json.loads(src_meta.schema_json))
-        src_fields = {f.name: f for f in src_schema.fields}
+        fields_by_table = {
+            c.name: (c, source, src_meta) for c in src_schema.fields
+        }
+        join_keys = (
+            [join_on] if isinstance(join_on, str) else list(join_on or [])
+        )
+        if dim is not None:
+            if not join_keys:
+                raise ValueError("dim= requires join_on=")
+            dim_meta = self.registry.get(dim)
+            if sorted(join_keys) != sorted(dim_meta.keys):
+                raise ValueError(
+                    f"join_on {join_keys} must be exactly the primary key of "
+                    f"dim table {dim!r} ({dim_meta.keys})"
+                )
+            dim_schema = StructType.fromJson(json.loads(dim_meta.schema_json))
+            for c in dim_schema.fields:
+                if c.name not in join_keys and c.name in fields_by_table:
+                    raise ValueError(
+                        f"column {c.name!r} exists in both {source!r} and "
+                        f"{dim!r}; rename one (join views need disjoint "
+                        "non-key columns)"
+                    )
+                fields_by_table.setdefault(c.name, (c, dim, dim_meta))
         src_cols = sorted({src for _fn, src in aggs.values() if src != "*"})
         for out, (fn, src) in aggs.items():
             if fn not in self._MV_FNS:
@@ -291,33 +324,36 @@ class FeatureStoreClient:
             if src == "*" and fn != "count":
                 raise ValueError(f"aggregate {out!r}: '*' is only valid with count")
         for c in gcols + src_cols:
-            if c not in src_fields:
-                raise ValueError(f"column {c!r} not in source table {source!r}")
-            if c in src_meta.keys:
+            if c not in fields_by_table:
+                raise ValueError(f"column {c!r} not in source table(s)")
+            _f, owner, owner_meta = fields_by_table[c]
+            if c in owner_meta.keys and not (dim and c in join_keys):
                 raise ValueError(
-                    f"column {c!r} is a primary key of {source!r}; materialized "
+                    f"column {c!r} is a primary key of {owner!r}; materialized "
                     "views group/aggregate over value columns (the change feed "
                     "carries images only for those)"
                 )
-        fields = [StructField(g, src_fields[g].dataType) for g in gcols]
+        fields = [StructField(g, fields_by_table[g][0].dataType) for g in gcols]
         for m in _moment_cols(src_cols):
             fields.append(
                 StructField(m, LongType() if m.startswith("__c_") else DoubleType())
             )
         fields.append(StructField("_n_rows", LongType()))
+        mv_spec = {
+            "source": source,
+            "group_cols": gcols,
+            "aggs": {out: list(spec) for out, spec in aggs.items()},
+        }
+        if dim is not None:
+            mv_spec["dim"] = dim
+            mv_spec["join_on"] = join_keys
         return self.registry.create(
             FeatureTableMeta(
                 name=name,
                 keys=gcols,
                 schema_json=StructType(fields).json(),
                 description=description or f"materialized view over {source}",
-                properties={
-                    "mv": {
-                        "source": source,
-                        "group_cols": gcols,
-                        "aggs": {out: list(spec) for out, spec in aggs.items()},
-                    }
-                },
+                properties={"mv": mv_spec},
             )
         )
 
@@ -332,10 +368,13 @@ class FeatureStoreClient:
         OLD state (idempotent), and after it the next refresh sees the
         advanced offset.  No change window can be applied twice.
 
-        First refresh bootstraps from the pinned current snapshot (one
-        source scan — the only full scan the view ever does)."""
+        First refresh bootstraps from the pinned current snapshot(s) (one
+        source scan — the only full scan the view ever does).  A join view
+        tracks BOTH tables' applied versions; they flip atomically with the
+        state in the same publish, so the two feeds can never come apart."""
         from ..operators.ivm import (
-            _moment_cols, apply_deltas, compute_stats, stats_deltas,
+            _moment_cols, apply_deltas, compute_stats, join_deltas,
+            signed_changes, signed_stats_deltas, stats_deltas,
         )
 
         meta = self.registry.get(name)
@@ -347,29 +386,81 @@ class FeatureStoreClient:
         current = src_meta.current_version
         if current == 0:
             raise ValueError(f"source table {mv['source']!r} has no data yet")
-        if applied >= current:
-            return meta
         gcols = list(mv["group_cols"])
         src_cols = sorted(
             {src for _fn, src in mv["aggs"].values() if src != "*"}
         )
-        if applied == 0:
-            state = compute_stats(
-                self.read_table(mv["source"], version=current), gcols, src_cols
+        dim = mv.get("dim")
+        if dim is None:
+            if applied >= current:
+                return meta
+            if applied == 0:
+                state = compute_stats(
+                    self.read_table(mv["source"], version=current), gcols, src_cols
+                )
+            else:
+                changes = self.table_changes(
+                    mv["source"], from_version=applied, to_version=current
+                )
+                state = apply_deltas(
+                    self.read_table(name),
+                    stats_deltas(changes, gcols, src_cols),
+                    gcols,
+                    _moment_cols(src_cols),
+                )
+            return writer.write_snapshot(
+                self.registry, meta, state, mode="overwrite", validate=False,
+                properties_update={"mv_applied_version": current},
             )
+
+        # join view: advance (applied, applied_dim] -> (current, dim_current]
+        dim_meta = self.registry.get(dim)
+        dim_applied = int(meta.properties.get("mv_applied_dim_version", 0))
+        dim_current = dim_meta.current_version
+        if dim_current == 0:
+            raise ValueError(f"dim table {dim!r} has no data yet")
+        if applied >= current and dim_applied >= dim_current:
+            return meta
+        join_keys = list(mv["join_on"])
+        if applied == 0:
+            base = self.read_table(mv["source"], version=current).join(
+                self.read_table(dim, version=dim_current), on=join_keys
+            )
+            state = compute_stats(base, gcols, src_cols)
         else:
-            changes = self.table_changes(
-                mv["source"], from_version=applied, to_version=current
+            d_l = (
+                signed_changes(
+                    self.table_changes(mv["source"], applied, current),
+                    src_meta.keys,
+                )
+                if current > applied else None
+            )
+            d_r = (
+                signed_changes(
+                    self.table_changes(dim, dim_applied, dim_current),
+                    dim_meta.keys,
+                )
+                if dim_current > dim_applied else None
+            )
+            sd = join_deltas(
+                d_l,
+                self.read_table(dim, version=dim_current),
+                self.read_table(mv["source"], version=applied),
+                d_r,
+                on=join_keys,
             )
             state = apply_deltas(
                 self.read_table(name),
-                stats_deltas(changes, gcols, src_cols),
+                signed_stats_deltas(sd, gcols, src_cols),
                 gcols,
                 _moment_cols(src_cols),
             )
         return writer.write_snapshot(
             self.registry, meta, state, mode="overwrite", validate=False,
-            properties_update={"mv_applied_version": current},
+            properties_update={
+                "mv_applied_version": current,
+                "mv_applied_dim_version": dim_current,
+            },
         )
 
     def read_materialized_view(self, name: str) -> DataFrame:

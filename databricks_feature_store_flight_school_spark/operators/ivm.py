@@ -315,6 +315,31 @@ def signed_agg_deltas(
     )
 
 
+def signed_stats_deltas(
+    signed: DataFrame, group_cols: str | list[str], src_cols: list[str]
+) -> DataFrame:
+    """Moment adjustments (sum, sum of squares, non-null count per measure,
+    plus row count) from a signed relation — :func:`stats_deltas` for
+    :func:`join_deltas` output, so AVG/VAR/STDDEV views over JOINS maintain
+    at the same O(|changes|) cost.  Output feeds :func:`apply_deltas` with
+    ``measure_cols=_moment_cols(src_cols)``."""
+    gcols = _cols(group_cols)
+    aggs = []
+    for c in src_cols:
+        v = F.col(c).cast("double")
+        sign = F.col(SIGN_COL)
+        aggs += [
+            F.sum(sign * F.coalesce(v, F.lit(0.0))).alias(f"__s_{c}_delta"),
+            F.sum(sign * F.coalesce(v * v, F.lit(0.0))).alias(f"__q_{c}_delta"),
+            F.sum(F.when(v.isNotNull(), sign).otherwise(F.lit(0))).alias(
+                f"__c_{c}_delta"
+            ),
+        ]
+    return signed.groupBy(*gcols).agg(
+        *aggs, F.sum(SIGN_COL).alias(f"{COUNT_COL}_delta")
+    )
+
+
 def _moment_cols(src_cols: list[str]) -> list[str]:
     """State columns maintained per source measure column: sum, sum of
     squares, and non-null count (the moments AVG/VAR/STDDEV derive from)."""

@@ -1453,3 +1453,88 @@ def test_materialized_view_validation_and_exactly_once(spark, client):
     got = {r["grp"]: (r["total"], r["n"])
            for r in client.read_materialized_view("v1").collect()}
     assert got == {0: (2.0 + 4.0 + 3.0, 3), 1: (1.0 + 3.0 + 5.0 + 10.0, 4)}
+
+
+def test_materialized_view_over_join(spark, client):
+    """Join materialized view (dim=/join_on=): per-nation averages over
+    orders ⨝ custdim maintained from BOTH change feeds — dimension
+    re-assignment moves every fact of that customer, two-sided deletes
+    retire contributions, both applied versions flip atomically with the
+    state, and a caught-up refresh publishes nothing."""
+    import math
+
+    client.create_feature_table(
+        "jmv_orders", keys="oid",
+        df=spark.createDataFrame(
+            [Row(oid=i, cust=i % 4, amount=float(10 * (i + 1))) for i in range(8)]
+        ),
+    )
+    client.create_feature_table(
+        "jmv_cust", keys="cust",
+        df=spark.createDataFrame(
+            [Row(cust=c, nation=c % 2) for c in range(4)]
+        ),
+    )
+    with pytest.raises(ValueError, match="requires join_on"):
+        client.create_materialized_view(
+            "jv", "jmv_orders", "nation", {"t": ("sum", "amount")}, dim="jmv_cust"
+        )
+    with pytest.raises(ValueError, match="exactly the primary key"):
+        client.create_materialized_view(
+            "jv", "jmv_orders", "nation", {"t": ("sum", "amount")},
+            dim="jmv_cust", join_on="nation",
+        )
+    client.create_materialized_view(
+        "jv", "jmv_orders", "nation",
+        {"total": ("sum", "amount"), "n": ("count", "*"),
+         "mean": ("avg", "amount"), "sd": ("stddev_samp", "amount")},
+        dim="jmv_cust", join_on="cust",
+    )
+
+    def check():
+        client.refresh_materialized_view("jv")
+        got = {
+            r["nation"]: (r["total"], r["n"], r["mean"], r["sd"])
+            for r in client.read_materialized_view("jv").collect()
+        }
+        want = {
+            r["nation"]: (r["total"], r["n"], r["mean"], r["sd"])
+            for r in client.read_table("jmv_orders")
+            .join(client.read_table("jmv_cust"), on="cust")
+            .groupBy("nation")
+            .agg(
+                F.sum("amount").alias("total"), F.count(F.lit(1)).alias("n"),
+                F.avg("amount").alias("mean"), F.stddev_samp("amount").alias("sd"),
+            ).collect()
+        }
+        assert set(got) == set(want), (got, want)
+        for k in got:
+            for a, b in zip(got[k], want[k]):
+                if a is None or b is None:
+                    assert a == b, (k, got[k], want[k])
+                else:
+                    assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (
+                        k, got[k], want[k])
+
+    check()
+    meta = client.get_feature_table("jv")
+    assert meta.properties["mv_applied_version"] == 1
+    assert meta.properties["mv_applied_dim_version"] == 1
+
+    # both sides change in one window: re-price order 0, move cust 1 to the
+    # other nation (its two orders follow), insert order 8
+    client.write_table("jmv_orders", spark.createDataFrame(
+        [Row(oid=0, cust=0, amount=99.0), Row(oid=8, cust=3, amount=5.0)]
+    ))
+    client.write_table("jmv_cust", spark.createDataFrame([Row(cust=1, nation=0)]))
+    check()
+
+    # two-sided deletes: drop order 2 and the whole customer 3
+    client.delete_from_table("jmv_orders", spark.createDataFrame([Row(oid=2)]))
+    client.delete_from_table("jmv_cust", spark.createDataFrame([Row(cust=3)]))
+    check()
+
+    # caught-up: no new version
+    v = client.get_feature_table("jv").current_version
+    client.refresh_materialized_view("jv")
+    assert client.get_feature_table("jv").current_version == v
