@@ -567,38 +567,28 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part b
       ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 2
-    ORDER BY key_a, key_b
     """,
     "join", "fuzzy", "text",
 )
 def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity matching with BLOCKING: near-identical part names
-    (levenshtein edit distance <= 2) compared only within the same p_type
-    block — the record-linkage shape (blocking key bounds the quadratic
-    term, the string metric scores survivors).  Both engines ship the same
-    Wagner-Fischer levenshtein, so the twin is exact.  At 100 TB the
-    blocking key is the whole game: pairs per block ~ (block size)², so
-    block on the highest-selectivity stable attribute and add the same
-    posting-cap guard as the shingle joins for degenerate blocks."""
+    """Fuzzy entity matching (levenshtein edit distance <= 2 within a
+    p_type block) via the PassJoin segment-signature join
+    (operators/fuzzy.py) instead of the naive block-quadratic form the
+    oracle SQL states: two strings within distance k must share one of
+    k+1 aligned segments exactly (pigeonhole), so candidates come from an
+    equi-join on (block, length, segment, text) and only candidates pay a
+    levenshtein — same rows, provably no false negatives.
+
+    The sf1 replica sweep motivated this: p_type has 6 values, so the
+    naive plan compares ~(n/6)² pairs per block AND runs the broadcast
+    self-join probe inside the single-row-group scan task — one core
+    grinding ~3.3e9 string comparisons at sf1.  The segment join shuffles
+    both sides on high-cardinality segment text: parallel everywhere, and
+    pair work scales with matches, not block size²."""
+    from ..operators.fuzzy import edit_distance_join
+
     p = load_table(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        "p_type",
-    )
-    b = p.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        "p_type",
-    )
-    return (
-        a.join(b, "p_type")
-        .where(F.col("key_a") < F.col("key_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .where(F.col("edit_dist") <= 2)
-        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
-        .orderBy("key_a", "key_b")
-    )
+    return edit_distance_join(p, "p_name", "p_partkey", "p_type", k=2)
 
 
 @register(

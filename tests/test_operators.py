@@ -881,3 +881,63 @@ def test_global_row_number_is_permutation_under_recompute(spark):
             trial,
             dict(stats.asDict()),
         )
+
+
+def test_edit_distance_join_matches_naive(spark, sf_dir):
+    """PassJoin segment-signature join ≡ naive block-quadratic join on the
+    part table (exactness: the segment filter is a necessary condition and
+    every candidate is verified)."""
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_flight_school_spark.operators.fuzzy import (
+        edit_distance_join,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    p = load_table(spark, sf_dir, "part")
+    naive = (
+        p.alias("a").join(p.alias("b"), "p_type")
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .withColumn("edit_dist", F.levenshtein("a.p_name", "b.p_name"))
+        .where(F.col("edit_dist") <= 2)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            "edit_dist",
+        )
+    )
+    fast = edit_distance_join(p, "p_name", "p_partkey", "p_type", k=2)
+    nset = {tuple(r) for r in naive.collect()}
+    fset = {tuple(r) for r in fast.select("key_a", "key_b", "edit_dist").collect()}
+    assert nset == fset and len(nset) > 0
+
+
+def test_edit_distance_join_tiny_strings_blockless(spark):
+    """Strings shorter than k+1 chars can't be segmented — the length-band
+    fallback must still find their pairs, blockless included, and short-long
+    pairs across the boundary must not be lost."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_flight_school_spark.operators.fuzzy import (
+        edit_distance_join,
+    )
+
+    random.seed(11)
+    rows = [
+        (i, "".join(random.choice("ab") for _ in range(random.randint(1, 6))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    naive = (
+        df.alias("a").crossJoin(df.alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .withColumn("edit_dist", F.levenshtein("a.s", "b.s"))
+        .where(F.col("edit_dist") <= 2)
+        .select(F.col("a.id").alias("key_a"), F.col("b.id").alias("key_b"), "edit_dist")
+    )
+    fast = edit_distance_join(df, "s", "id", None, k=2)
+    nset = {tuple(r) for r in naive.collect()}
+    fset = {tuple(r) for r in fast.select("key_a", "key_b", "edit_dist").collect()}
+    assert nset == fset and len(nset) > 0

@@ -85,12 +85,17 @@ def gen(sf: float, outdir: str, seed: int = 42) -> None:
         "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
         "s_acctbal": _money(rng, n_supp, -1000, 10_000),
     }))
+    n_serial = max(1, n_part // 3300)
     _write(outdir, "part", pa.table({
         "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        # name-pool cardinality scales with the table so per-name
+        # multiplicity (and the fuzzy-match pair count) stays at the
+        # driver's sf0.1 level instead of growing quadratically
         "p_name": [
-            f"{ADJ[a]} {NOUN[b]}"
-            for a, b in zip(rng.integers(0, len(ADJ), n_part),
-                            rng.integers(0, len(NOUN), n_part))
+            f"{ADJ[a]} {NOUN[b]}" + (f" v{s}" if n_serial > 1 else "")
+            for a, b, s in zip(rng.integers(0, len(ADJ), n_part),
+                               rng.integers(0, len(NOUN), n_part),
+                               rng.integers(0, n_serial, n_part))
         ],
         "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
         "p_type": np.array(PTYPES)[rng.integers(0, len(PTYPES), n_part)],
