@@ -145,7 +145,8 @@ def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+    WHERE a.vec_id < 4000 AND b.vec_id < 4000
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
     """,
     "vectors", "dedup", "neardup",
 )
@@ -155,13 +156,25 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth for the LSH/IVF scale paths; ordered ids halve the
     candidate space.
 
+    The exact twin is BOUNDED to a deterministic id slice (vec_id < 4000 —
+    a no-op at the driver SFs, whose corpora are smaller): an O(n²) ground
+    truth is only useful at sizes where n² is computable, and Catalyst
+    lowers the inequality join to a broadcast nested loop whose probe
+    parallelism is the scan's task count — on single-row-group parquet
+    that's ONE task doing every dot product.  The full-corpus path is
+    q_lsh_neardup_pairs (banded candidates, exact verify, recall-pinned).
+
     Norms are hoisted BEFORE the join: cosine() would evaluate three
     interpreted higher-order aggregates per pair; precomputing |v| once per
     vector leaves one dot per pair with bit-identical arithmetic
     (dot / (|a|*|b|), same float op order) — ~3x on the O(n^2) stage."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 4000)
     a = emb.select(F.col("vec_id").alias("id_a"), V.to_double(F.col("embedding")).alias("va"))
-    a = a.withColumn("na", V.norm(F.col("va")))
+    # spread the nested-loop STREAM side across the cluster: a trivial
+    # shuffle of <=4000 rows buys task-count parallelism for the O(n^2) probe
+    a = a.repartition(spark.sparkContext.defaultParallelism).withColumn(
+        "na", V.norm(F.col("va"))
+    )
     b = a.select(
         F.col("id_a").alias("id_b"), F.col("va").alias("vb"), F.col("na").alias("nb")
     )
