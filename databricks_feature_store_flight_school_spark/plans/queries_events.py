@@ -344,8 +344,10 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     users surviving each ORDERED step, where each stage anchors on the
     previous stage's first qualifying timestamp.  Each stage is one
     user-keyed aggregate joined to the (shrinking) previous stage — the
-    user-dimension joins broadcast, and the event table is scanned per stage
-    with the event_type filter pushed down, never self-joined row-to-row."""
+    per-user stage tables are entity-scale, so they carry NO forced
+    broadcast (AQE broadcasts them at low SF; at 100 TB they hash-join
+    co-keyed on user_id), and the event table is scanned per stage with
+    the event_type filter pushed down, never self-joined row-to-row."""
     ev = load_table(spark, sf_dir, "events")
     s = (
         ev.where(F.col("event_type") == "signup")
@@ -354,14 +356,14 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = (
         ev.where(F.col("event_type") == "view")
-        .join(F.broadcast(s), "user_id")
+        .join(s, "user_id")
         .where(F.col("ts") > F.col("s_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(v), "user_id")
+        .join(v, "user_id")
         .where(F.col("ts") > F.col("v_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("p_ts"))
@@ -393,8 +395,9 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention cohort matrix: users grouped by the ISO week of their first
     event, activity bucketed by whole weeks since that first event, distinct
     actives per (cohort, week).  The per-user first-event table is
-    dimension-sized and broadcast back onto the fact — one event scan, one
-    distinct-count shuffle; no per-user windows over the full stream."""
+    entity-scale (NO forced broadcast — AQE decides; co-keyed hash join at
+    100 TB) — one event scan, one distinct-count shuffle; no per-user
+    windows over the full stream."""
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
     weeks_since = F.floor(
@@ -402,7 +405,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 7
     ).cast("long")
     return (
-        ev.join(F.broadcast(firsts), "user_id")
+        ev.join(firsts, "user_id")
         .groupBy(
             F.date_format(F.date_trunc("week", F.col("first_ts")), "yyyy-MM-dd").alias(
                 "cohort_week"

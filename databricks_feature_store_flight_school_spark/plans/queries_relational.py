@@ -43,7 +43,7 @@ def _date(col: str):
     "q_flagship_regional_revenue",
     """
     SELECT r.r_name AS region_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
            count(*) AS line_count,
            round(avg(l.l_discount), 6) AS avg_discount
     FROM lineitem l
@@ -63,6 +63,12 @@ def q_flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: lineitem⨝orders is the only fact-fact shuffle (co-keyed on
     orderkey); customer is mid-sized (hash join, AQE may broadcast at low SF);
     nation/region are broadcast explicitly.  Aggregation is partial+final.
+
+    Revenue rounds at 2 decimals (TPC-H money convention): at sf1 a region
+    group sums ~800k discount products to ~3.4e10, where double-summation
+    reordering noise reaches the 4th decimal — the sf1 replica sweep caught
+    Spark and DuckDB disagreeing by 1e-4 there (same class as the r5
+    sum_charge fix; at another 100x, sums this wide move to DECIMAL).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
@@ -76,7 +82,7 @@ def q_flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
             F.round(F.avg("l_discount"), 6).alias("avg_discount"),
         )
@@ -94,7 +100,7 @@ def q_flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
            round(avg(l_quantity), 6) AS avg_qty,
            round(avg(l_extendedprice), 6) AS avg_price,
@@ -120,7 +126,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),

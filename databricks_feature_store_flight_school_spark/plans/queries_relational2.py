@@ -22,7 +22,7 @@ def _date(col: str):
 @register(
     "q_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS promo_revenue
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS promo_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -40,7 +40,7 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 25)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("promo_revenue"))
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("promo_revenue"))
 
 
 @register(
@@ -162,7 +162,7 @@ def q_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        l.join(p, p.p_partkey == l.l_partkey)
         .agg(
             F.round(
                 100.0
@@ -430,7 +430,7 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_math_functions",
     """
     SELECT l_linenumber,
-           round(sum(abs(l_extendedprice - l_retail)), 4) AS abs_diff_sum,
+           round(sum(abs(l_extendedprice - l_retail)), 2) AS abs_diff_sum,
            round(sum(ceil(l_quantity / 7.0)), 2)::BIGINT AS ceil_sum,
            round(sum(floor(l_quantity / 7.0)), 2)::BIGINT AS floor_sum,
            round(sum(sqrt(l_quantity)), 6) AS sqrt_sum,
@@ -451,7 +451,7 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_linenumber")
         .agg(
-            F.round(F.sum(F.abs(F.col("l_extendedprice") - F.col("l_retail"))), 4).alias("abs_diff_sum"),
+            F.round(F.sum(F.abs(F.col("l_extendedprice") - F.col("l_retail"))), 2).alias("abs_diff_sum"),
             F.round(F.sum(F.ceil(F.col("l_quantity") / 7.0)), 2).alias("ceil_sum"),
             F.round(F.sum(F.floor(F.col("l_quantity") / 7.0)), 2).alias("floor_sum"),
             F.round(F.sum(F.sqrt("l_quantity")), 6).alias("sqrt_sum"),

@@ -82,8 +82,9 @@ def q_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit (revenue minus 90%-of-retail supply cost — the
     partsupp-free stand-in) by supplier nation and year for one product
-    family.  The part LIKE filter prunes the fact rows via a broadcast join
-    before any wide shuffle."""
+    family.  The part LIKE filter prunes the fact rows via the dim join
+    before any wide shuffle; part/supplier are sf-proportional, so neither
+    carries a forced broadcast hint (AQE broadcasts at low SF)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
     s = load_table(spark, sf_dir, "supplier")
@@ -93,8 +94,8 @@ def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
-        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        l.join(p, p.p_partkey == l.l_partkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
         .join(o, o.o_orderkey == l.l_orderkey)
         .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
@@ -161,8 +162,9 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (partsupp-free: distinct suppliers observed shipping
-    the part): NOT-LIKE + IN-list predicates on the broadcast dim, exact
-    distinct count per group."""
+    the part): NOT-LIKE + IN-list predicates pushed to the dim scan, exact
+    distinct count per group; the filtered part dim is sf-proportional, so
+    AQE (not a hint) chooses the join strategy."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1")
@@ -170,7 +172,7 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(5, 10, 15, 20)
     )
     return (
-        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        l.join(p, p.p_partkey == l.l_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
@@ -180,7 +182,7 @@ def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_disjunctive_predicates",
     """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
@@ -209,12 +211,17 @@ def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(20, 50)
         & F.col("l_quantity").between(20, 50)
     )
+    # no broadcast hint on part: it is sf-proportional (sf x 200k rows), so
+    # a forced broadcast is the same 100x OOM the supplier hint was (r5
+    # verdict); AQE broadcasts it at low SF on its own.  revenue rounds at
+    # 2 (money convention — single group over ~360k rows at sf1 puts the
+    # 4th decimal inside summation-order noise).
     return (
-        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        l.join(p, p.p_partkey == l.l_partkey)
         .where(cond)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
     )
@@ -1025,9 +1032,10 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from lineitems whose quantity is below half
     the per-part average — a correlated aggregate subquery, decorrelated the
     scalable way: ONE groupBy(l_partkey) pre-aggregate, then a join back to
-    the fact instead of a per-row subquery re-execution.  At 100 TB the
-    per-part average table is |part|-sized (dimension scale), so it
-    broadcasts; the fact table is scanned once, not once per row.
+    the fact instead of a per-row subquery re-execution.  The per-part
+    average table is |part|-sized — sf-proportional, so it carries no
+    forced broadcast (AQE decides; co-keyed hash join at 100 TB); the fact
+    table is scanned once, not once per row.
     Reference ships no subqueries (SURVEY.md §2.12) — this is the driver-set
     extension shape."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1036,9 +1044,9 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("qty_threshold")
     ).withColumnRenamed("l_partkey", "t_partkey")
     return (
-        li.join(F.broadcast(part.where(F.col("p_brand") == "Brand#1").select("p_partkey")),
+        li.join(part.where(F.col("p_brand") == "Brand#1").select("p_partkey"),
                 F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(per_part), F.col("t_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("t_partkey") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"),

@@ -62,7 +62,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == l.l_partkey)
+        l.join(p.select("p_partkey"), F.col("p_partkey") == l.l_partkey)
         .join(o, o.o_orderkey == l.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
         .join(F.broadcast(cn), F.col("cn_key") == c.c_nationkey)
@@ -174,7 +174,7 @@ def q_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = (
         load_table(spark, sf_dir, "lineitem")
         .where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
-        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .join(red, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -182,7 +182,7 @@ def q_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("qty").alias("max_qty")
     )
     qualified = (
-        sp.join(F.broadcast(per_part_max), F.col("pp_key") == F.col("l_partkey"))
+        sp.join(per_part_max, F.col("pp_key") == F.col("l_partkey"))
         .where(F.col("qty") > 0.5 * F.col("max_qty"))
         .select("l_suppkey")
     )

@@ -2130,7 +2130,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     supp_rev = (
-        li.join(F.broadcast(s), s.s_suppkey == li.l_suppkey)
+        li.join(s, s.s_suppkey == li.l_suppkey)
         .groupBy("s_nationkey", "l_suppkey")
         .agg(F.sum("l_extendedprice").alias("revenue"))
     )

@@ -275,7 +275,7 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            s.select("s_suppkey", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy(
@@ -951,7 +951,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            s.select("s_suppkey", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .where(F.col("c_nationkey") != F.col("s_nationkey"))
