@@ -357,8 +357,18 @@ class FeatureStoreClient:
             )
         )
 
-    def refresh_materialized_view(self, name: str) -> FeatureTableMeta:
+    def refresh_materialized_view(
+        self, name: str, vacuum_keep: int | None = None
+    ) -> FeatureTableMeta:
         """Advance the view's state to the source's current version.
+
+        ``vacuum_keep`` retires state snapshots older than the N most recent
+        after a successful publish (writer.vacuum_snapshots) — a
+        steady-state view refreshing every few minutes would otherwise
+        accumulate a full snapshot directory per refresh.  Offsets are NOT
+        affected: the applied-version marker lives in the registry document,
+        so vacuuming history never breaks the exactly-once contract (only
+        time-travel reads of retired versions).
 
         Exactly-once by construction: the refresh folds the change window
         (applied, current] into the moment state with one group-key
@@ -408,10 +418,13 @@ class FeatureStoreClient:
                     gcols,
                     _moment_cols(src_cols),
                 )
-            return writer.write_snapshot(
+            updated = writer.write_snapshot(
                 self.registry, meta, state, mode="overwrite", validate=False,
                 properties_update={"mv_applied_version": current},
             )
+            if vacuum_keep is not None:
+                writer.vacuum_snapshots(self.registry, updated, keep_last=vacuum_keep)
+            return updated
 
         # join view: advance (applied, applied_dim] -> (current, dim_current]
         dim_meta = self.registry.get(dim)
@@ -455,13 +468,16 @@ class FeatureStoreClient:
                 gcols,
                 _moment_cols(src_cols),
             )
-        return writer.write_snapshot(
+        updated = writer.write_snapshot(
             self.registry, meta, state, mode="overwrite", validate=False,
             properties_update={
                 "mv_applied_version": current,
                 "mv_applied_dim_version": dim_current,
             },
         )
+        if vacuum_keep is not None:
+            writer.vacuum_snapshots(self.registry, updated, keep_last=vacuum_keep)
+        return updated
 
     def read_materialized_view(self, name: str) -> DataFrame:
         """The view as its user-facing aggregates (derived from the moment

@@ -1538,3 +1538,31 @@ def test_materialized_view_over_join(spark, client):
     v = client.get_feature_table("jv").current_version
     client.refresh_materialized_view("jv")
     assert client.get_feature_table("jv").current_version == v
+
+
+def test_materialized_view_refresh_auto_vacuum(spark, client):
+    """vacuum_keep on refresh retires old state snapshots without touching
+    the exactly-once marker: after several refreshes only keep_last version
+    dirs remain, the current state still reads, and a retired version fails
+    with the clear vacuum error."""
+    import os
+
+    client.create_feature_table(
+        "vsrc", keys="id",
+        df=spark.createDataFrame([Row(id=1, g=0, v=1.0)]),
+    )
+    client.create_materialized_view("vmv", "vsrc", "g", {"t": ("sum", "v")})
+    for i in range(2, 6):
+        client.write_table("vsrc", spark.createDataFrame([Row(id=i, g=0, v=float(i))]))
+        client.refresh_materialized_view("vmv", vacuum_keep=2)
+    meta = client.get_feature_table("vmv")
+    vdirs = [
+        d for d in os.listdir(client.registry.table_dir("vmv"))
+        if d.startswith("v")
+    ]
+    assert len(vdirs) == 2, vdirs
+    got = {r["g"]: r["t"] for r in client.read_materialized_view("vmv").collect()}
+    assert got == {0: 1.0 + 2 + 3 + 4 + 5}
+    assert meta.properties["mv_applied_version"] == 5
+    with pytest.raises(ValueError, match="vacuum"):
+        client.read_table("vmv", version=1)
