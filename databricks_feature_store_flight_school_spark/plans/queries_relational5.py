@@ -787,8 +787,11 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair mining shape (the 2-itemset core of Apriori, which is where the
     join cost lives).  The basket self-join keys on the ORDER (baskets are
     small, so per-basket pair fan-out is bounded by basket size², not
-    corpus size); item frequencies and the basket count come back as
-    dimension-sized broadcast joins."""
+    corpus size).  Item frequencies join back UNHINTED on the part key:
+    |pf| is item-catalog-proportional (sf×200k), so a forced broadcast is
+    an OOM at 100× — AQE broadcasts it while it is actually small and
+    shuffle-joins it when it is not (the q_local_supplier_volume rule);
+    only the 1-row basket count is hint-broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     # basket count folded INTO the plan (1-row broadcast cross join), not an
@@ -807,8 +810,8 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = pf.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
     fb = pf.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
     return (
-        pairs.join(F.broadcast(fa), "part_a")
-        .join(F.broadcast(fb), "part_b")
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
         .crossJoin(F.broadcast(n))
         .select(
             "part_a", "part_b", "n_both",

@@ -960,7 +960,7 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
     df AS (
         SELECT term, count(*) AS df FROM dt GROUP BY term
-        HAVING count(*) >= 100
+        HAVING count(*) >= greatest(100, ceil(0.002 * (SELECT n_docs FROM n)))
     ),
     pairs AS (
         SELECT a.term AS term_a, b.term AS term_b,
@@ -989,9 +989,15 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularity — the co-occurrence statistic behind phrase mining and
     word-association features: PMI = ln(P(a,b) / (P(a)·P(b))) with
     probabilities estimated as document frequencies.  The distinct
-    (doc, term) explode happens ONCE; the vocab filter (df >= 100) bounds
-    the pair join the same way blocking bounds record linkage; corpus size
-    and dfs broadcast back as 1-row/dim-sized joins; top-20 by PMI.
+    (doc, term) explode happens ONCE; the vocab filter bounds the pair join
+    the same way blocking bounds record linkage.  The threshold is
+    RELATIVE — ``df >= max(100, 0.002·n_docs)`` — so the broadcast vocab is
+    heavy-hitter bounded at ANY corpus size: Σ df ≤ Σ distinct-terms-per-
+    doc, hence |{terms: df ≥ f·N}| ≤ avg_distinct_per_doc / f, a constant
+    independent of N (an absolute ``df >= 100`` would admit Heaps-law vocab
+    growth and turn the broadcast into an OOM at 100 TB).  No result change
+    at the shipped SFs (0.002·N ≤ 100 through sf1).  Corpus size and dfs
+    broadcast back as 1-row/heavy-hitter joins; top-20 by PMI.
     """
     from pyspark.sql.window import Window
 
@@ -1003,7 +1009,13 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver .count() — no extra job at query-build time
     n_docs_df = dt.agg(F.countDistinct("doc_id").alias("__n_docs"))
     df_tbl = (
-        dt.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") >= 100)
+        dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .where(
+            F.col("df")
+            >= F.greatest(F.lit(100), F.ceil(F.col("__n_docs") * F.lit(0.002)))
+        )
+        .drop("__n_docs")
     )
     a = dt.select("doc_id", F.col("term").alias("term_a"))
     b = dt.select("doc_id", F.col("term").alias("term_b"))

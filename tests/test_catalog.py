@@ -158,6 +158,26 @@ def test_local_supplier_volume_no_supplier_broadcast(spark, sf_dir):
             assert "s_suppkey" not in line, f"supplier broadcast:\n{line}"
 
 
+def test_market_basket_no_item_frequency_broadcast(spark, sf_dir):
+    """Apriori pair-mining at 100×: the per-item frequency table is
+    item-catalog-proportional (sf×200k parts), so it must NOT carry a
+    broadcast hint — same rule as q_local_supplier_volume's supplier.  With
+    size-based auto-broadcast disabled, any BroadcastHashJoin keyed on the
+    part columns can only come from a re-added hint."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = query_map()["q_market_basket"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "part_a" not in line and "part_b" not in line, (
+                f"item-frequency broadcast:\n{line}"
+            )
+
+
 def test_hybrid_rrf_builds_lazily(spark, sf_dir):
     """Plan construction must not launch Spark jobs: the corpus count and
     the query vector ride the plan as 1-row broadcasts, not build-time
@@ -177,6 +197,26 @@ def test_hybrid_rrf_builds_lazily(spark, sf_dir):
     jobs = sc.statusTracker().getJobIdsForGroup(group)
     assert not jobs, f"q_hybrid_rrf launched jobs at build time: {jobs}"
     assert df.columns == ["doc_id", "rrf_score", "rank"]
+
+
+def test_plan_audit_no_eager_builds(spark, sf_dir):
+    """Enforced eager-build audit (tools/eager_audit.py): constructing a
+    catalog query must launch NO Spark jobs — the round-5 verdict caught
+    q_hybrid_rrf running a corpus .count() at build; this pins the whole
+    class.  The three legitimate categories (pipeline-breaker checkpoints,
+    bounded model fits, feature-store write->read demos) are whitelisted
+    with named reasons, and stale entries fail too."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import eager_audit
+
+    names = sorted(query_map())
+    failures, lines = eager_audit.audit_queries(spark, sf_dir, names)
+    assert not failures, "\n".join(
+        ln for ln in lines if ln.startswith(("FAIL", "ERR"))
+    )
 
 
 def test_plan_audit_no_unbounded_global_windows(spark, sf_dir):
