@@ -246,8 +246,11 @@ class FeatureStoreClient:
 
     # -- materialized views (incremental view maintenance facade) -----------
 
-    #: aggregate fns derive_stats can serve from the maintained moments
-    _MV_FNS = ("sum", "count", "avg", "var_samp", "var_pop", "stddev_samp", "stddev_pop")
+    #: aggregate fns derive_stats can serve from the maintained state
+    _MV_FNS = (
+        "sum", "count", "avg", "var_samp", "var_pop", "stddev_samp",
+        "stddev_pop", "min", "max",
+    )
 
     def create_materialized_view(
         self,
@@ -263,13 +266,20 @@ class FeatureStoreClient:
         table — the user-facing face of ``operators/ivm.py``.
 
         ``aggs`` maps output column -> ``(fn, source_column)`` with fn in
-        ``sum | count | avg | var_samp | var_pop | stddev_samp | stddev_pop``
-        (``("count", "*")`` counts rows).  The view's state is itself a
-        feature table keyed by ``group_cols`` holding additive moments (sum,
-        sum of squares, non-null count per measure), so every
+        ``sum | count | avg | var_samp | var_pop | stddev_samp | stddev_pop
+        | min | max`` (``("count", "*")`` counts rows).  The view's state is
+        itself a feature table keyed by ``group_cols`` holding additive
+        moments (sum, sum of squares, non-null count per measure) plus one
+        extremum column per MIN/MAX measure, so every
         :meth:`refresh_materialized_view` costs O(|changes since last
         refresh|) — never a rescan of the source — and the state enjoys the
-        full table surface (time travel, publish, change feed).
+        full table surface (time travel, publish, change feed).  MIN/MAX
+        are not self-maintainable under deletes (Gupta & Mumick): new
+        values fold in for free, while a departure that ties the extremum
+        routes only its OWN group through a left-semi-pruned recompute
+        against the source (``operators.ivm.apply_minmax``) — with the
+        source clustered on the group key that reads |affected| partitions,
+        not the table.
 
         With ``dim=``/``join_on=`` the view aggregates over the equi-join
         ``source ⨝ dim`` (the fact-to-dimension lookup shape: ``join_on``
@@ -283,7 +293,7 @@ class FeatureStoreClient:
         change feed carries ``old_``/``new_`` images only for non-key
         columns (a key never changes in place — key churn arrives as
         delete + insert, which the algebra already handles)."""
-        from ..operators.ivm import _moment_cols  # shared naming
+        from ..operators.ivm import _minmax_cols, _moment_cols  # shared naming
         from pyspark.sql.types import (
             DoubleType, LongType, StructField, StructType,
         )
@@ -315,7 +325,11 @@ class FeatureStoreClient:
                         "non-key columns)"
                     )
                 fields_by_table.setdefault(c.name, (c, dim, dim_meta))
-        src_cols = sorted({src for _fn, src in aggs.values() if src != "*"})
+        src_cols = sorted({
+            src for fn, src in aggs.values()
+            if src != "*" and fn not in ("min", "max")
+        })
+        mm_cols = _minmax_cols(aggs)
         for out, (fn, src) in aggs.items():
             if fn not in self._MV_FNS:
                 raise ValueError(
@@ -323,7 +337,16 @@ class FeatureStoreClient:
                 )
             if src == "*" and fn != "count":
                 raise ValueError(f"aggregate {out!r}: '*' is only valid with count")
-        for c in gcols + src_cols:
+        if dim is not None and mm_cols:
+            # the join-view delta algebra is a SIGNED multiset (no
+            # old_/new_ image pairs), which apply_minmax's tie test needs;
+            # extending it is future work — fail at create, not refresh
+            raise ValueError(
+                "min/max aggregates are not supported for join views "
+                "(dim=): aggregate the joined stream into a plain view "
+                "instead"
+            )
+        for c in gcols + src_cols + sorted({s for _fn, s in mm_cols.values()}):
             if c not in fields_by_table:
                 raise ValueError(f"column {c!r} not in source table(s)")
             _f, owner, owner_meta = fields_by_table[c]
@@ -338,6 +361,9 @@ class FeatureStoreClient:
             fields.append(
                 StructField(m, LongType() if m.startswith("__c_") else DoubleType())
             )
+        # extrema keep the source column's own type (never cast to double)
+        for m, (_fn, src) in mm_cols.items():
+            fields.append(StructField(m, fields_by_table[src][0].dataType))
         fields.append(StructField("_n_rows", LongType()))
         mv_spec = {
             "source": source,
@@ -383,8 +409,9 @@ class FeatureStoreClient:
         tracks BOTH tables' applied versions; they flip atomically with the
         state in the same publish, so the two feeds can never come apart."""
         from ..operators.ivm import (
-            _moment_cols, apply_deltas, compute_stats, join_deltas,
-            signed_changes, signed_stats_deltas, stats_deltas,
+            _minmax_cols, _moment_cols, apply_deltas, apply_minmax,
+            compute_stats, join_deltas, signed_changes, signed_stats_deltas,
+            stats_deltas,
         )
 
         meta = self.registry.get(name)
@@ -397,27 +424,53 @@ class FeatureStoreClient:
         if current == 0:
             raise ValueError(f"source table {mv['source']!r} has no data yet")
         gcols = list(mv["group_cols"])
-        src_cols = sorted(
-            {src for _fn, src in mv["aggs"].values() if src != "*"}
-        )
+        aggs = {out: tuple(spec) for out, spec in mv["aggs"].items()}
+        src_cols = sorted({
+            src for fn, src in aggs.values()
+            if src != "*" and fn not in ("min", "max")
+        })
+        mm_cols = _minmax_cols(aggs)
         dim = mv.get("dim")
         if dim is None:
             if applied >= current:
                 return meta
             if applied == 0:
                 state = compute_stats(
-                    self.read_table(mv["source"], version=current), gcols, src_cols
+                    self.read_table(mv["source"], version=current), gcols,
+                    src_cols, minmax_cols=mm_cols,
                 )
             else:
                 changes = self.table_changes(
                     mv["source"], from_version=applied, to_version=current
                 )
+                prev = self.read_table(name)
                 state = apply_deltas(
-                    self.read_table(name),
+                    prev,
                     stats_deltas(changes, gcols, src_cols),
                     gcols,
                     _moment_cols(src_cols),
                 )
+                if mm_cols:
+                    # extrema maintain separately (apply_minmax's bounded
+                    # affected-group recompute against the CURRENT source),
+                    # then rejoin the moment state on the group key.  Inner
+                    # join is exact: both algebras independently reproduce
+                    # the from-scratch group set (apply_deltas retires
+                    # count-0 groups; apply_minmax routes emptied groups
+                    # through the recompute branch) — property-pinned.
+                    base_cur = self.read_table(mv["source"], version=current)
+                    for kind in ("min", "max"):
+                        sub = {
+                            m: src for m, (fn, src) in mm_cols.items()
+                            if fn == kind
+                        }
+                        if not sub:
+                            continue
+                        part = apply_minmax(
+                            prev.select(*gcols, *sub.keys()),
+                            changes, base_cur, gcols, sub, agg=kind,
+                        )
+                        state = state.join(part, on=gcols, how="inner")
             updated = writer.write_snapshot(
                 self.registry, meta, state, mode="overwrite", validate=False,
                 properties_update={"mv_applied_version": current},

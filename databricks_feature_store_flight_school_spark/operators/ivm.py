@@ -137,11 +137,12 @@ def compute_agg(
 
 
 def compute_minmax(
-    facts: DataFrame, group_col: str, measures: dict[str, str], agg: str = "min"
+    facts: DataFrame, group_col: str | list[str], measures: dict[str, str],
+    agg: str = "min",
 ) -> DataFrame:
     """From-scratch per-group MIN/MAX twin (bootstrap + property oracle)."""
     f = F.min if agg == "min" else F.max
-    return facts.groupBy(group_col).agg(
+    return facts.groupBy(*_cols(group_col)).agg(
         *[f(src).alias(out) for out, src in measures.items()]
     )
 
@@ -150,7 +151,7 @@ def apply_minmax(
     maintained: DataFrame,
     changes: DataFrame,
     base_current: DataFrame,
-    group_col: str,
+    group_col: str | list[str],
     measures: dict[str, str],
     agg: str = "min",
 ) -> DataFrame:
@@ -173,23 +174,32 @@ def apply_minmax(
     (its last value was its extremum) and drops out naturally, and a
     brand-new group materialises from its new image alone — so the result
     matches a from-scratch recompute exactly (property-pinned).
+
+    NULL handling (SQL MIN/MAX ignore NULLs): a departing NULL value never
+    dislodges a non-null extremum, but a group whose maintained extremum is
+    itself NULL (every remaining value is NULL) must route ANY departure
+    through the recompute branch — the tie test ``old <= ext`` is NULL
+    there, and without the explicit ``ext IS NULL`` arm the group would
+    survive as a phantom after its last row is deleted (property-pinned
+    with nullable values).
     """
+    gcols = _cols(group_col)
     cmp = F.least if agg == "min" else F.greatest
     extf = F.min if agg == "min" else F.max
 
     new_ext = (
         changes.where(F.col("_change_type").isin("insert", "update"))
         .select(
-            F.col(f"new_{group_col}").alias(group_col),
+            *[F.col(f"new_{g}").alias(g) for g in gcols],
             *[F.col(f"new_{src}").alias(out) for out, src in measures.items()],
         )
-        .groupBy(group_col)
+        .groupBy(*gcols)
         .agg(*[extf(out).alias(out) for out in measures])
     )
     old_img = changes.where(
         F.col("_change_type").isin("delete", "update")
     ).select(
-        F.col(f"old_{group_col}").alias(group_col),
+        *[F.col(f"old_{g}").alias(g) for g in gcols],
         *[F.col(f"old_{src}").alias(f"__old_{out}") for out, src in measures.items()],
     )
     hit = None
@@ -198,31 +208,31 @@ def apply_minmax(
             F.col(f"__old_{out}") <= F.col(out)
             if agg == "min"
             else F.col(f"__old_{out}") >= F.col(out)
-        )
+        ) | F.col(out).isNull()
         hit = piece if hit is None else hit | piece
     affected = (
-        old_img.join(maintained, on=group_col, how="inner")
+        old_img.join(maintained, on=gcols, how="inner")
         .where(hit)
-        .select(group_col)
+        .select(*gcols)
         .distinct()
     )
 
     recomputed = compute_minmax(
-        base_current.join(affected, on=group_col, how="left_semi"),
-        group_col,
+        base_current.join(affected, on=gcols, how="left_semi"),
+        gcols,
         {out: src for out, src in measures.items()},
         agg,
     )
-    untouched = maintained.join(affected, on=group_col, how="left_anti")
-    fresh = new_ext.join(affected, on=group_col, how="left_anti")
+    untouched = maintained.join(affected, on=gcols, how="left_anti")
+    fresh = new_ext.join(affected, on=gcols, how="left_anti")
     merged = untouched.join(
         fresh.select(
-            group_col, *[F.col(out).alias(f"__new_{out}") for out in measures]
+            *gcols, *[F.col(out).alias(f"__new_{out}") for out in measures]
         ),
-        on=group_col,
+        on=gcols,
         how="full_outer",
     ).select(
-        group_col,
+        *gcols,
         *[cmp(F.col(out), F.col(f"__new_{out}")).alias(out) for out in measures],
     )
     return merged.unionByName(recomputed)
@@ -349,8 +359,21 @@ def _moment_cols(src_cols: list[str]) -> list[str]:
     return out
 
 
+def _minmax_cols(aggs: dict[str, tuple[str, str]]) -> dict[str, tuple[str, str]]:
+    """Extremum state columns for the MIN/MAX aggregates in an ``aggs``
+    spec: ``__mn_<src>`` / ``__mx_<src>`` -> (fn, src).  Shared naming
+    between :func:`compute_stats` bootstrap, :func:`apply_minmax`
+    maintenance, and :func:`derive_stats` read-out."""
+    out: dict[str, tuple[str, str]] = {}
+    for _o, (fn, src) in aggs.items():
+        if fn in ("min", "max"):
+            out[("__mn_" if fn == "min" else "__mx_") + src] = (fn, src)
+    return out
+
+
 def compute_stats(
-    facts: DataFrame, group_cols: str | list[str], src_cols: list[str]
+    facts: DataFrame, group_cols: str | list[str], src_cols: list[str],
+    minmax_cols: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """From-scratch moment state for :func:`derive_stats` aggregates
     (bootstrap + the property-test oracle): per group and per measure column
@@ -360,7 +383,12 @@ def compute_stats(
     Moments are maintained in double: one extra additive column per measure
     buys AVG/VAR_SAMP/STDDEV_SAMP maintenance at the same O(|changes|)
     refresh cost as plain SUM/COUNT — the classic self-maintainable
-    extension of Gupta & Mumick's algebra to second moments."""
+    extension of Gupta & Mumick's algebra to second moments.
+
+    ``minmax_cols`` (state column -> (``min``|``max``, source column))
+    optionally rides MIN/MAX extrema in the SAME single-scan groupBy — the
+    bootstrap twin of :func:`apply_minmax`'s maintained columns, kept in
+    the source column's own type (extrema, unlike moments, are not cast)."""
     aggs = []
     for c in src_cols:
         v = F.col(c).cast("double")
@@ -369,6 +397,8 @@ def compute_stats(
             F.sum(F.coalesce(v * v, F.lit(0.0))).alias(f"__q_{c}"),
             F.count(v).alias(f"__c_{c}"),
         ]
+    for out, (fn, src) in (minmax_cols or {}).items():
+        aggs.append((F.min(src) if fn == "min" else F.max(src)).alias(out))
     return facts.groupBy(*_cols(group_cols)).agg(
         *aggs, F.count(F.lit(1)).alias(COUNT_COL)
     )
@@ -418,16 +448,22 @@ def derive_stats(
     """User-facing aggregates from a maintained moment state.
 
     ``aggs`` maps output column -> ``(fn, src_col)`` with fn one of
-    ``sum | count | avg | var_samp | var_pop | stddev_samp | stddev_pop``
-    (``("count", "*")`` is row count).  SQL null semantics: SUM/AVG over an
-    all-null group are NULL; VAR_SAMP/STDDEV_SAMP need >= 2 non-null values,
-    the _pop forms >= 1.  Variance derives from the moment identity
+    ``sum | count | avg | var_samp | var_pop | stddev_samp | stddev_pop |
+    min | max`` (``("count", "*")`` is row count).  SQL null semantics:
+    SUM/AVG over an all-null group are NULL; VAR_SAMP/STDDEV_SAMP need >= 2
+    non-null values, the _pop forms >= 1; MIN/MAX surface the maintained
+    ``__mn_``/``__mx_`` extremum columns verbatim (NULL iff every value in
+    the group is NULL).  Variance derives from the moment identity
     (q - s^2/n) / (n - ddof), clamped at 0 against floating cancellation."""
     cols = []
     for out, (fn, src) in aggs.items():
         if fn == "count":
             col = F.col(COUNT_COL) if src == "*" else F.col(f"__c_{src}")
             cols.append(col.alias(out))
+            continue
+        if fn in ("min", "max"):
+            prefix = "__mn_" if fn == "min" else "__mx_"
+            cols.append(F.col(f"{prefix}{src}").alias(out))
             continue
         s, q, n = (F.col(f"__{p}_{src}") for p in ("s", "q", "c"))
         if fn == "sum":

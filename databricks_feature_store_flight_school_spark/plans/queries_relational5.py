@@ -560,13 +560,17 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_fuzzy_part_match",
     """
-    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-           a.p_name AS name_a, b.p_name AS name_b,
-           levenshtein(a.p_name, b.p_name) AS edit_dist
-    FROM part a
-    JOIN part b
-      ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    WITH pairs AS (
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               levenshtein(a.p_name, b.p_name) AS edit_dist
+        FROM part a
+        JOIN part b
+          ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    )
+    SELECT edit_dist, count(*) AS n_pairs,
+           count(DISTINCT key_a) AS n_left_entities
+    FROM pairs GROUP BY edit_dist ORDER BY edit_dist
     """,
     "join", "fuzzy", "text",
 )
@@ -579,16 +583,33 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on (block, length, segment, text) and only candidates pay a
     levenshtein — same rows, provably no false negatives.
 
-    The sf1 replica sweep motivated this: p_type has 6 values, so the
-    naive plan compares ~(n/6)² pairs per block AND runs the broadcast
-    self-join probe inside the single-row-group scan task — one core
-    grinding ~3.3e9 string comparisons at sf1.  The segment join shuffles
-    both sides on high-cardinality segment text: parallel everywhere, and
-    pair work scales with matches, not block size²."""
+    The sf1 replica sweep motivated both halves of this shape:
+
+    - COMPUTE: p_type has 6 values, so the naive plan compares ~(n/6)²
+      pairs per block AND runs the broadcast self-join probe inside the
+      single-row-group scan task — one core grinding ~3.3e9 string
+      comparisons at sf1.  The segment join shuffles both sides on
+      high-cardinality segment text: parallel everywhere, and pair work
+      scales with matches, not block size².
+    - OUTPUT: the raw pair list is quadratic in name-cluster size (~52M
+      rows at sf1 — bigger than the result a driver can collect, at any
+      engine).  The catalog query therefore reports the bounded MATCH
+      PROFILE (per-distance pair and entity counts, <= k+1 rows at any
+      SF); callers who want the pairs stream them from
+      ``operators/fuzzy.edit_distance_join`` directly (parity-tested),
+      they don't collect them."""
     from ..operators.fuzzy import edit_distance_join
 
     p = load_table(spark, sf_dir, "part")
-    return edit_distance_join(p, "p_name", "p_partkey", "p_type", k=2)
+    pairs = edit_distance_join(p, "p_name", "p_partkey", "p_type", k=2)
+    return (
+        pairs.groupBy("edit_dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("key_a").cast("bigint").alias("n_left_entities"),
+        )
+        .orderBy("edit_dist")
+    )
 
 
 @register(

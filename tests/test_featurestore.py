@@ -1484,6 +1484,13 @@ def test_materialized_view_over_join(spark, client):
             "jv", "jmv_orders", "nation", {"t": ("sum", "amount")},
             dim="jmv_cust", join_on="nation",
         )
+    # extrema need old/new image pairs, which the signed join-delta algebra
+    # does not carry — rejected at create, not at first refresh
+    with pytest.raises(ValueError, match="join views"):
+        client.create_materialized_view(
+            "jvx", "jmv_orders", "nation", {"m": ("min", "amount")},
+            dim="jmv_cust", join_on="cust",
+        )
     client.create_materialized_view(
         "jv", "jmv_orders", "nation",
         {"total": ("sum", "amount"), "n": ("count", "*"),

@@ -408,6 +408,103 @@ def test_ivm_minmax_affected_group_recompute(spark, tmp_path_factory, ops, initi
         assert got == want
 
 
+#: nullable-amount variant of _ivm_ops: NULL measure values exercise the
+#: SQL null semantics of every maintained aggregate at once (SUM/AVG ignore
+#: nulls, MIN/MAX never surface them, and an all-NULL group emptying out
+#: must not leave a phantom extremum row — the apply_minmax NULL arm)
+_ivm_ops_nullable = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                st.tuples(st.integers(0, 9), st.integers(0, 3),
+                          st.one_of(st.none(), st.integers(0, 50))),
+                min_size=1, max_size=5,
+            ),
+        ),
+        st.tuples(st.just("delete"),
+                  st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(ops=_ivm_ops_nullable, initial=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 3),
+              st.one_of(st.none(), st.integers(0, 50))),
+    min_size=1, max_size=5,
+))
+@settings(**_SETTINGS)
+def test_mv_facade_minmax_incremental_equals_recompute(
+    spark, tmp_path_factory, ops, initial
+):
+    """The materialized-view facade end-to-end with MIN/MAX alongside
+    moment aggregates: after every refresh the view must equal a
+    from-scratch groupBy over the source — through inserts, group-moving
+    updates, NULL measure values, and deletes that retire groups.  This
+    pins the inner-join recombination of the moment state with the
+    extremum state (both must reproduce the exact recompute group set)."""
+    client = FeatureStoreClient(spark, str(tmp_path_factory.mktemp("mvmm_wh")))
+    rows = {k: (g, a) for k, g, a in initial}
+    schema = "order_id int, cust int, amount int"
+    client.create_feature_table(
+        "base", keys="order_id",
+        df=spark.createDataFrame(
+            [(k, g, a) for k, (g, a) in rows.items()], schema
+        ),
+    )
+    client.create_materialized_view(
+        "mv", "base", "cust",
+        {"lo": ("min", "amount"), "hi": ("max", "amount"),
+         "avg_amt": ("avg", "amount"), "n": ("count", "*")},
+    )
+
+    def check():
+        client.refresh_materialized_view("mv")
+        got = {
+            r["cust"]: (r["lo"], r["hi"],
+                        None if r["avg_amt"] is None else round(r["avg_amt"], 9),
+                        r["n"])
+            for r in client.read_materialized_view("mv").collect()
+        }
+        want = {
+            r["cust"]: (r["lo"], r["hi"],
+                        None if r["avg_amt"] is None else round(r["avg_amt"], 9),
+                        r["n"])
+            for r in client.read_table("base")
+            .groupBy("cust")
+            .agg(
+                F.min("amount").alias("lo"), F.max("amount").alias("hi"),
+                F.avg("amount").alias("avg_amt"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    check()  # bootstrap refresh (offset 0 -> full compute_stats scan)
+    for op, payload in ops:
+        if op == "merge":
+            batch = {k: (g, a) for k, g, a in payload}
+            rows.update(batch)
+            client.write_table(
+                "base",
+                spark.createDataFrame(
+                    [(k, g, a) for k, (g, a) in batch.items()], schema
+                ),
+                mode="merge",
+            )
+        else:
+            for k in payload:
+                rows.pop(k, None)
+            client.delete_from_table(
+                "base",
+                spark.createDataFrame([Row(order_id=k) for k in set(payload)]),
+            )
+        check()
+
+
 @given(ops=_ivm_ops, initial=st.lists(
     st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(0, 5)),
     min_size=1, max_size=5,
