@@ -337,15 +337,6 @@ class FeatureStoreClient:
                 )
             if src == "*" and fn != "count":
                 raise ValueError(f"aggregate {out!r}: '*' is only valid with count")
-        if dim is not None and mm_cols:
-            # the join-view delta algebra is a SIGNED multiset (no
-            # old_/new_ image pairs), which apply_minmax's tie test needs;
-            # extending it is future work — fail at create, not refresh
-            raise ValueError(
-                "min/max aggregates are not supported for join views "
-                "(dim=): aggregate the joined stream into a plain view "
-                "instead"
-            )
         for c in gcols + src_cols + sorted({s for _fn, s in mm_cols.values()}):
             if c not in fields_by_table:
                 raise ValueError(f"column {c!r} not in source table(s)")
@@ -410,8 +401,8 @@ class FeatureStoreClient:
         state in the same publish, so the two feeds can never come apart."""
         from ..operators.ivm import (
             _minmax_cols, _moment_cols, apply_deltas, apply_minmax,
-            compute_stats, join_deltas, signed_changes, signed_stats_deltas,
-            stats_deltas,
+            apply_minmax_signed, compute_stats, join_deltas, signed_changes,
+            signed_stats_deltas, stats_deltas,
         )
 
         meta = self.registry.get(name)
@@ -492,7 +483,7 @@ class FeatureStoreClient:
             base = self.read_table(mv["source"], version=current).join(
                 self.read_table(dim, version=dim_current), on=join_keys
             )
-            state = compute_stats(base, gcols, src_cols)
+            state = compute_stats(base, gcols, src_cols, minmax_cols=mm_cols)
         else:
             d_l = (
                 signed_changes(
@@ -515,12 +506,34 @@ class FeatureStoreClient:
                 d_r,
                 on=join_keys,
             )
+            prev = self.read_table(name)
             state = apply_deltas(
-                self.read_table(name),
+                prev,
                 signed_stats_deltas(sd, gcols, src_cols),
                 gcols,
                 _moment_cols(src_cols),
             )
+            if mm_cols:
+                # extrema over the JOIN view: the signed delta carries the
+                # joined group/measure columns directly, and the bounded
+                # recompute runs against the CURRENT join.  Inner-join
+                # recombination with the moment state — same exactness
+                # argument as the plain-view path (property-pinned).
+                base_cur = self.read_table(mv["source"], version=current).join(
+                    self.read_table(dim, version=dim_current), on=join_keys
+                )
+                for kind in ("min", "max"):
+                    sub = {
+                        m: src for m, (fn, src) in mm_cols.items()
+                        if fn == kind
+                    }
+                    if not sub:
+                        continue
+                    part = apply_minmax_signed(
+                        prev.select(*gcols, *sub.keys()),
+                        sd, base_cur, gcols, sub, agg=kind,
+                    )
+                    state = state.join(part, on=gcols, how="inner")
         updated = writer.write_snapshot(
             self.registry, meta, state, mode="overwrite", validate=False,
             properties_update={

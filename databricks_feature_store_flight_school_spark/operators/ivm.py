@@ -184,9 +184,7 @@ def apply_minmax(
     with nullable values).
     """
     gcols = _cols(group_col)
-    cmp = F.least if agg == "min" else F.greatest
     extf = F.min if agg == "min" else F.max
-
     new_ext = (
         changes.where(F.col("_change_type").isin("insert", "update"))
         .select(
@@ -202,6 +200,75 @@ def apply_minmax(
         *[F.col(f"old_{g}").alias(g) for g in gcols],
         *[F.col(f"old_{src}").alias(f"__old_{out}") for out, src in measures.items()],
     )
+    return _apply_minmax_core(
+        maintained, new_ext, old_img, base_current, gcols, measures, agg
+    )
+
+
+def apply_minmax_signed(
+    maintained: DataFrame,
+    signed: DataFrame,
+    base_current: DataFrame,
+    group_col: str | list[str],
+    measures: dict[str, str],
+    agg: str = "min",
+) -> DataFrame:
+    """MIN/MAX maintenance from a SIGNED relation (the :func:`apply_minmax`
+    analog for :func:`join_deltas` output, so extrema over equi-JOIN views
+    maintain incrementally too): ``+1`` rows fold in with least/greatest,
+    ``-1`` rows whose value ties the maintained extremum — or whose group's
+    extremum is NULL — mark the group affected and route it through the
+    bounded recompute against ``base_current`` (the CURRENT join).  Same
+    exactness and NULL contract as :func:`apply_minmax`; property-pinned
+    against a from-scratch recompute of the joined view.
+
+    The signed multiset is NETTED per (group, measure values) first — a
+    correctness requirement, not an optimisation: :func:`join_deltas`'
+    double-counting-free expansion emits cancelling phantom pairs (a
+    fact+dim double update yields ``+(old_fact, new_dim)`` AND
+    ``-(old_fact, new_dim)`` — a row the view never contained).  SUM/COUNT
+    cancel them in the group sums, but an un-netted phantom ARRIVAL on a
+    brand-new group would fold a never-existed value into the extremum
+    while its phantom departure finds no maintained row to trigger the
+    recompute.  After netting, net>0 values fold in, net<0 values run the
+    tie test, net=0 values left the multiset support unchanged and are
+    correctly ignored."""
+    gcols = _cols(group_col)
+    extf = F.min if agg == "min" else F.max
+    srcs = sorted({src for src in measures.values()})
+    net = signed.groupBy(*gcols, *srcs).agg(F.sum(SIGN_COL).alias("__net"))
+    new_ext = (
+        net.where(F.col("__net") > 0)
+        .select(
+            *gcols,
+            *[F.col(src).alias(out) for out, src in measures.items()],
+        )
+        .groupBy(*gcols)
+        .agg(*[extf(out).alias(out) for out in measures])
+    )
+    old_img = net.where(F.col("__net") < 0).select(
+        *gcols,
+        *[F.col(src).alias(f"__old_{out}") for out, src in measures.items()],
+    )
+    return _apply_minmax_core(
+        maintained, new_ext, old_img, base_current, gcols, measures, agg
+    )
+
+
+def _apply_minmax_core(
+    maintained: DataFrame,
+    new_ext: DataFrame,
+    old_img: DataFrame,
+    base_current: DataFrame,
+    gcols: list[str],
+    measures: dict[str, str],
+    agg: str,
+) -> DataFrame:
+    """Shared tail of the MIN/MAX maintenance rule: affected-group
+    detection (tie-or-NULL against the maintained extrema), left-semi
+    pruned recompute, and the fold of fresh extrema into untouched
+    groups."""
+    cmp = F.least if agg == "min" else F.greatest
     hit = None
     for out in measures:
         piece = (

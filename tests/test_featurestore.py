@@ -1484,34 +1484,31 @@ def test_materialized_view_over_join(spark, client):
             "jv", "jmv_orders", "nation", {"t": ("sum", "amount")},
             dim="jmv_cust", join_on="nation",
         )
-    # extrema need old/new image pairs, which the signed join-delta algebra
-    # does not carry — rejected at create, not at first refresh
-    with pytest.raises(ValueError, match="join views"):
-        client.create_materialized_view(
-            "jvx", "jmv_orders", "nation", {"m": ("min", "amount")},
-            dim="jmv_cust", join_on="cust",
-        )
     client.create_materialized_view(
         "jv", "jmv_orders", "nation",
         {"total": ("sum", "amount"), "n": ("count", "*"),
-         "mean": ("avg", "amount"), "sd": ("stddev_samp", "amount")},
+         "mean": ("avg", "amount"), "sd": ("stddev_samp", "amount"),
+         "lo": ("min", "amount"), "hi": ("max", "amount")},
         dim="jmv_cust", join_on="cust",
     )
 
     def check():
         client.refresh_materialized_view("jv")
         got = {
-            r["nation"]: (r["total"], r["n"], r["mean"], r["sd"])
+            r["nation"]: (r["total"], r["n"], r["mean"], r["sd"],
+                          r["lo"], r["hi"])
             for r in client.read_materialized_view("jv").collect()
         }
         want = {
-            r["nation"]: (r["total"], r["n"], r["mean"], r["sd"])
+            r["nation"]: (r["total"], r["n"], r["mean"], r["sd"],
+                          r["lo"], r["hi"])
             for r in client.read_table("jmv_orders")
             .join(client.read_table("jmv_cust"), on="cust")
             .groupBy("nation")
             .agg(
                 F.sum("amount").alias("total"), F.count(F.lit(1)).alias("n"),
                 F.avg("amount").alias("mean"), F.stddev_samp("amount").alias("sd"),
+                F.min("amount").alias("lo"), F.max("amount").alias("hi"),
             ).collect()
         }
         assert set(got) == set(want), (got, want)

@@ -505,6 +505,116 @@ def test_mv_facade_minmax_incremental_equals_recompute(
         check()
 
 
+#: join churn with NULLable amounts — exercises apply_minmax_signed through
+#: the facade, including the phantom-pair netting (fact+dim double updates)
+_join_ivm_ops_nullable = st.lists(
+    st.one_of(
+        st.tuples(st.just("left"), st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 4),
+                      st.one_of(st.none(), st.integers(0, 50))),
+            min_size=1, max_size=4)),
+        st.tuples(st.just("ldel"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("right"), st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 2)),
+            min_size=1, max_size=3)),
+        st.tuples(st.just("rdel"), st.lists(st.integers(0, 4), min_size=1, max_size=2)),
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@given(
+    ops=_join_ivm_ops_nullable,
+    init_l=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 4),
+                  st.one_of(st.none(), st.integers(0, 50))),
+        min_size=1, max_size=5),
+    init_r=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 2)),
+        min_size=1, max_size=4),
+)
+@settings(**_SETTINGS)
+def test_mv_join_facade_minmax_incremental_equals_recompute(
+    spark, tmp_path_factory, ops, init_l, init_r
+):
+    """MIN/MAX over a JOIN materialized view, end-to-end through the
+    facade: after every refresh the view must equal a from-scratch groupBy
+    of the joined final state — through order churn, dimension
+    re-assignment, NULL measures, two-sided deletes, and windows where
+    BOTH sides change at once (whose join-delta expansion emits the
+    cancelling phantom pairs that apply_minmax_signed must net away)."""
+    client = FeatureStoreClient(spark, str(tmp_path_factory.mktemp("jmm_wh")))
+    lrows = {k: (c, a) for k, c, a in init_l}
+    rrows = {c: n for c, n in init_r}
+    lschema = "order_id int, cust int, amount int"
+    client.create_feature_table(
+        "jorders", keys="order_id",
+        df=spark.createDataFrame(
+            [(k, c, a) for k, (c, a) in lrows.items()], lschema
+        ),
+    )
+    client.create_feature_table(
+        "jcust", keys="cust",
+        df=spark.createDataFrame(
+            [Row(cust=c, nation=n) for c, n in rrows.items()]
+        ),
+    )
+    client.create_materialized_view(
+        "jmm", "jorders", "nation",
+        {"lo": ("min", "amount"), "hi": ("max", "amount"),
+         "total": ("sum", "amount"), "n": ("count", "*")},
+        dim="jcust", join_on="cust",
+    )
+
+    def check():
+        client.refresh_materialized_view("jmm")
+        got = {
+            r["nation"]: (r["lo"], r["hi"], r["total"], r["n"])
+            for r in client.read_materialized_view("jmm").collect()
+        }
+        want = {
+            r["nation"]: (r["lo"], r["hi"], r["total"], r["n"])
+            for r in client.read_table("jorders")
+            .join(client.read_table("jcust"), on="cust")
+            .groupBy("nation")
+            .agg(
+                F.min("amount").alias("lo"), F.max("amount").alias("hi"),
+                F.sum("amount").cast("double").alias("total"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    check()
+    for op, payload in ops:
+        if op == "left":
+            batch = {k: (c, a) for k, c, a in payload}
+            lrows.update(batch)
+            client.write_table("jorders", spark.createDataFrame(
+                [(k, c, a) for k, (c, a) in batch.items()], lschema
+            ), mode="merge")
+        elif op == "ldel":
+            for k in payload:
+                lrows.pop(k, None)
+            client.delete_from_table(
+                "jorders",
+                spark.createDataFrame([Row(order_id=k) for k in set(payload)]))
+        elif op == "right":
+            batch = dict(payload)
+            rrows.update(batch)
+            client.write_table("jcust", spark.createDataFrame(
+                [Row(cust=c, nation=n) for c, n in batch.items()]
+            ), mode="merge")
+        else:
+            for c in payload:
+                rrows.pop(c, None)
+            client.delete_from_table(
+                "jcust",
+                spark.createDataFrame([Row(cust=c) for c in set(payload)]))
+        check()
+
+
 @given(ops=_ivm_ops, initial=st.lists(
     st.tuples(st.integers(0, 9), st.integers(0, 3), st.integers(0, 5)),
     min_size=1, max_size=5,
