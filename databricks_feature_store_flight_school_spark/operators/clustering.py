@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vectors import dot, to_double
-from .similarity import _centroid_dots, _prep
+from .similarity import _centroid_dots, _prep, verify_pairs_in_buckets
 
 
 def _lit_vec(c: list[float]):
@@ -172,7 +172,10 @@ def semantic_dedup_pairs(
     # rank over k values — k is small, the window partitions by vector id)
     dots = _centroid_dots(F.col("x_vec"), centroids)
     tagged = (
-        v.select("x_id", F.posexplode(dots).alias("bucket", "cdot"))
+        v.select(
+            "x_id", "x_vec", "x_norm",
+            F.posexplode(dots).alias("bucket", "cdot"),
+        )
         .withColumn(
             "r",
             F.row_number().over(
@@ -180,34 +183,11 @@ def semantic_dedup_pairs(
             ),
         )
         .where(F.col("r") <= n_assign)
-        .select("x_id", "bucket")
+        .select("x_id", "x_vec", "x_norm", "bucket")
     )
-    cand = (
-        tagged.select(F.col("x_id").alias("id_a"), "bucket")
-        .join(tagged.select(F.col("x_id").alias("id_b"), "bucket"), "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    a = v.select(
-        F.col("x_id").alias("id_a"), F.col("x_vec").alias("va"), F.col("x_norm").alias("na")
-    )
-    b = v.select(
-        F.col("x_id").alias("id_b"), F.col("x_vec").alias("vb"), F.col("x_norm").alias("nb")
-    )
-
-    @F.pandas_udf("double")
-    def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.stack(va.values)
-        B = np.stack(vb.values)
-        return pd.Series((A * B).sum(axis=1))
-
-    denom = F.col("na") * F.col("nb")
-    sim = F.when(denom > 0, _pair_dot(F.col("va"), F.col("vb")) / denom)
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("cosine_sim", sim)
-        .where(F.col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
-    )
+    # exact verify INSIDE each cluster bucket (blocked matmul) — vectors
+    # travel once per assignment, matches-only leave the worker; see
+    # similarity.verify_pairs_in_buckets for the quadratic-vs-linear
+    # data-movement argument (the sf1 sweep measured the per-candidate
+    # re-attach form at 704s; this form runs the same corpus in seconds)
+    return verify_pairs_in_buckets(tagged, ["bucket"], threshold)

@@ -312,10 +312,26 @@ def lsh_neardup_pairs(
             F.col("__bn") <= max_bucket_size
         ).drop("__bn")
 
+    return verify_pairs_in_buckets(tagged, ["table", "bucket"], threshold)
+
+
+def verify_pairs_in_buckets(
+    tagged: DataFrame, group_cols: list[str], threshold: float,
+    block: int = 512,
+) -> DataFrame:
+    """Exact-cosine pair verification INSIDE candidate buckets — the shared
+    tail of every bucketed near-dup scheme (banded LSH tables, k-means
+    cluster buckets): ``tagged`` carries (x_id, x_vec, x_norm) plus the
+    bucket key columns, each group runs one blocked numpy matmul, and only
+    threshold-passing pairs leave the worker.  Vectors travel to buckets
+    once per assignment (LINEAR in corpus × assignments) instead of twice
+    per candidate pair (quadratic — the sf1 sweep measured the per-pair
+    re-attach at ~160 GB of Arrow transfer for the LSH form); the final
+    cross-bucket dedup shuffles matches only.  ``block`` bounds the matmul
+    working set to block × bucket_size doubles per task."""
     th = float(threshold)
-    id_type = v.schema["x_id"].dataType.simpleString()
+    id_type = tagged.schema["x_id"].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
-    block = 512  # matmul block: block × bucket_size doubles per task
 
     def _verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["x_id"].to_numpy()
@@ -344,10 +360,10 @@ def lsh_neardup_pairs(
             }
         )
 
-    bucket_pairs = tagged.groupBy("table", "bucket").applyInPandas(
+    bucket_pairs = tagged.groupBy(*group_cols).applyInPandas(
         _verify_bucket, out_schema
     )
-    # per-pair dedup across tables: shuffles MATCHES only (the sim is the
+    # per-pair dedup across buckets: shuffles MATCHES only (the sim is the
     # same float either way; max is just the deterministic pick)
     return bucket_pairs.groupBy("id_a", "id_b").agg(
         F.max("cosine_sim").alias("cosine_sim")
