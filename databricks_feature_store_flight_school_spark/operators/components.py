@@ -40,11 +40,17 @@ def connected_components(
     e.g. a chain graph with diameter > max_iter — since the truncated labels
     are otherwise indistinguishable from converged output.
     """
+    # Pin the symmetrized edge list ONCE: edges usually arrive as a
+    # nontrivial derivation (a shingle-Jaccard join, an LSH bucket join),
+    # and without this checkpoint EVERY superstep's join would recompute
+    # that whole upstream pipeline through the growing lineage — measured
+    # 95s -> 15s at sf1 on q_dedup_components, where the edge derivation
+    # dominated each of the ~5 rounds.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
