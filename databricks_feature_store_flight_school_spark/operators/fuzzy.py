@@ -67,56 +67,74 @@ def edit_distance_join(
     )
     long_side = base.where(F.col("__len") >= nseg)
 
-    # index: one row per (string, segment)
-    idx_parts = []
+    # index: one row per (string, segment) — ONE scan, the nseg segment
+    # structs generated in-flight by a single explode (a unionByName of
+    # nseg projections would re-scan the source per branch)
+    idx_structs = []
     for i in range(nseg):
         start, seg_len = _seg_bounds(F.col("__len"), i, nseg)
-        idx_parts.append(
-            long_side.select(
-                *blocks,
-                F.col("__len").alias("__ls"),
+        idx_structs.append(
+            F.struct(
                 F.lit(i).alias("__seg"),
                 F.substring(F.col("__name"), start, seg_len).alias("__txt"),
-                F.col("__id").alias("__id_a"),
-                F.col("__name").alias("__name_a"),
             )
         )
-    idx = idx_parts[0]
-    for p in idx_parts[1:]:
-        idx = idx.unionByName(p)
+    idx = long_side.select(
+        *blocks,
+        F.col("__len").alias("__ls"),
+        F.col("__id").alias("__id_a"),
+        F.explode(F.array(*idx_structs)).alias("__e"),
+    ).select(
+        *blocks, "__ls", "__id_a",
+        F.col("__e.__seg").alias("__seg"), F.col("__e.__txt").alias("__txt"),
+    )
 
     # probe: for each assumed source length ls = len+e and shift d, the
-    # substring that an ls-length match's segment i would align to
-    probe_parts = []
+    # substring that an ls-length match's segment i would align to — again
+    # one scan + explode instead of (k+1)(2k+1)² union branches, and a
+    # distinct BEFORE the join (different (e, d) combos often produce the
+    # same probe substring, which would multiply the join fan-out)
+    probe_structs = []
     for i in range(nseg):
         for e in range(-k, k + 1):
             ls = F.col("__len") + e
             start, seg_len = _seg_bounds(ls, i, nseg)
             for d in range(-k, k + 1):
-                probe_parts.append(
-                    long_side.where(ls >= nseg).select(
-                        *blocks,
+                probe_structs.append(
+                    F.struct(
                         ls.alias("__ls"),
                         F.lit(i).alias("__seg"),
                         F.substring(
                             F.col("__name"), start + d, seg_len
                         ).alias("__txt"),
-                        F.col("__id").alias("__id_b"),
-                        F.col("__name").alias("__name_b"),
                     )
                 )
-    probe = probe_parts[0]
-    for p in probe_parts[1:]:
-        probe = probe.unionByName(p)
+    probe = (
+        long_side.select(
+            *blocks,
+            F.col("__id").alias("__id_b"),
+            F.explode(F.array(*probe_structs)).alias("__e"),
+        )
+        .select(
+            *blocks, "__id_b",
+            F.col("__e.__ls").alias("__ls"),
+            F.col("__e.__seg").alias("__seg"),
+            F.col("__e.__txt").alias("__txt"),
+        )
+        .where(F.col("__ls") >= nseg)
+        .distinct()
+    )
 
+    # candidates carry IDS ONLY through the dedup shuffle (16-byte rows);
+    # names re-attach afterwards by key — at candidate cardinality the
+    # string payload is the dominant shuffle cost, and the re-attach joins
+    # are linear (AQE broadcasts the name table while it is small)
     cand = (
         idx.join(probe, on=blocks + ["__ls", "__seg", "__txt"])
         .where(F.col("__id_a") < F.col("__id_b"))
         .select(
             F.col("__id_a").alias("key_a"),
             F.col("__id_b").alias("key_b"),
-            F.col("__name_a").alias("name_a"),
-            F.col("__name_b").alias("name_b"),
         )
         .distinct()
     )
@@ -132,13 +150,11 @@ def edit_distance_join(
     s_a = short_side.select(
         *tiny_blocks,
         F.col("__id").alias("key_a"),
-        F.col("__name").alias("name_a"),
         F.col("__len").alias("__la"),
     )
     s_b = base.select(
         *tiny_blocks,
         F.col("__id").alias("key_b"),
-        F.col("__name").alias("name_b"),
         F.col("__len").alias("__lb"),
     )
     tiny = (
@@ -148,20 +164,25 @@ def edit_distance_join(
             & (F.abs(F.col("__la") - F.col("__lb")) <= k)
         )
         .select(
-            # within one select the key_a/key_b on the RIGHT of each alias
-            # refer to the INPUT columns, so the orientation is consistent
             F.least("key_a", "key_b").alias("key_a"),
             F.greatest("key_a", "key_b").alias("key_b"),
-            F.when(F.col("key_a") < F.col("key_b"), F.col("name_a"))
-            .otherwise(F.col("name_b")).alias("name_a"),
-            F.when(F.col("key_a") < F.col("key_b"), F.col("name_b"))
-            .otherwise(F.col("name_a")).alias("name_b"),
         )
         .distinct()
     )
     cand = cand.unionByName(tiny)
 
+    # re-attach names by key and verify — the only stage that carries
+    # strings, and it carries them once per CANDIDATE PAIR, post-dedup
+    names_a = base.select(
+        F.col("__id").alias("key_a"), F.col("__name").alias("name_a")
+    )
+    names_b = base.select(
+        F.col("__id").alias("key_b"), F.col("__name").alias("name_b")
+    )
     return (
-        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        cand.join(names_a, "key_a")
+        .join(names_b, "key_b")
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("edit_dist") <= k)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
