@@ -918,7 +918,13 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_triangle_count",
     """
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
+        -- MATERIALIZED is load-bearing: e0 is referenced four times
+        -- (e1/e2/e3 + the scalar edge count), and DuckDB's default CTE
+        -- inlining replays the fact-table join per reference — at sf1 that
+        -- spilled past 60 GB of temp disk before failing.  Materialized,
+        -- the fact pass runs once and the triangle joins see ~|nations|^2
+        -- edges.
         SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
                         greatest(c.c_nationkey, s.s_nationkey) AS b
         FROM lineitem l
@@ -956,10 +962,15 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("c_nationkey") != F.col("s_nationkey"))
     )
+    # pin the edge table ONCE (<= |nations|² rows): it feeds four consumers
+    # (e1/e2/e3 + the edge count), and without the checkpoint each one
+    # replays the fact-table join — the same 4x replay the oracle needed
+    # AS MATERIALIZED for (whitelisted in tools/eager_audit.py: AQE
+    # materialises the fact pass at plan-build)
     e0 = pairs.select(
         F.least("c_nationkey", "s_nationkey").alias("a"),
         F.greatest("c_nationkey", "s_nationkey").alias("b"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     e1 = e0.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = e0.select(F.col("a").alias("y"), F.col("b").alias("z"))
     e3 = e0.select(F.col("a").alias("x"), F.col("b").alias("z"))

@@ -90,6 +90,14 @@ EAGER_BUILD_WHITELIST: dict[str, str] = {
     "q_fs_score_batch": _FS,
     "q_fs_score_batch_trained": _FS,
     "q_fs_training_set": _FS,
+    # edge-table pin: <= |nations|² rows feeding four consumers — without
+    # it each consumer replays the fact-table join (same toRdd
+    # materialisation as the ranks primitive)
+    "q_triangle_count": (
+        "pinned edge table (<= |nations|² rows, four consumers) — AQE "
+        "materialises the fact pass at plan-build; unpinned, the fact "
+        "join would replay once per consumer"
+    ),
     # iterative algorithm: per-superstep scalar convergence check
     "q_dedup_components": (
         "connected-components supersteps — one scalar aggregate per "
