@@ -41,11 +41,17 @@ def test_oracle_sql_uses_known_tables():
     table_re = re.compile(
         r"(?<!DISTINCT\s)\b(?:FROM|JOIN)\s+([a-zA-Z_][a-zA-Z0-9_]*)", re.IGNORECASE
     )
-    # CTE names, including recursive CTEs with column lists: name(col, ...) AS (
+    # CTE names, including recursive CTEs with column lists — name(col, ...)
+    # AS ( — and DuckDB's materialization hint: name AS MATERIALIZED (
     cte_re = re.compile(
-        r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*\(", re.IGNORECASE
+        r"\b([a-zA-Z_][a-zA-Z0-9_]*)\s*(?:\([^)]*\))?\s+AS\s*"
+        r"(?:MATERIALIZED\s*)?\(",
+        re.IGNORECASE,
     )
     for name, sql in entrymod.oracle_sql().items():
+        # strip `-- ...` line comments: prose like "the join per reference"
+        # must not register as a table reference
+        sql = re.sub(r"--[^\n]*", "", sql)
         ctes = {c.lower() for c in cte_re.findall(sql)}
         for t in table_re.findall(sql):
             ok = (
