@@ -29,15 +29,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _seg_bounds(length_col, i: int, nseg: int):
-    """(start, len) Column pair of segment ``i`` when a string of
-    ``length_col`` chars is split into ``nseg`` even segments (earlier
-    segments take the remainder) — 1-based start for ``substring``."""
+def _seg_bounds(length_col, i, nseg: int):
+    """(start, len) Column pair of segment ``i`` (int or Column) when a
+    string of ``length_col`` chars is split into ``nseg`` even segments
+    (earlier segments take the remainder) — 1-based start for
+    ``substring``."""
+    i_col = F.lit(i) if isinstance(i, int) else i
     base = (length_col / nseg).cast("int")
     rem = length_col - base * nseg
     # start of segment i = i*base + min(i, rem); len = base + (1 if i < rem)
-    start = F.lit(i) * base + F.least(F.lit(i), rem)
-    seg_len = base + F.when(F.lit(i) < rem, 1).otherwise(0)
+    start = i_col * base + F.least(i_col, rem)
+    seg_len = base + F.when(i_col < rem, 1).otherwise(0)
     return start + 1, seg_len
 
 
@@ -90,36 +92,34 @@ def edit_distance_join(
     )
 
     # probe: for each assumed source length ls = len+e and shift d, the
-    # substring that an ls-length match's segment i would align to — again
-    # one scan + explode instead of (k+1)(2k+1)² union branches, and a
-    # distinct BEFORE the join (different (e, d) combos often produce the
-    # same probe substring, which would multiply the join fan-out)
-    probe_structs = []
-    for i in range(nseg):
-        for e in range(-k, k + 1):
-            ls = F.col("__len") + e
-            start, seg_len = _seg_bounds(ls, i, nseg)
-            for d in range(-k, k + 1):
-                probe_structs.append(
-                    F.struct(
-                        ls.alias("__ls"),
-                        F.lit(i).alias("__seg"),
-                        F.substring(
-                            F.col("__name"), start + d, seg_len
-                        ).alias("__txt"),
-                    )
-                )
+    # substring that an ls-length match's segment i would align to — one
+    # scan + a (k+1)(2k+1)² integer explode, with the window substring
+    # computed from COLUMN arithmetic on the exploded combo id.  (A
+    # struct-array explode of all 75 precomputed substrings blows the
+    # whole-stage-codegen method past the JVM's 64KB limit and silently
+    # drops the stage to interpreted mode — observed via the
+    # CodeGenerator ERROR in the sf0.01 sweep.)  A distinct runs BEFORE
+    # the join: different (e, d) combos often produce the same probe
+    # substring, which would multiply the join fan-out.
+    n_combo = nseg * (2 * k + 1) * (2 * k + 1)
+    combo = F.col("__combo")
+    seg_i = F.floor(combo / ((2 * k + 1) * (2 * k + 1))).cast("int")
+    e_off = (F.floor(combo / (2 * k + 1)) % (2 * k + 1)).cast("int") - k
+    d_off = (combo % (2 * k + 1)).cast("int") - k
+    ls = F.col("__len") + e_off
+    start, seg_len = _seg_bounds(ls, seg_i, nseg)
     probe = (
         long_side.select(
             *blocks,
             F.col("__id").alias("__id_b"),
-            F.explode(F.array(*probe_structs)).alias("__e"),
+            "__name", "__len",
+            F.explode(F.sequence(F.lit(0), F.lit(n_combo - 1))).alias("__combo"),
         )
         .select(
             *blocks, "__id_b",
-            F.col("__e.__ls").alias("__ls"),
-            F.col("__e.__seg").alias("__seg"),
-            F.col("__e.__txt").alias("__txt"),
+            ls.alias("__ls"),
+            seg_i.alias("__seg"),
+            F.substring(F.col("__name"), start + d_off, seg_len).alias("__txt"),
         )
         .where(F.col("__ls") >= nseg)
         .distinct()
