@@ -169,7 +169,6 @@ def minhash_lsh_candidates(
     sig = minhash_signatures_df(df, id_col, text_col, num_hashes, k)
     banded = sig.select(
         id_col,
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -184,29 +183,37 @@ def minhash_lsh_candidates(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    # candidates dedup as bare id pairs; the 64-long signatures re-attach
+    # by id afterwards (a candidate row carrying both signatures is ~1 KiB —
+    # shipping that through the bucket join AND the dedup shuffle was the
+    # dominant cost; the re-attach joins are linear and AQE broadcasts the
+    # signature table while it is small)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     matching = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
             lambda m: m,
         )
     )
-    return pairs.withColumn(
-        "est_similarity", matching.cast("double") / F.lit(float(num_hashes))
-    ).select("id_a", "id_b", "est_similarity")
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn(
+            "est_similarity", matching.cast("double") / F.lit(float(num_hashes))
+        )
+        .select("id_a", "id_b", "est_similarity")
+    )
 
 
 def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
