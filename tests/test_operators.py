@@ -275,6 +275,34 @@ def test_lsh_neardup_pairs_recall(spark, sf_dir):
     assert recall >= 0.9, f"LSH pairs recall too low: {recall:.2f} ({len(approx)}/{len(exact)})"
 
 
+def test_verify_pairs_in_buckets_string_ids_and_dedup(spark):
+    """The shared in-bucket verifier must (a) propagate a NON-bigint id type
+    into its output schema (it is derived from tagged.x_id at runtime),
+    (b) emit each pair once even when the pair co-occurs in several buckets
+    (cross-bucket max-dedup), and (c) keep sub-threshold pairs inside the
+    worker — only matches ever leave."""
+    from databricks_feature_store_flight_school_spark.operators.similarity import (
+        verify_pairs_in_buckets,
+    )
+
+    rows = [
+        # docA/docB identical direction -> sim 1.0; docC orthogonal.
+        # The (A, B) pair appears in BOTH bucket 0 and bucket 1.
+        Row(x_id="docA", x_vec=[1.0, 0.0], x_norm=1.0, bucket=0),
+        Row(x_id="docB", x_vec=[2.0, 0.0], x_norm=2.0, bucket=0),
+        Row(x_id="docA", x_vec=[1.0, 0.0], x_norm=1.0, bucket=1),
+        Row(x_id="docB", x_vec=[2.0, 0.0], x_norm=2.0, bucket=1),
+        Row(x_id="docC", x_vec=[0.0, 1.0], x_norm=1.0, bucket=1),
+    ]
+    tagged = spark.createDataFrame(rows)
+    out = verify_pairs_in_buckets(tagged, ["bucket"], threshold=0.5)
+    assert dict(out.dtypes)["id_a"] == "string"
+    got = out.collect()
+    assert [(r["id_a"], r["id_b"], r["cosine_sim"]) for r in got] == [
+        ("docA", "docB", 1.0)
+    ]
+
+
 def test_md5_fingerprint_matches_manual(spark):
     import hashlib
 
