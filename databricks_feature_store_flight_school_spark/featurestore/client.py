@@ -401,8 +401,9 @@ class FeatureStoreClient:
         state in the same publish, so the two feeds can never come apart."""
         from ..operators.ivm import (
             _minmax_cols, _moment_cols, apply_deltas, apply_minmax,
-            apply_minmax_signed, compute_stats, join_deltas, signed_changes,
-            signed_stats_deltas, stats_deltas,
+            apply_minmax_signed, compute_stats, join_deltas,
+            join_groups_null_safe, signed_changes, signed_stats_deltas,
+            stats_deltas,
         )
 
         meta = self.registry.get(name)
@@ -461,7 +462,7 @@ class FeatureStoreClient:
                             prev.select(*gcols, *sub.keys()),
                             changes, base_cur, gcols, sub, agg=kind,
                         )
-                        state = state.join(part, on=gcols, how="inner")
+                        state = join_groups_null_safe(state, part, gcols, "inner")
             updated = writer.write_snapshot(
                 self.registry, meta, state, mode="overwrite", validate=False,
                 properties_update={"mv_applied_version": current},
@@ -533,7 +534,7 @@ class FeatureStoreClient:
                         prev.select(*gcols, *sub.keys()),
                         sd, base_cur, gcols, sub, agg=kind,
                     )
-                    state = state.join(part, on=gcols, how="inner")
+                    state = join_groups_null_safe(state, part, gcols, "inner")
         updated = writer.write_snapshot(
             self.registry, meta, state, mode="overwrite", validate=False,
             properties_update={

@@ -158,11 +158,19 @@ def semantic_dedup_pairs(
     k: int = 8,
     n_iters: int = 3,
     n_assign: int = 3,
+    max_bucket_size: int | None = 20_000,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup PAIRS: spherical-kmeans buckets
     generate candidates (each vector joins its ``n_assign`` nearest
     clusters), exact cosine verifies every candidate — no false positives;
     recall vs the exact all-pairs form is asserted in tests.
+
+    ``max_bucket_size`` is the skew guard on the verify stage: k-means has
+    no size bound, so a degenerate clustering (one cluster absorbing a large
+    corpus fraction) would otherwise hand one task an O(cluster × dim)
+    vector load + O(cluster²) matmul.  The verifier fails fast with the
+    cluster id instead of OOMing — the remedy is a larger ``k`` (finer
+    buckets), not a bigger executor.
 
     Output: (id_a, id_b, cosine_sim), id_a < id_b, cosine_sim >= threshold.
     """
@@ -190,4 +198,6 @@ def semantic_dedup_pairs(
     # similarity.verify_pairs_in_buckets for the quadratic-vs-linear
     # data-movement argument (the sf1 sweep measured the per-candidate
     # re-attach form at 704s; this form runs the same corpus in seconds)
-    return verify_pairs_in_buckets(tagged, ["bucket"], threshold)
+    return verify_pairs_in_buckets(
+        tagged, ["bucket"], threshold, max_bucket_size=max_bucket_size
+    )

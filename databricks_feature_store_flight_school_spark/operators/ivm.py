@@ -42,6 +42,43 @@ def _cols(group_cols: str | list[str]) -> list[str]:
     return [group_cols] if isinstance(group_cols, str) else list(group_cols)
 
 
+def join_groups_null_safe(
+    left: DataFrame, right: DataFrame, gcols: list[str], how: str
+) -> DataFrame:
+    """Group-key join with NULL-safe equality (``<=>``).
+
+    A from-scratch ``groupBy`` keeps a NULL-valued group like any other, but
+    a plain ``on=gcols`` equi-join silently drops it (inner/semi), fails to
+    retire it (anti), or emits it twice unmerged (full_outer) — so every
+    state⨝delta recombination in this module must pair keys with
+    ``eqNullSafe`` instead.  Right's key columns are renamed ``__r_<g>``
+    before the join (the two sides often share lineage — e.g. old/new images
+    of one change feed — where bare attribute references are ambiguous);
+    semi/anti output is ``left`` verbatim, other joins coalesce the two key
+    columns back into a single ``<g>`` (exact under ``<=>``: a pair either
+    matched — equal or both NULL — or one side is absent).  Plan shape is
+    unchanged: ``<=>`` is still a hash-joinable equality, so this stays a
+    co-partitioned shuffle join, not a cross product.
+    """
+    renamed = right
+    for g in gcols:
+        renamed = renamed.withColumnRenamed(g, f"__r_{g}")
+    cond = None
+    for g in gcols:
+        piece = F.col(g).eqNullSafe(F.col(f"__r_{g}"))
+        cond = piece if cond is None else cond & piece
+    out = left.join(renamed, on=cond, how=how)
+    if how in ("left_semi", "semi", "left_anti", "anti"):
+        return out
+    keys = [F.coalesce(F.col(g), F.col(f"__r_{g}")).alias(g) for g in gcols]
+    rest = [
+        F.col(c)
+        for c in out.columns
+        if c not in gcols and c not in {f"__r_{g}" for g in gcols}
+    ]
+    return out.select(*keys, *rest)
+
+
 def agg_deltas(
     changes: DataFrame, group_cols: str | list[str], measures: dict[str, str]
 ) -> DataFrame:
@@ -103,7 +140,7 @@ def apply_deltas(
     the exact result a from-scratch recompute would produce.
     """
     gcols = _cols(group_cols)
-    joined = agg.join(deltas, on=gcols, how="full_outer")
+    joined = join_groups_null_safe(agg, deltas, gcols, "full_outer")
     out_cols = [
         (
             F.coalesce(F.col(c), F.lit(0))
@@ -278,26 +315,27 @@ def _apply_minmax_core(
         ) | F.col(out).isNull()
         hit = piece if hit is None else hit | piece
     affected = (
-        old_img.join(maintained, on=gcols, how="inner")
+        join_groups_null_safe(old_img, maintained, gcols, "inner")
         .where(hit)
         .select(*gcols)
         .distinct()
     )
 
     recomputed = compute_minmax(
-        base_current.join(affected, on=gcols, how="left_semi"),
+        join_groups_null_safe(base_current, affected, gcols, "left_semi"),
         gcols,
         {out: src for out, src in measures.items()},
         agg,
     )
-    untouched = maintained.join(affected, on=gcols, how="left_anti")
-    fresh = new_ext.join(affected, on=gcols, how="left_anti")
-    merged = untouched.join(
+    untouched = join_groups_null_safe(maintained, affected, gcols, "left_anti")
+    fresh = join_groups_null_safe(new_ext, affected, gcols, "left_anti")
+    merged = join_groups_null_safe(
+        untouched,
         fresh.select(
             *gcols, *[F.col(out).alias(f"__new_{out}") for out in measures]
         ),
-        on=gcols,
-        how="full_outer",
+        gcols,
+        "full_outer",
     ).select(
         *gcols,
         *[cmp(F.col(out), F.col(f"__new_{out}")).alias(out) for out in measures],

@@ -317,7 +317,7 @@ def lsh_neardup_pairs(
 
 def verify_pairs_in_buckets(
     tagged: DataFrame, group_cols: list[str], threshold: float,
-    block: int = 512,
+    block: int = 512, max_bucket_size: int | None = 20_000,
 ) -> DataFrame:
     """Exact-cosine pair verification INSIDE candidate buckets — the shared
     tail of every bucketed near-dup scheme (banded LSH tables, k-means
@@ -327,13 +327,36 @@ def verify_pairs_in_buckets(
     once per assignment (LINEAR in corpus × assignments) instead of twice
     per candidate pair (quadratic — the sf1 sweep measured the per-pair
     re-attach at ~160 GB of Arrow transfer for the LSH form); the final
-    cross-bucket dedup shuffles matches only.  ``block`` bounds the matmul
-    working set to block × bucket_size doubles per task."""
+    cross-bucket dedup shuffles matches only.
+
+    Memory contract (per task): ``applyInPandas`` materialises the WHOLE
+    bucket — bucket_size × dim float64 for the stacked vectors, plus
+    block × bucket_size for each sims slab — so a skewed bucketing (one
+    k-means cluster holding a large corpus fraction, a degenerate LSH sign
+    pattern) concentrates an O(bucket²) matmul and an O(bucket × dim) load
+    on ONE executor core.  ``max_bucket_size`` fails fast inside the worker
+    with the offending bucket key instead of letting that task OOM; callers
+    whose scheme can shed buckets gracefully (LSH's other L-1 tables) should
+    ALSO pre-filter overfull buckets before tagging.  ``None`` disables the
+    guard — only safe when the bucketing is known-bounded upstream.
+
+    Zero-norm vectors never match (SQL-style: cosine with an undefined
+    denominator is NULL, not 0 — masked to -inf below so no threshold,
+    including <= 0.0, can admit them)."""
     th = float(threshold)
     id_type = tagged.schema["x_id"].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
 
     def _verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if max_bucket_size is not None and len(pdf) > max_bucket_size:
+            key = {c: pdf[c].iloc[0] for c in group_cols}
+            raise ValueError(
+                f"candidate bucket {key} holds {len(pdf)} vectors "
+                f"(> max_bucket_size={max_bucket_size}); a single task would "
+                f"materialise the whole bucket — re-bucket finer (more "
+                f"clusters / narrower bands) or raise max_bucket_size "
+                f"deliberately"
+            )
         ids = pdf["x_id"].to_numpy()
         V = np.stack(pdf["x_vec"].values)
         norms = pdf["x_norm"].to_numpy().astype(np.float64)
@@ -342,7 +365,7 @@ def verify_pairs_in_buckets(
             d = V[s0:s0 + block] @ V.T
             denom = np.outer(norms[s0:s0 + block], norms)
             sims = np.divide(
-                d, denom, out=np.zeros_like(d), where=denom > 0
+                d, denom, out=np.full_like(d, -np.inf), where=denom > 0
             )
             ia, ib = np.nonzero(sims >= th)
             ga = ia + s0

@@ -246,6 +246,39 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert r16 == 1.0, f"full probe must equal exact search: {r16:.2f}"
 
 
+def test_verify_pairs_zero_norm_and_bucket_guard(spark):
+    """The shared in-bucket verifier's two safety contracts: a zero-norm
+    vector has undefined cosine and must never pair (even at threshold <=
+    0.0 — it used to surface as sim 0.0), and a bucket larger than
+    max_bucket_size fails fast with the bucket key instead of OOMing one
+    task."""
+    import pytest
+
+    from databricks_feature_store_flight_school_spark.operators.similarity import (
+        verify_pairs_in_buckets,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 1.0, 0),
+        (2, [0.0, 0.0], 0.0, 0),  # zero-norm
+        (3, [-1.0, 0.0], 1.0, 0),
+    ]
+    tagged = spark.createDataFrame(
+        rows, "x_id int, x_vec array<double>, x_norm double, bucket int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in verify_pairs_in_buckets(tagged, ["bucket"], -2.0).collect()
+    }
+    # only the two unit vectors pair (cos = -1 >= -2); id 2 never appears
+    assert got == {(1, 3): -1.0}
+
+    with pytest.raises(Exception, match="max_bucket_size"):
+        verify_pairs_in_buckets(
+            tagged, ["bucket"], 0.9, max_bucket_size=2
+        ).collect()
+
+
 def test_lsh_neardup_pairs_recall(spark, sf_dir):
     """Banded-LSH pairs must be a SUBSET of the exact threshold pairs (exact
     cosine verify -> zero false positives) with recall >= 0.9, and every

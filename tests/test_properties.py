@@ -417,7 +417,8 @@ _ivm_ops_nullable = st.lists(
         st.tuples(
             st.just("merge"),
             st.lists(
-                st.tuples(st.integers(0, 9), st.integers(0, 3),
+                st.tuples(st.integers(0, 9),
+                          st.one_of(st.none(), st.integers(0, 3)),
                           st.one_of(st.none(), st.integers(0, 50))),
                 min_size=1, max_size=5,
             ),
@@ -431,7 +432,8 @@ _ivm_ops_nullable = st.lists(
 
 
 @given(ops=_ivm_ops_nullable, initial=st.lists(
-    st.tuples(st.integers(0, 9), st.integers(0, 3),
+    st.tuples(st.integers(0, 9),
+              st.one_of(st.none(), st.integers(0, 3)),
               st.one_of(st.none(), st.integers(0, 50))),
     min_size=1, max_size=5,
 ))
@@ -505,6 +507,68 @@ def test_mv_facade_minmax_incremental_equals_recompute(
         check()
 
 
+def test_mv_facade_null_group_key_regression(spark, tmp_path_factory):
+    """Deterministic NULL-group-key pin (the hypothesis strategies above
+    only sometimes draw one): SQL keeps a NULL-valued group like any other,
+    so every maintenance join on the group key must pair NULLs null-safely.
+    Each step targets one formerly-lossy join: delete the NULL group's
+    extremum (affected-detection inner join + semi-pruned recompute), merge
+    fresh rows into it (full-outer delta merge), move its last rows out
+    (anti-join retirement), then re-create it from scratch."""
+    client = FeatureStoreClient(spark, str(tmp_path_factory.mktemp("nullg_wh")))
+    schema = "order_id int, cust int, amount int"
+    rows = {1: (None, 10), 2: (None, 5), 3: (0, 7), 4: (None, 10)}
+    client.create_feature_table(
+        "base", keys="order_id",
+        df=spark.createDataFrame([(k, g, a) for k, (g, a) in rows.items()], schema),
+    )
+    client.create_materialized_view(
+        "mv", "base", "cust",
+        {"lo": ("min", "amount"), "hi": ("max", "amount"),
+         "total": ("sum", "amount"), "n": ("count", "*")},
+    )
+
+    def check():
+        client.refresh_materialized_view("mv")
+        got = {
+            r["cust"]: (r["lo"], r["hi"], r["total"], r["n"])
+            for r in client.read_materialized_view("mv").collect()
+        }
+        want = {
+            r["cust"]: (r["lo"], r["hi"], r["total"], r["n"])
+            for r in client.read_table("base").groupBy("cust").agg(
+                F.min("amount").alias("lo"), F.max("amount").alias("hi"),
+                F.sum("amount").cast("double").alias("total"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()
+        }
+        assert got == want
+
+    check()  # bootstrap: NULL group present from the first refresh
+    steps = [
+        ("delete", [1]),              # drops one copy of the NULL group's max
+        ("merge", [(5, None, 20)]),   # fresh delta row lands in the NULL group
+        ("delete", [4]),              # now the max really changes -> recompute
+        ("merge", [(2, 0, 5), (5, 0, 20)]),  # move NULL group's last rows out
+        ("merge", [(6, None, 1)]),    # brand-new NULL group from delta alone
+    ]
+    for op, payload in steps:
+        if op == "merge":
+            for k, g, a in payload:
+                rows[k] = (g, a)
+            client.write_table(
+                "base",
+                spark.createDataFrame(payload, schema), mode="merge",
+            )
+        else:
+            for k in payload:
+                rows.pop(k, None)
+            client.delete_from_table(
+                "base", spark.createDataFrame([Row(order_id=k) for k in payload])
+            )
+        check()
+
+
 #: join churn with NULLable amounts — exercises apply_minmax_signed through
 #: the facade, including the phantom-pair netting (fact+dim double updates)
 _join_ivm_ops_nullable = st.lists(
@@ -515,7 +579,8 @@ _join_ivm_ops_nullable = st.lists(
             min_size=1, max_size=4)),
         st.tuples(st.just("ldel"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("right"), st.lists(
-            st.tuples(st.integers(0, 4), st.integers(0, 2)),
+            st.tuples(st.integers(0, 4),
+                      st.one_of(st.none(), st.integers(0, 2))),
             min_size=1, max_size=3)),
         st.tuples(st.just("rdel"), st.lists(st.integers(0, 4), min_size=1, max_size=2)),
     ),
@@ -530,7 +595,8 @@ _join_ivm_ops_nullable = st.lists(
                   st.one_of(st.none(), st.integers(0, 50))),
         min_size=1, max_size=5),
     init_r=st.lists(
-        st.tuples(st.integers(0, 4), st.integers(0, 2)),
+        st.tuples(st.integers(0, 4),
+                  st.one_of(st.none(), st.integers(0, 2))),
         min_size=1, max_size=4),
 )
 @settings(**_SETTINGS)
@@ -556,7 +622,7 @@ def test_mv_join_facade_minmax_incremental_equals_recompute(
     client.create_feature_table(
         "jcust", keys="cust",
         df=spark.createDataFrame(
-            [Row(cust=c, nation=n) for c, n in rrows.items()]
+            [(c, n) for c, n in rrows.items()], "cust int, nation int"
         ),
     )
     client.create_materialized_view(
@@ -604,7 +670,7 @@ def test_mv_join_facade_minmax_incremental_equals_recompute(
             batch = dict(payload)
             rrows.update(batch)
             client.write_table("jcust", spark.createDataFrame(
-                [Row(cust=c, nation=n) for c, n in batch.items()]
+                [(c, n) for c, n in batch.items()], "cust int, nation int"
             ), mode="merge")
         else:
             for c in payload:
@@ -806,7 +872,8 @@ _join_ivm_ops = st.lists(
             min_size=1, max_size=4)),
         st.tuples(st.just("ldel"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("right"), st.lists(
-            st.tuples(st.integers(0, 4), st.integers(0, 2)),
+            st.tuples(st.integers(0, 4),
+                      st.one_of(st.none(), st.integers(0, 2))),
             min_size=1, max_size=3)),
         st.tuples(st.just("rdel"), st.lists(st.integers(0, 4), min_size=1, max_size=2)),
     ),
@@ -820,7 +887,8 @@ _join_ivm_ops = st.lists(
         st.tuples(st.integers(0, 9), st.integers(0, 4), st.integers(0, 50)),
         min_size=1, max_size=5),
     init_r=st.lists(
-        st.tuples(st.integers(0, 4), st.integers(0, 2)),
+        st.tuples(st.integers(0, 4),
+                  st.one_of(st.none(), st.integers(0, 2))),
         min_size=1, max_size=4),
 )
 @settings(**_SETTINGS)
@@ -849,7 +917,7 @@ def test_ivm_join_view_deltas(spark, tmp_path_factory, ops, init_l, init_r):
     client.create_feature_table(
         "custdim_j", keys="cust",
         df=spark.createDataFrame(
-            [Row(cust=c, nation=n) for c, n in rrows.items()]
+            [(c, n) for c, n in rrows.items()], "cust int, nation int"
         ),
     )
     measures = {"total": "amount"}
@@ -879,7 +947,7 @@ def test_ivm_join_view_deltas(spark, tmp_path_factory, ops, init_l, init_r):
             batch = dict(payload)
             rrows.update(batch)
             client.write_table("custdim_j", spark.createDataFrame(
-                [Row(cust=c, nation=n) for c, n in batch.items()]
+                [(c, n) for c, n in batch.items()], "cust int, nation int"
             ), mode="merge")
         else:
             for c in payload:

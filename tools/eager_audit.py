@@ -127,10 +127,27 @@ def audit_queries(
         finally:
             sc.setJobGroup(None, None)
     # broadcast-exchange futures register on a separate thread (inheriting
-    # the submitting thread's job group); give stragglers a moment before
-    # reading the per-group job lists
-    time.sleep(2)
+    # the submitting thread's job group); poll until the per-group job
+    # counts have been quiescent for a short window (a fixed sleep misses
+    # late registrants on a loaded machine) with a generous deadline
     tracker = sc.statusTracker()
+
+    def _group_counts() -> dict[str, int]:
+        return {
+            n: len(tracker.getJobIdsForGroup(f"eager_audit_{n}")) for n in names
+        }
+
+    deadline = time.monotonic() + 30.0
+    prev = _group_counts()
+    stable_since = time.monotonic()
+    while time.monotonic() < deadline:
+        time.sleep(0.25)
+        cur = _group_counts()
+        if cur != prev:
+            prev = cur
+            stable_since = time.monotonic()
+        elif time.monotonic() - stable_since >= 2.0:
+            break
     failures: list[str] = []
     lines: list[str] = []
     for name in names:
