@@ -65,10 +65,11 @@ def _force(df) -> None:
         df.count()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def run_headline(spark, sf_dir: str, reps: int = 3) -> dict:
+    """Run the headline set in an already-warm session and return the bench
+    result dict (same shape as the JSON line ``main`` prints).  Shared by
+    the CLI and the regression guard (tools/bench_guard.py)."""
     sf = Path(sf_dir).name.replace("sf", "")
-    spark = get_spark(app_name="bench")
     qmap = catalog.query_map()
     names = [n for n in HEADLINE if n in qmap]
 
@@ -82,11 +83,10 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # 3 reps per query within one warm session; the FIRST rep keeps the
+    # reps per query within one warm session; the FIRST rep keeps the
     # metric comparable with earlier rounds, the per-query MEDIAN is the
     # de-noised signal (single-tenant host noise + the single-row-group scan
     # floor dominate round-over-round first-run deltas)
-    reps = 3
     per_query: dict[str, float] = {}
     per_query_median: dict[str, float] = {}
     total = 0.0
@@ -100,20 +100,22 @@ def main() -> None:
         per_query_median[name] = round(sorted(times)[reps // 2], 3)
         total += times[0]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "queries_median": per_query_median,
-                "value_median": round(sum(per_query_median.values()), 3),
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    return {
+        "metric": "headline_total_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "queries_median": per_query_median,
+        "value_median": round(sum(per_query_median.values()), 3),
+        "reps": reps,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    print(json.dumps(run_headline(spark, sf_dir)))
 
 
 if __name__ == "__main__":
