@@ -1544,6 +1544,136 @@ def test_materialized_view_over_join(spark, client):
     assert client.get_feature_table("jv").current_version == v
 
 
+def test_materialized_view_refresh_crash_injection(spark, client):
+    """Exactly-once under a crash in the sharpest window: the state snapshot
+    is already STAGED on disk but the registry CAS (which flips the state
+    version and the applied-offset marker together) never ran.  The claim
+    (refresh_materialized_view docstring): a crash before the publish
+    re-applies the identical window onto the OLD state — no double-applied
+    window, ever.  Injected for both the plain and the join view by making
+    ``registry.publish_version`` raise once, which fires strictly after
+    ``writer.parquet(staging)``."""
+    import os
+
+    client.create_feature_table(
+        "csrc", keys="id",
+        df=spark.createDataFrame(
+            [Row(id=i, grp=i % 2, val=float(i)) for i in range(6)]
+        ),
+    )
+    client.create_feature_table(
+        "cdim", keys="grp",
+        df=spark.createDataFrame([Row(grp=0, region=0), Row(grp=1, region=0)]),
+    )
+    client.create_materialized_view(
+        "cmv", "csrc", "grp",
+        {"total": ("sum", "val"), "n": ("count", "*"),
+         "lo": ("min", "val"), "hi": ("max", "val")},
+    )
+    client.create_materialized_view(
+        "cjv", "csrc", "region",
+        {"total": ("sum", "val"), "n": ("count", "*"), "hi": ("max", "val")},
+        dim="cdim", join_on="grp",
+    )
+    client.refresh_materialized_view("cmv")
+    client.refresh_materialized_view("cjv")
+
+    def crash_refresh(view):
+        """Run a refresh whose registry CAS raises; assert nothing became
+        visible (no new version, offsets unmoved) though the staged state
+        snapshot was already written."""
+        before = client.get_feature_table(view)
+        orig = client.registry.publish_version
+
+        def crashing(*a, **k):
+            raise RuntimeError("injected crash: state staged, CAS not run")
+
+        client.registry.publish_version = crashing
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                client.refresh_materialized_view(view)
+        finally:
+            client.registry.publish_version = orig
+        staged = [
+            d for d in os.listdir(client.registry.table_dir(view))
+            if d.startswith(".staging-")
+        ]
+        assert staged, "crash must land AFTER the state snapshot write"
+        after = client.get_feature_table(view)
+        assert after.current_version == before.current_version
+        assert after.properties.get("mv_applied_version") == before.properties.get(
+            "mv_applied_version"
+        )
+        assert after.properties.get("mv_applied_dim_version") == before.properties.get(
+            "mv_applied_dim_version"
+        )
+
+    def check_plain():
+        got = {
+            r["grp"]: (r["total"], r["n"], r["lo"], r["hi"])
+            for r in client.read_materialized_view("cmv").collect()
+        }
+        want = {
+            r["grp"]: (r["total"], r["n"], r["lo"], r["hi"])
+            for r in client.read_table("csrc").groupBy("grp").agg(
+                F.sum("val").alias("total"), F.count(F.lit(1)).alias("n"),
+                F.min("val").alias("lo"), F.max("val").alias("hi"),
+            ).collect()
+        }
+        assert got == want
+
+    def check_join():
+        got = {
+            r["region"]: (r["total"], r["n"], r["hi"])
+            for r in client.read_materialized_view("cjv").collect()
+        }
+        want = {
+            r["region"]: (r["total"], r["n"], r["hi"])
+            for r in client.read_table("csrc")
+            .join(client.read_table("cdim"), on="grp")
+            .groupBy("region")
+            .agg(
+                F.sum("val").alias("total"), F.count(F.lit(1)).alias("n"),
+                F.max("val").alias("hi"),
+            ).collect()
+        }
+        assert got == want
+
+    # window with an update (group move), an insert, and a delete — the mix
+    # whose double-application is detectable in every aggregate
+    client.write_table("csrc", spark.createDataFrame(
+        [Row(id=0, grp=1, val=100.0), Row(id=9, grp=0, val=7.0)]
+    ))
+    client.delete_from_table("csrc", spark.createDataFrame([Row(id=5)]))
+    crash_refresh("cmv")
+    # recovery: plain re-run applies the SAME window once onto the old state
+    client.refresh_materialized_view("cmv")
+    check_plain()
+    src_v = client.get_feature_table("csrc").current_version
+    assert client.get_feature_table("cmv").properties["mv_applied_version"] == src_v
+
+    # join view: crash while BOTH feeds have pending windows (dim move too)
+    client.write_table("cdim", spark.createDataFrame([Row(grp=1, region=1)]))
+    client.write_table("csrc", spark.createDataFrame([Row(id=10, grp=1, val=2.0)]))
+    crash_refresh("cjv")
+    client.refresh_materialized_view("cjv")
+    check_join()
+    meta = client.get_feature_table("cjv")
+    assert meta.properties["mv_applied_version"] == client.get_feature_table(
+        "csrc"
+    ).current_version
+    assert meta.properties["mv_applied_dim_version"] == client.get_feature_table(
+        "cdim"
+    ).current_version
+
+    # and the recovered state keeps maintaining: one more window each side
+    client.delete_from_table("csrc", spark.createDataFrame([Row(id=0)]))
+    client.refresh_materialized_view("cmv")
+    client.refresh_materialized_view("cjv")
+    check_plain()
+    check_join()
+
+
 def test_materialized_view_refresh_auto_vacuum(spark, client):
     """vacuum_keep on refresh retires old state snapshots without touching
     the exactly-once marker: after several refreshes only keep_last version
