@@ -402,23 +402,45 @@ def lsh_topk(
     n_planes: int = 8,
     seed: int = 42,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's hyperplane
-    bucket.  Same output shape as cosine_topk (rank within candidates)."""
+    bucket(s).  Same output shape as cosine_topk (rank within candidates).
+
+    ``n_tables`` is the standard recall dial for sign-LSH: one table's
+    bucket only holds neighbors sharing ALL ``n_planes`` signs (a pair at
+    angle θ collides with prob (1-θ/π)^n_planes — a few % for realistic
+    neighbors), so the multi-table form draws candidates from the UNION of
+    L independent plane sets: collision prob 1-(1-p)^L.  Cost stays linear
+    — each corpus vector is tagged L times (posexplode), the per-table
+    bucket join is the same broadcast equi-join, and a pair colliding in
+    several tables is scored once per collision but collapses to one row in
+    a (query, neighbor) max-aggregate that shuffles only id/score triples,
+    never vectors."""
     if dim is None:
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = first["d"]
-    planes = random_planes(dim, n_planes, seed)
-    c = _prep(corpus, id_col, vec_col, "neighbor").withColumn(
-        "bucket", hyperplane_bucket(F.col("neighbor_vec"), planes)
-    )
-    q = _prep(queries, id_col, vec_col, "query").withColumn(
-        "bucket", hyperplane_bucket(F.col("query_vec"), planes)
-    )
+        first = corpus.select(F.size(F.col(vec_col)).alias("d"))
+        dim = first.first()["d"]
+    plane_sets = [random_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def _tag(df: DataFrame, role: str) -> DataFrame:
+        buckets = F.array(
+            *[hyperplane_bucket(F.col(f"{role}_vec"), p) for p in plane_sets]
+        )
+        return df.select(
+            "*", F.posexplode(buckets).alias("table", "bucket")
+        )
+
+    c = _tag(_prep(corpus, id_col, vec_col, "neighbor"), "neighbor")
+    q = _tag(_prep(queries, id_col, vec_col, "query"), "query")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["table", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine_sim", _pair_cosine())
+        # collapse multi-table collisions: same exact cosine either way, so
+        # max is just the deterministic pick; only (qid, nid, sim) triples
+        # cross this exchange
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")

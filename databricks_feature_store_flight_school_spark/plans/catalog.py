@@ -26,23 +26,37 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB, or None => rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: for rows-only queries (oracle=None): the pytest test(s) that pin the
+    #: semantics with a STRONGER check than the driver's rows-only gate —
+    #: parity vs an exact twin, a recall floor, a sketch error bound.  The
+    #: inventory (QUERIES.md) surfaces these, and a catalog test asserts
+    #: every rows-only query names at least one existing test.
+    pinned_by: tuple[str, ...] = field(default_factory=tuple)
 
 
 #: name -> QuerySpec, populated by @register at import time
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, *tags: str) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None, *tags: str, pinned_by: str | tuple[str, ...] = (),
+) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query to the catalog.
 
     >>> @register("q_filter", "SELECT ... FROM lineitem ...", "filter")
     ... def q_filter(spark, sf_dir): ...
+
+    Rows-only queries (``oracle=None``) must pass ``pinned_by=`` naming the
+    pytest test(s) that carry their stronger-than-rows-only evidence.
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tuple(tags))
+        pins = (pinned_by,) if isinstance(pinned_by, str) else tuple(pinned_by)
+        QUERIES[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), pinned_by=pins
+        )
         return fn
 
     return deco

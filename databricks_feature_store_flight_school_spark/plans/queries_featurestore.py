@@ -255,6 +255,7 @@ def q_fs_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fs_score_batch_trained",
     None,  # weights come from numeric training -> not SQL-expressible; rows-only
     "featurestore", "scoring", "trained-model", "model-registry", "rows-only",
+    pinned_by=("test_trained_model_registry_roundtrip",),
 )
 def q_fs_score_batch_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL reference scoring loop with a genuinely *trained* model

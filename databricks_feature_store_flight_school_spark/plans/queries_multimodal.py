@@ -102,6 +102,7 @@ def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_features",
     None,  # per-byte histogram loop is not reasonably SQL-expressible
     "multimodal", "mapInPandas", "rows-only",
+    pinned_by=("test_extract_features_shape", "test_extract_features_arrow_matches_pandas"),
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub (byte histogram standing in for a CNN/audio

@@ -376,6 +376,7 @@ def q_cast_trim_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_hash_bucket",
     None,  # Murmur3 F.hash has no DuckDB equivalent -> rows-only (SURVEY §2.8 F1)
     "functions", "rows-only",
+    pinned_by=("test_lastcall_hash_bucket_deterministic",),
 )
 def q_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pseudo-random bucketing: hash(key) % 100 < 35, the

@@ -339,6 +339,7 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_approx_count_distinct",
     None,  # HyperLogLog++ sketch values are Spark-specific -> rows-only
     "agg", "approx", "rows-only",
+    pinned_by=("test_approx_count_distinct_error_bound",),
 )
 def q_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct: the sketch answer at unbounded-cardinality

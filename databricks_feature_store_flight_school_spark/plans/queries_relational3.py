@@ -768,6 +768,7 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_percentile_approx",
     None,  # t-digest sketch values are Spark-specific -> rows-only
     "agg", "percentile", "approx", "rows-only",
+    pinned_by=("test_percentile_approx_error_bound",),
 )
 def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx: the sketch (fixed-memory) scale path of

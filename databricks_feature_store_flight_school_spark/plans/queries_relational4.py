@@ -255,6 +255,7 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sketch_rollup",
     None,  # sketch estimates are implementation-defined -> rows-only
     "agg", "sketch", "rows-only",
+    pinned_by=("test_sketch_rollup_matches_exact_within_error", "test_freq_items_sketch_covers_exact_heavy_hitters"),
 )
 def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level MERGEABLE-summary rollup — the pattern that makes 100 TB

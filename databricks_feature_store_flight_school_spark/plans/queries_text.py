@@ -214,6 +214,7 @@ def q_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_minhash_lsh_neardup",
     None,  # xxhash64-seeded MinHash has no DuckDB twin -> rows-only
     "text", "dedup", "neardup", "rows-only",
+    pinned_by=("test_minhash_lsh_finds_identical_pair", "test_minhash_lsh_neardup_recall"),
 )
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH candidates, verified by exact Jaccard >= 0.5.
@@ -234,6 +235,7 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_simhash_neardup",
     None,  # xxhash64-based SimHash -> rows-only
     "text", "dedup", "neardup", "rows-only",
+    pinned_by=("test_simhash_similar_docs_close",),
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64) signatures for every document plus the fingerprint

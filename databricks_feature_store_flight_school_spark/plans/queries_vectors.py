@@ -91,14 +91,21 @@ def q_nearest_neighbor_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_lsh_topk",
     None,  # approximate (recall depends on plane draw) -> rows-only
     "vectors", "similarity", "lsh", "rows-only",
+    pinned_by=("test_lsh_topk_recall",),
 )
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-5 for 10 queries — the scale
-    path: candidates only within the query's sign-pattern bucket (8 planes
-    -> 256 buckets), deterministic planes from seed 42."""
+    path: candidates drawn from the UNION of 12 independent 6-plane sign
+    tables (multi-table LSH, the standard recall dial), deterministic
+    planes from seed 42.  On this near-orthogonal random corpus the
+    12x6 config examines ~17% of the corpus for recall ~0.5 (pinned in
+    test_lsh_topk_recall); clustered real embeddings sit far above that."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    out = lsh_topk(emb, queries, "vec_id", "embedding", k=5, n_planes=8, dim=64)
+    out = lsh_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_planes=6, dim=64,
+        n_tables=12,
+    )
     return out.select(
         "query_id", "neighbor_id", F.round("cosine_sim", 6).alias("cosine_sim"), "rank"
     )
@@ -108,6 +115,7 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ivf_topk",
     None,  # approximate (recall depends on quantizer training) -> rows-only
     "vectors", "similarity", "ivf", "rows-only",
+    pinned_by=("test_ivf_topk_recall", "test_ivf_persisted_index_prunes_partitions_and_matches_inmemory"),
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 for 10 queries: spherical-kmeans coarse
@@ -126,6 +134,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cosine_topk_arrow",
     None,  # numpy pairwise summation differs from sequential in the last ulp
     "vectors", "similarity", "pandas-udf", "rows-only",
+    pinned_by=("test_arrow_cosine_topk_matches_exact",),
 )
 def q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow/numpy twin of q_cosine_topk (matrix ops per Arrow batch instead
@@ -192,6 +201,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_lsh_neardup_pairs",
     None,  # approximate (recall depends on plane draws) -> rows-only
     "vectors", "dedup", "neardup", "lsh", "rows-only",
+    pinned_by=("test_lsh_neardup_pairs_recall",),
 )
 def q_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH twin of q_embedding_neardup_pairs — the 100 TB path for
@@ -382,6 +392,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_kmeans_clusters",
     None,  # iterative fit: centroid float accumulation is engine-specific
     "vectors", "clustering", "rows-only",
+    pinned_by=("test_kmeans_fit_matches_numpy",),
 )
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (Lloyd's, k=8, 3 iterations,
@@ -414,6 +425,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_semantic_dedup",
     None,  # cluster-bucketed candidates: recall is probabilistic by design
     "vectors", "dedup", "clustering", "rows-only",
+    pinned_by=("test_semantic_dedup_recall",),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: spherical-kmeans buckets
@@ -477,6 +489,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embedding_pca",
     None,  # rows-only: no SQL eigensolver; pinned vs numpy in tests
     "vectors", "pca", "rows-only",
+    pinned_by=("test_pca_matches_numpy_reference",),
 )
 def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of every embedding onto its top-2 principal components

@@ -205,6 +205,36 @@ def test_hybrid_rrf_builds_lazily(spark, sf_dir):
     assert df.columns == ["doc_id", "rrf_score", "rank"]
 
 
+def test_rows_only_queries_name_real_pin_tests():
+    """Every rows-only catalog query (no DuckDB oracle) must declare
+    ``pinned_by=`` naming at least one pytest test that actually exists —
+    the declared-exclusion list stays credible only while each entry cites
+    its stronger-than-rows-only evidence (parity twin, recall floor, sketch
+    error bound).  Oracle-checked queries must NOT carry pins (the driver
+    oracle IS their evidence; a stray pin would rot silently)."""
+    import re
+    from pathlib import Path
+
+    from databricks_feature_store_flight_school_spark.plans.catalog import QUERIES
+
+    query_map()  # force registration
+    tests_dir = Path(__file__).resolve().parent
+    defined = set()
+    for f in tests_dir.glob("test_*.py"):
+        defined |= set(re.findall(r"^def (test_\w+)", f.read_text(), re.M))
+    problems = []
+    for name, spec in sorted(QUERIES.items()):
+        if spec.oracle is None:
+            if not spec.pinned_by:
+                problems.append(f"{name}: rows-only but pinned_by is empty")
+            for t in spec.pinned_by:
+                if t not in defined:
+                    problems.append(f"{name}: pinned_by names missing test {t!r}")
+        elif spec.pinned_by:
+            problems.append(f"{name}: oracle-checked but carries pinned_by")
+    assert not problems, "\n".join(problems)
+
+
 def test_plan_audit_no_eager_builds(spark, sf_dir):
     """Enforced eager-build audit (tools/eager_audit.py): constructing a
     catalog query must launch NO Spark jobs — the round-5 verdict caught

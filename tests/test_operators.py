@@ -246,6 +246,137 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert r16 == 1.0, f"full probe must equal exact search: {r16:.2f}"
 
 
+def test_lsh_topk_recall(spark, sf_dir):
+    """Multi-table hyperplane LSH (q_lsh_topk's pin): recall must rise with
+    the table count exactly as the union-of-tables theory says, the
+    12x6-plane catalog config must clear a 0.4 floor on this worst-case
+    (near-orthogonal random) corpus, and every returned similarity must be
+    the EXACT cosine — LSH approximates the candidate set, never the
+    score."""
+    from databricks_feature_store_flight_school_spark.operators.similarity import (
+        lsh_topk,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact_rows = cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_rows}
+    exact_sims = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact_rows
+    }
+
+    def run(n_tables: int):
+        rows = lsh_topk(
+            emb, queries, "vec_id", "embedding", k=5, n_planes=6, dim=64,
+            n_tables=n_tables,
+        ).collect()
+        assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+        pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        sims = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in rows}
+        return len(exact & pairs) / len(exact), sims
+
+    r1, _ = run(1)
+    r12, sims12 = run(12)
+    assert r12 >= max(r1, 0.4), f"12-table recall {r12:.2f} (1-table {r1:.2f})"
+    for pair, sim in sims12.items():
+        if pair in exact_sims:
+            assert abs(sim - exact_sims[pair]) < 1e-9, pair
+
+
+def test_minhash_lsh_neardup_recall(spark, sf_dir):
+    """q_minhash_lsh_neardup's pin: on the documents corpus the banded
+    MinHash candidate set must recover >= 0.9 of the exact word-3-gram
+    Jaccard >= 0.5 pairs (band collision prob for J=0.5 at 16 bands x 4
+    rows: 1-(1-0.5^4)^16 ~ 0.64 per band-row draw — the near-dup pairs in
+    this corpus sit far above the 0.5 floor, where recall approaches 1)."""
+    from databricks_feature_store_flight_school_spark.operators import dedup as D
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.shingle_pairs_jaccard(
+            docs, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=64, bands=16
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.9, f"MinHash LSH recall too low: {recall:.2f}"
+
+
+def test_percentile_approx_error_bound(spark, sf_dir):
+    """q_percentile_approx's pin: Spark guarantees percentile_approx's RANK
+    error <= n/accuracy.  At accuracy=10000 (the catalog setting) verify the
+    returned value's true rank sits within p +- 1/accuracy (+ a one-row
+    tie slack) of the target per group — the sketch answer is checked
+    against the exact sorted data, not against another sketch."""
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r["l_returnflag"]: (r["median_price_approx"], r["p90_price_approx"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+                "median_price_approx"
+            ),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias(
+                "p90_price_approx"
+            ),
+        ).collect()
+    }
+    rows = li.select("l_returnflag", "l_extendedprice").collect()
+    by_flag: dict[str, list[float]] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for flag, (med, p90) in approx.items():
+        vals = sorted(by_flag[flag])
+        n = len(vals)
+        for target, got in ((0.5, med), (0.9, p90)):
+            # true rank range of the returned value (ties span a range)
+            lo = sum(1 for v in vals if v < got)
+            hi = sum(1 for v in vals if v <= got)
+            want = target * n
+            slack = n / 10000 + 1  # guaranteed rank error + tie rounding
+            assert lo - slack <= want <= hi + slack, (
+                flag, target, got, lo, hi, n
+            )
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """q_approx_count_distinct's pin: HLL++ at the default rsd=0.05 must
+    land within 3 standard errors (15%) of the exact distinct count for
+    every group/column — the sketch is checked against exact
+    countDistinct."""
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r["l_returnflag"]: (r["approx_orders"], r["approx_parts"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["n_orders"], r["n_parts"])
+        for r in li.groupBy("l_returnflag").agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        ).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag in exact:
+        for got, want in zip(approx[flag], exact[flag]):
+            assert abs(got - want) / want <= 0.15, (flag, got, want)
+
+
 def test_verify_pairs_zero_norm_and_bucket_guard(spark):
     """The shared in-bucket verifier's two safety contracts: a zero-norm
     vector has undefined cosine and must never pair (even at threshold <=
