@@ -79,6 +79,129 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_customer")
 
 
+def _shuffles(df) -> str:
+    """Shuffle-Exchange lines of the executed plan (BroadcastExchange is
+    not a shuffle and doesn't count)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "\n".join(
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        or "Exchange rangepartitioning" in ln or "Exchange SinglePartition" in ln
+    )
+
+
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("/root/testdata/sf0.1").exists(),
+    reason="sf0.1 testdata not generated",
+)
+def test_bucketed_layout_runs_headline_queries_exchange_free(spark):
+    """SCALING.md's layout claim, demonstrated on the real headline queries
+    at sf0.1: with lineitem+orders bucketed on orderkey, q_flagship's
+    fact-fact join runs with NO shuffle on the orderkey (the plain plan
+    shuffles both sides), and with orders bucketed on custkey,
+    q_window_topn's partitioned window runs with ZERO shuffle Exchanges
+    end-to-end — identical results both times."""
+    from databricks_feature_store_flight_school_spark.plans.queries_relational import (
+        q_flagship_regional_revenue,
+        q_window_topn_per_customer,
+    )
+    from pyspark.sql import Window
+
+    sf_dir = "/root/testdata/sf0.1"
+    for t in ("bl_lineitem", "bl_orders_ok", "bl_orders_ck"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    write_bucketed(
+        lineitem, "bl_lineitem", "l_orderkey", num_buckets=8,
+        sort_cols="l_orderkey",
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"), "bl_orders_ok",
+        "l_orderkey", num_buckets=8, sort_cols="l_orderkey",
+    )
+    write_bucketed(orders, "bl_orders_ck", "o_custkey", num_buckets=8)
+    try:
+        # -- q_flagship on the bucketed fact tables --------------------
+        nation = load_table(spark, sf_dir, "nation")
+        region = load_table(spark, sf_dir, "region")
+        customer = load_table(spark, sf_dir, "customer")
+        bucketed = (
+            bucketed_table(spark, "bl_lineitem")
+            .join(
+                bucketed_table(spark, "bl_orders_ok")
+                .where(F.col("o_orderstatus") != "P")
+                .hint("merge"),
+                on="l_orderkey",
+            )
+            .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("line_count"),
+                F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            )
+            .orderBy(F.col("revenue").desc())
+        )
+        got = [tuple(r) for r in bucketed.collect()]
+        want = [
+            tuple(r) for r in q_flagship_regional_revenue(spark, sf_dir).collect()
+        ]
+        assert got == want
+        shuffles = _shuffles(bucketed)
+        assert "l_orderkey" not in shuffles and "o_orderkey" not in shuffles, (
+            "fact-fact join must consume the bucket layout:\n" + shuffles
+        )
+        # like-for-like contrast: the same sort-merge join over UNbucketed
+        # scans shuffles both fact sides on the orderkey (at real scale
+        # neither side broadcasts, so SMJ is the plan bucketing rescues)
+        plain_smj = lineitem.join(
+            orders.withColumnRenamed("o_orderkey", "l_orderkey")
+            .where(F.col("o_orderstatus") != "P")
+            .hint("merge"),
+            on="l_orderkey",
+        )
+        assert "l_orderkey" in _shuffles(plain_smj)
+
+        # -- q_window_topn on custkey-bucketed orders ------------------
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), "o_orderkey"
+        )
+        bwin = (
+            bucketed_table(spark, "bl_orders_ck")
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select(
+                F.col("o_custkey").alias("c_custkey"),
+                "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"),
+                "rn",
+            )
+        )
+        checksum = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("c_custkey", "o_orderkey", "totalprice", "rn")).alias("h"),
+        ]
+        got_row = bwin.agg(*checksum).collect()[0]
+        want_row = (
+            q_window_topn_per_customer(spark, sf_dir).agg(*checksum).collect()[0]
+        )
+        assert tuple(got_row) == tuple(want_row)
+        shuffles = _shuffles(bwin)
+        assert not shuffles, (
+            "custkey-bucketed window must be Exchange-free:\n" + shuffles
+        )
+        assert _shuffles(q_window_topn_per_customer(spark, sf_dir))
+    finally:
+        for t in ("bl_lineitem", "bl_orders_ok", "bl_orders_ck"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     """Runtime bloom-filter join pruning (the 100 TB semi-join story): when a
     selective dimension feeds a shuffle join, Catalyst should inject a
