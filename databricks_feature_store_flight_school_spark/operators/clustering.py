@@ -155,7 +155,7 @@ def semantic_dedup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.35,
-    k: int = 8,
+    k: int | str = "auto",
     n_iters: int = 3,
     n_assign: int = 3,
     max_bucket_size: int | None = 20_000,
@@ -172,8 +172,19 @@ def semantic_dedup_pairs(
     cluster id instead of OOMing — the remedy is a larger ``k`` (finer
     buckets), not a bigger executor.
 
+    ``k="auto"`` (default) makes that remedy automatic across SFs: k grows
+    with the corpus so the MEAN bucket holds ~max_bucket_size/2 assignments
+    (floor 8, matching the fixed-k behavior at small corpora).  The sizing
+    count is one scalar job folded into the (whitelisted-eager) k-means
+    fit — the guard still backstops skewed clusterings, auto-k only bounds
+    the balanced case.
+
     Output: (id_a, id_b, cosine_sim), id_a < id_b, cosine_sim >= threshold.
     """
+    if k == "auto":
+        target = (max_bucket_size or 20_000) // 2
+        n = df.count()
+        k = max(8, -(-n_assign * n // target))  # ceil div
     centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iters=n_iters)
     v = _prep(df, id_col, vec_col, "x")
     # multi-assignment: top-n_assign centroid dots per vector (posexplode +

@@ -429,7 +429,8 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: spherical-kmeans buckets
-    (k=8, multi-assign 3) generate candidates, exact cosine >= 0.35 verifies
+    (k=auto — grows with the corpus so mean bucket size stays bounded;
+    floor 8, multi-assign 3) generate candidates, exact cosine >= 0.35 verifies
     — same schema and threshold as the exact all-pairs ground truth
     (q_embedding_neardup_pairs) and the banded-LSH twin
     (q_lsh_neardup_pairs); recall vs exact is asserted in
