@@ -282,3 +282,32 @@ def test_plan_audit_no_unbounded_global_windows(spark, sf_dir):
     }
     stale = set(explain_audit.GLOBAL_WINDOW_WHITELIST) - noted
     assert not stale, f"whitelist entries no longer needed: {sorted(stale)}"
+
+
+def test_gen_plans_summary_extracts_plan_evidence(spark, sf_dir):
+    """PLANS.md generator (tools/gen_plans.py): the committed plan-evidence
+    artifact stays trustworthy only if its extractors parse real formatted
+    explains — pin the summary counters and the per-scan pushdown lines on
+    two headline shapes (broadcast-join tree, single-scan agg)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import gen_plans
+
+    qmap = query_map()
+    flag = qmap["q_flagship_regional_revenue"](spark, sf_dir)
+    plan = gen_plans.explain_formatted(flag)
+    summary = gen_plans.summarize(plan)
+    # 4 dimension broadcasts, 5 scans all filtered, no Python operators
+    assert "broadcasts: 4" in summary and "parquet scans: 5 (5" in summary
+    assert "python operators: 0" in summary
+    details = gen_plans.scan_details(plan)
+    assert any("PushedFilters: [IsNotNull" in d for d in details)
+    assert any("ReadSchema: struct<" in d for d in details)
+
+    pricing = qmap["q_pricing_summary"](spark, sf_dir)
+    s2 = gen_plans.summarize(gen_plans.explain_formatted(pricing))
+    # single lineitem scan with the shipdate filter pushed; no broadcast
+    assert "parquet scans: 1 (1 with pushed filters)" in s2
+    assert "broadcasts: 0" in s2
