@@ -65,10 +65,47 @@ def _force(df) -> None:
         df.count()
 
 
-def run_headline(spark, sf_dir: str, reps: int = 3) -> dict:
+def host_calibration(spark, reps: int = 5) -> float:
+    """Median seconds of a fixed CPU-bound Spark job — a host-speed probe.
+
+    The job (xxhash64 over a 300M-row range, 32 partitions, one partial+final
+    agg) exercises exactly what makes the headline queries slow on a slow
+    host — whole-stage-codegen throughput and task scheduling — with zero
+    I/O, zero data dependence, and no plan that any engine change would
+    alter.  The regression guard divides a fresh calibration by the pinned
+    one to tell "this HOST is slower" (every query and the probe slow down
+    together) from "this PLAN regressed" (one query slows down, the probe
+    does not).  Run AFTER the headline loop so it measures a warm JVM and
+    never perturbs the round-over-round first-run metric."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        (
+            spark.range(0, 300_000_000, 1, 32)
+            .select((F.xxhash64("id") % 1_000_000).alias("h"))
+            .agg(F.sum("h"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        times.append(time.time() - t0)
+    return round(sorted(times)[reps // 2], 3)
+
+
+def run_headline(
+    spark, sf_dir: str, reps: int = 3, warmup: bool = False
+) -> dict:
     """Run the headline set in an already-warm session and return the bench
     result dict (same shape as the JSON line ``main`` prints).  Shared by
-    the CLI and the regression guard (tools/bench_guard.py)."""
+    the CLI and the regression guard (tools/bench_guard.py).
+
+    ``warmup=True`` executes every headline query once UNTIMED before the
+    timed reps, flushing whole-stage-codegen compilation and JIT out of the
+    measurement: the first queries of a fresh JVM otherwise pay multi-second
+    warm-up that lands in their medians (the round-8 guard measured the
+    first query at 2.3x its steady state from this alone).  The guard warms
+    up (its pin describes steady-state capability); the CLI does not (its
+    first-run total stays comparable with earlier rounds' cold numbers)."""
     sf = Path(sf_dir).name.replace("sf", "")
     qmap = catalog.query_map()
     names = [n for n in HEADLINE if n in qmap]
@@ -89,7 +126,11 @@ def run_headline(spark, sf_dir: str, reps: int = 3) -> dict:
     # floor dominate round-over-round first-run deltas)
     per_query: dict[str, float] = {}
     per_query_median: dict[str, float] = {}
+    per_query_min: dict[str, float] = {}
     total = 0.0
+    if warmup:
+        for name in names:
+            _force(qmap[name](spark, sf_dir))
     for name in names:
         times = []
         for _ in range(reps):
@@ -98,6 +139,12 @@ def run_headline(spark, sf_dir: str, reps: int = 3) -> dict:
             times.append(time.perf_counter() - t0)
         per_query[name] = round(times[0], 3)
         per_query_median[name] = round(sorted(times)[reps // 2], 3)
+        # min = capability: shared-host noise only ADDS time to a rep, so
+        # the best rep is the least-contaminated measurement of the plan
+        # itself — a real plan regression (extra shuffle, lost broadcast,
+        # UDF fallback) raises the minimum too.  The regression guard
+        # compares mins; the median stays for cross-round reporting.
+        per_query_min[name] = round(min(times), 3)
         total += times[0]
 
     return {
@@ -106,9 +153,12 @@ def run_headline(spark, sf_dir: str, reps: int = 3) -> dict:
         "unit": "sec",
         "queries": per_query,
         "queries_median": per_query_median,
+        "queries_min": per_query_min,
         "value_median": round(sum(per_query_median.values()), 3),
+        "value_min": round(sum(per_query_min.values()), 3),
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calib_sec": host_calibration(spark),
     }
 
 

@@ -35,7 +35,79 @@ def test_bench_medians_within_pinned_envelope():
         ln for ln in report if ln.startswith("FAIL")
     ) or proc.stderr[-2000:]
     # the guard must actually have compared (not skipped on an sf mismatch)
-    assert any(ln.startswith("ok    total median") for ln in report), report
+    assert any(ln.startswith("ok    total") for ln in report), report
+
+
+def test_perf_critical_confs_pinned(spark):
+    """The guard's host-calibration normalizer (round 8) scales limits by a
+    fixed CPU-bound probe — which means anything that slows the PROBE too
+    (a session-conf regression: codegen off, adaptive off) would be
+    normalized away instead of caught.  Those confs therefore need their own
+    direct pin; this closes the normalizer's one blind spot."""
+    from databricks_feature_store_flight_school_spark.session import prepare
+
+    s = prepare(spark)
+    assert s.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert s.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    # whole-stage codegen is Spark's default ON — the probe's throughput
+    # (and every headline query) assumes it; assert nothing turned it off
+    assert s.conf.get("spark.sql.codegen.wholeStage", "true") == "true"
+
+
+def test_guard_host_factor_scales_limits_but_keeps_discrimination():
+    """A slower host (probe and queries uniformly slower) passes via the
+    calibration factor; a single regressed plan on that same host still
+    fails; the factor never drops limits below the pin and is capped."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_guard
+
+    pinned = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 0.4, "q_b": 1.0},
+        "total_median": 1.4,
+        "calib_sec": 0.4,
+    }
+    # host 1.75x slower: every query 1.75x, probe 1.75x -> all pass
+    slow_host = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 0.7, "q_b": 1.75},
+        "value_median": 2.45,
+        "calib_sec": 0.7,
+    }
+    failures, lines = bench_guard.check_result(slow_host, pinned)
+    assert failures == [], lines
+    assert any(ln.startswith("host") for ln in lines)
+
+    # same slow host, but q_a regressed 4x beyond the host factor -> fails
+    regressed = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 1.6, "q_b": 1.75},
+        "value_median": 3.35,
+        "calib_sec": 0.7,
+    }
+    failures, lines = bench_guard.check_result(regressed, pinned)
+    assert failures == ["q_a"], lines
+
+    # faster host: factor clamps at 1.0, limits stay at the pin envelope
+    fast = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 0.95, "q_b": 1.0},
+        "value_median": 1.95,
+        "calib_sec": 0.2,
+    }
+    failures, _ = bench_guard.check_result(fast, pinned)
+    assert failures == ["q_a"]
+
+    # implausibly slow probe: factor capped at MAX_HOST_FACTOR, reported
+    crawl = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 0.4, "q_b": 1.0},
+        "value_median": 1.4,
+        "calib_sec": 4.0,
+    }
+    _, lines = bench_guard.check_result(crawl, pinned)
+    assert any("capped" in ln for ln in lines)
 
 
 def test_guard_logic_flags_regressions_and_passes_noise():
@@ -73,3 +145,46 @@ def test_guard_logic_flags_regressions_and_passes_noise():
     other_sf = {"sf": 0.01, "queries_median": {}, "value_median": 0.0}
     failures, lines = bench_guard.check_result(other_sf, pinned)
     assert failures == [] and lines[0].startswith("skip")
+
+
+def test_guard_prefers_min_stat_when_both_sides_carry_it():
+    """Round-8 noise model: a spike can contaminate 2 of 3 reps, poisoning
+    the median while the min stays clean — the guard must pass that run.
+    Conversely a real plan regression raises the min too — still fails.
+    Results without queries_min (older pins) fall back to medians."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_guard
+
+    pinned = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 0.4},
+        "queries_min": {"q_a": 0.35},
+        "total_median": 0.4,
+        "total_min": 0.35,
+    }
+    # median poisoned by spikes (1.2 > 0.9 limit) but the min is clean
+    spiky = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 1.2},
+        "queries_min": {"q_a": 0.38},
+        "value_median": 1.2,
+        "value_min": 0.38,
+    }
+    failures, lines = bench_guard.check_result(spiky, pinned)
+    assert failures == [], lines
+
+    # a real regression raises the min beyond max(2x, +0.5s) -> fails
+    regressed = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 1.2},
+        "queries_min": {"q_a": 1.1},
+        "value_median": 1.2,
+        "value_min": 1.1,
+    }
+    failures, _ = bench_guard.check_result(regressed, pinned)
+    assert set(failures) == {"q_a", "__total__"}
+
+    # old pin without queries_min: falls back to the median comparison
+    old_pin = {"sf": 0.1, "queries_median": {"q_a": 0.4}, "total_median": 0.4}
+    failures, _ = bench_guard.check_result(spiky, old_pin)
+    assert failures == ["q_a", "__total__"]

@@ -10,9 +10,14 @@ trades, and a pytest entry point that fails on unexplained slowdowns.
 Threshold calibration (measured, not guessed): three same-code bench
 invocations in round 7 put identical per-query medians anywhere in a
 1.0-2.0x band (q_large_volume_orders 0.410 vs 0.820 s, totals 7.65 / 9.94 /
-8.02 s) — this is a shared host.  So the pin is the BEST observed median
-(capability, not average) and a query only fails when its fresh median
-exceeds ``max(RATIO x pinned, pinned + ABS_SLACK)``:
+8.02 s) — this is a shared host.  Round 8 additionally observed 2-of-3 reps
+spiking on the SAME query (the median itself contaminated: q_cosine_topk
+1.22 s in one run, q_text_stats 1.07 s in the next, each >2x its pin while
+every other query passed), so the guard now compares best-of-reps MINIMUMS:
+host noise only adds time to a rep, the minimum is the least-contaminated
+measurement of the plan, and any real regression — an extra shuffle, a lost
+broadcast, a UDF fallback — raises the minimum too.  A query fails when its
+fresh min exceeds ``max(RATIO x pinned, pinned + ABS_SLACK)``:
 
 - RATIO = 2.0 sits above the whole observed same-code noise band relative
   to the best run, yet any real extra shuffle, lost broadcast, or UDF
@@ -42,6 +47,11 @@ PINNED_FILE = REPO / "BENCH_PINNED.json"
 RATIO = 2.0
 ABS_SLACK = 0.5
 TOTAL_RATIO = 1.6
+#: host-speed normalization cap: the fresh/pinned calibration ratio scales
+#: every limit, but never below 1.0 (a faster host must still meet the pin)
+#: and never above this cap (an implausibly slow probe should fail loudly,
+#: not stretch the envelope without bound)
+MAX_HOST_FACTOR = 2.5
 
 #: deliberate per-query regressions: name -> reason (mirrors
 #: eager_audit.EAGER_BUILD_WHITELIST — an entry here must explain the
@@ -62,18 +72,42 @@ def check_result(result: dict, pinned: dict | None = None) -> tuple[list[str], l
             f"sf={pinned['sf']} — no comparison"
         )
         return failures, lines
-    fresh = result["queries_median"]
-    for name, base in sorted(pinned["queries_median"].items()):
+    # Host-speed normalization (round 8): the round-8 host ran IDENTICAL
+    # code 1.5-1.7x slower than the round-7 pin host (every query uniformly,
+    # CPU probe confirming; warm per-query medians still reached the pins).
+    # A fixed CPU-bound calibration job (bench.host_calibration) rides in
+    # every bench result; its fresh/pinned ratio scales the limits so the
+    # guard keeps its discrimination: a slow HOST slows the probe and every
+    # query together (factor rises, envelope follows), while a regressed
+    # PLAN slows one query against an unmoved probe (still fails).
+    host_factor = 1.0
+    if pinned.get("calib_sec") and result.get("calib_sec"):
+        raw = result["calib_sec"] / pinned["calib_sec"]
+        host_factor = min(max(raw, 1.0), MAX_HOST_FACTOR)
+        lines.append(
+            f"host  calibration {result['calib_sec']:.3f}s vs pinned "
+            f"{pinned['calib_sec']:.3f}s -> factor {host_factor:.2f}"
+            + (f" (raw {raw:.2f} capped)" if raw > MAX_HOST_FACTOR else "")
+        )
+    # Compare best-of-reps MINIMUMS when both sides carry them (round 8):
+    # shared-host noise only ADDS time to a rep — two of three reps spiking
+    # poisons a median (observed: the same code tripped q_cosine_topk in one
+    # run and q_text_stats in the next, each >2x its pin, while every other
+    # query passed) — but the best rep is the least-contaminated measurement
+    # of the plan itself, and any real regression raises the minimum too.
+    stat = "min" if ("queries_min" in result and "queries_min" in pinned) else "median"
+    fresh = result[f"queries_{stat}"]
+    for name, base in sorted(pinned[f"queries_{stat}"].items()):
         got = fresh.get(name)
         if got is None:
             failures.append(name)
             lines.append(f"FAIL  {name}: pinned but absent from the bench run")
             continue
-        limit = max(RATIO * base, base + ABS_SLACK)
+        limit = max(RATIO * base, base + ABS_SLACK) * host_factor
         if got > limit and name not in ALLOWED_REGRESSIONS:
             failures.append(name)
             lines.append(
-                f"FAIL  {name}: median {got:.3f}s > limit {limit:.3f}s "
+                f"FAIL  {name}: {stat} {got:.3f}s > limit {limit:.3f}s "
                 f"(pinned {base:.3f}s) — a real plan regression costs >2x; "
                 f"fix it, or record the deliberate trade in "
                 f"ALLOWED_REGRESSIONS / re-pin with --repin"
@@ -85,19 +119,20 @@ def check_result(result: dict, pinned: dict | None = None) -> tuple[list[str], l
             )
         else:
             lines.append(f"ok    {name}: {got:.3f}s (pin {base:.3f}s)")
-    total = result["value_median"]
-    tlimit = TOTAL_RATIO * pinned["total_median"]
+    total = result[f"value_{stat}"] if f"value_{stat}" in result else result["value_median"]
+    pinned_total = pinned.get(f"total_{stat}", pinned["total_median"])
+    tlimit = TOTAL_RATIO * pinned_total * host_factor
     if total > tlimit:
         failures.append("__total__")
         lines.append(
-            f"FAIL  total median {total:.3f}s > {tlimit:.3f}s "
-            f"(= {TOTAL_RATIO}x pinned {pinned['total_median']:.3f}s) — "
+            f"FAIL  total {stat} {total:.3f}s > {tlimit:.3f}s "
+            f"(= {TOTAL_RATIO}x pinned {pinned_total:.3f}s) — "
             f"systemic slowdown: check session confs / codegen before "
             f"blaming the host"
         )
     else:
         lines.append(
-            f"ok    total median {total:.3f}s (pin {pinned['total_median']:.3f}s)"
+            f"ok    total {stat} {total:.3f}s (pin {pinned_total:.3f}s)"
         )
     return failures, lines
 
@@ -110,12 +145,20 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench-guard")
-    result = run_headline(spark, sf_dir)
+    # warmup=True: the first queries of a fresh JVM pay codegen/JIT warm-up
+    # that a 3-rep median cannot flush (the first query measured 2.3x its
+    # steady state from warm-up alone); the pin describes steady-state
+    # capability, so the guard measures steady state.  The CLI keeps cold
+    # 3-rep runs for cross-round continuity.
+    result = run_headline(spark, sf_dir, reps=5, warmup=True)
     if "--repin" in sys.argv:
         pinned = json.loads(PINNED_FILE.read_text())
         pinned["queries_median"] = result["queries_median"]
+        pinned["queries_min"] = result["queries_min"]
         pinned["total_median"] = result["value_median"]
+        pinned["total_min"] = result["value_min"]
         pinned["sf"] = result["sf"]
+        pinned["calib_sec"] = result["calib_sec"]
         PINNED_FILE.write_text(json.dumps(pinned, indent=2) + "\n")
         print(f"re-pinned {PINNED_FILE} at total median {result['value_median']}s")
         return 0
