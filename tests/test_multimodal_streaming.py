@@ -379,6 +379,96 @@ def test_stream_checkpoint_restart_recovers_state(spark, tmp_path):
     assert got2 == {1: (3, 16.0), 2: (1, 7.0), 3: (1, 2.0)}
 
 
+def test_stateful_streaming_under_rocksdb_state_store(spark, sf_dir):
+    """The OSS RocksDB state store provider (the 100 TB state backend: spills
+    streaming state to local disk instead of pinning it in executor heap,
+    changelog-checkpointable) must produce byte-identical results to the
+    default HDFS-backed provider for our stateful shapes.  Runs the
+    applyInPandasWithState per-user stats AND a windowed agg under RocksDB
+    and checks both against their batch twins; also asserts via the query's
+    state-operator custom metrics that RocksDB actually served the state
+    (a silently ignored conf would pass parity while proving nothing).
+    rocksdbjni ships inside pyspark's jars — no extra dependency."""
+    from databricks_feature_store_flight_school_spark.streaming.stream import (
+        stateful_user_stats,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        progresses = []
+        for name, agg, mode in [
+            (
+                "rocks_user_stats",
+                stateful_user_stats(read_event_stream(spark, sf_dir), watermark="100 hours"),
+                "update",
+            ),
+            (
+                "rocks_win_counts",
+                streaming_window_counts(
+                    read_event_stream(spark, sf_dir), "1 hour", watermark="100 hours"
+                ),
+                "complete",
+            ),
+        ]:
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            progresses.append(q.lastProgress)
+
+        got_stats = {
+            r["user_id"]: (r["event_count"], r["total_value"], r["first_ts"], r["last_ts"])
+            for r in spark.sql("SELECT * FROM rocks_user_stats").collect()
+        }
+        got_win = {
+            (r["window_start"], r["event_type"]): (r["event_count"], r["total_value"])
+            for r in spark.sql("SELECT * FROM rocks_win_counts").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    # the state operators must report RocksDB-specific custom metrics —
+    # proof the provider engaged rather than silently defaulting
+    for prog in progresses:
+        ops = prog["stateOperators"] if prog else []
+        assert ops, prog
+        metrics = ops[0].get("customMetrics", {})
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    want_stats = {
+        r["user_id"]: (r["event_count"], r["total_value"], r["first_ts"], r["last_ts"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    want_win = {
+        (r["window_start"], r["event_type"]): (r["event_count"], r["total_value"])
+        for r in tumbling_window_agg(
+            ev, "ts", "1 hour", ["event_type"],
+            [F.count(F.lit(1)).alias("event_count"), F.round(F.sum("value"), 2).alias("total_value")],
+        ).collect()
+    }
+    assert len(got_stats) > 0 and got_stats == want_stats
+    assert len(got_win) > 0 and got_win == want_win
+
+
 def test_transform_with_state_equals_batch(spark, sf_dir):
     """transformWithStateInPandas (Spark 4 typed-state API, RocksDB store):
     the last update per user must equal the batch groupBy — same contract
