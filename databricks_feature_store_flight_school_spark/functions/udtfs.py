@@ -2,9 +2,13 @@
 the engine doesn't exercise — one input row fans out to N output rows with
 arbitrary Python logic, consumed via ``LATERAL`` / ``DataFrame.lateralJoin``.
 
-Use sparingly at scale: a UDTF runs row-at-a-time in a Python worker (no
-Arrow batching like pandas UDFs) — right for modest fan-out logic too fiddly
-for ``explode(transform(...))``, wrong for hot numeric paths.
+``useArrow=True`` keeps the worker transfer Arrow-batched
+(ArrowEvalPythonUDTF): rows still pass through ``eval`` one at a time —
+that's the UDTF contract — but input columns and the fanned-out output
+cross the JVM/Python boundary as Arrow batches instead of pickled rows,
+the same serialization win pandas UDFs get.  The plan audit
+(tools/explain_audit.py) fails any BatchEvalPython node, so a UDTF that
+silently fell back to pickling would be caught.
 """
 
 from __future__ import annotations
@@ -12,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="sentence_idx int, sentence string, n_tokens int")
+@udtf(returnType="sentence_idx int, sentence string, n_tokens int", useArrow=True)
 class SentenceSplit:
     """Sentence segmentation stand-in: split on '. ', strip, drop empties.
     ``sentence_idx`` is the ORIGINAL part index (before empties drop) so an

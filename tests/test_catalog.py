@@ -282,6 +282,22 @@ def test_plan_audit_no_unbounded_global_windows(spark, sf_dir):
     }
     stale = set(explain_audit.GLOBAL_WINDOW_WHITELIST) - noted
     assert not stale, f"whitelist entries no longer needed: {sorted(stale)}"
+    # same rot check for the BNLJ and row-python whitelists (round 8): an
+    # entry whose query no longer needs the exemption is a stale reason
+    bnlj_noted = {
+        ln.split()[1].rstrip(":")
+        for ln in lines
+        if "bounded-bnlj[whitelisted" in ln
+    }
+    stale_bnlj = set(explain_audit.BNLJ_WHITELIST) - bnlj_noted
+    assert not stale_bnlj, f"BNLJ whitelist entries no longer needed: {sorted(stale_bnlj)}"
+    py_noted = {
+        ln.split()[1].rstrip(":")
+        for ln in lines
+        if "python-row[whitelisted" in ln
+    }
+    stale_py = set(explain_audit.PYTHON_ROW_WHITELIST) - py_noted
+    assert not stale_py, f"python-row whitelist entries no longer needed: {sorted(stale_py)}"
 
 
 def test_gen_plans_summary_extracts_plan_evidence(spark, sf_dir):

@@ -6,17 +6,30 @@ flag 100 TB red flags:
 - row-at-a-time Python evaluation (BatchEvalPython) — pandas/Arrow is fine
 - single-partition global windows / sorts (Window with no partitionBy)
 
-Global windows are ENFORCED, not just reported: a partition-less WindowExec
-is only acceptable over a provably bounded input (a days/months rollup, a
-post-``limit`` top-k, the rank primitive's per-partition offsets table).
-Every such case must be whitelisted below WITH the boundedness reason; an
-entity- or fact-cardinality global window fails the audit (exit 1) — that is
-the single-task sort that kills a query at 100 TB.  The other flags stay
-informational (cross joins and 1-row broadcast folds are deliberate; the
-audit keeps them visible rather than silently accepted).
+Three plan classes are ENFORCED, not just reported:
+
+1. **Global windows** — a partition-less WindowExec is only acceptable over
+   a provably bounded input (a days/months rollup, a post-``limit`` top-k,
+   the rank primitive's per-partition offsets table).  Every such case must
+   be whitelisted WITH the boundedness reason; an entity- or
+   fact-cardinality global window fails the audit (exit 1) — that is the
+   single-task sort that kills a query at 100 TB.
+2. **Broadcast nested-loop joins** — boundedness is PROVEN from the plan
+   itself: the audit walks to each BNLJ node and inspects its build-side
+   subtree for a grouping-key-less aggregate (a 1-row corpus scalar), a
+   limit, or a literal LocalTableScan.  A BNLJ whose broadcast side is none
+   of those is a scan-sized broadcast — an OOM at 100x — and fails unless
+   named in BNLJ_WHITELIST with the reason its build side is bounded.
+3. **Row-at-a-time Python** (BatchEvalPython) — fails unconditionally; the
+   engine's Python surface is Arrow-batched (pandas UDFs, Arrow-optimized
+   UDTFs), and a silent fallback to pickled rows is a 10-100x throughput
+   loss on the hot path.  PYTHON_ROW_WHITELIST names any deliberate
+   exception with its reason (currently none).
 
 Usage:  python tools/explain_audit.py [--all] [query ...]
-Also run by pytest (tests/test_catalog.py) over the full catalog.
+Also run by pytest (tests/test_catalog.py) over the full catalog, including
+staleness checks: a whitelist entry whose query no longer trips the flag is
+itself a failure (dead entries rot into false confidence).
 """
 
 from __future__ import annotations
@@ -57,6 +70,74 @@ GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
     "q_zipf_fit": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
     "q_window_dist_functions": "rank-offsets prefix sum — <= num_partitions rows (ranks primitive)",
 }
+
+
+#: query -> WHY its BroadcastNestedLoopJoin build side is bounded despite
+#: not matching the automatic proofs (keys=[] aggregate / limit / literal
+#: scan).  Same contract as GLOBAL_WINDOW_WHITELIST: entries need a reason
+#: naming the bound, and a stale entry (query no longer builds a BNLJ the
+#: prover can't clear) fails the pytest staleness check.
+BNLJ_WHITELIST: dict[str, str] = {
+    "q_cosine_topk": "build = embeddings under the literal pushed predicate vec_id < 10 — <=10 query vectors broadcast; the corpus probe side stays partitioned",
+    "q_cosine_topk_arrow": "build = embeddings under the literal pushed predicate vec_id < 10 — <=10 query vectors broadcast; the corpus probe side stays partitioned",
+    "q_cross_join": "deliberate cartesian demo over dimension tables — region (5 rows) x nation (25 rows), both fixed-cardinality dims",
+    "q_embedding_neardup_pairs": "exact all-pairs ORACLE TWIN bounded to the literal slice vec_id < 4000 (docstring); the full-corpus path is the banded-LSH twin q_lsh_neardup_pairs",
+    "q_hybrid_rrf": "build = the single query vector (literal equality vec_id = 0) — exactly <=1 row broadcast",
+    "q_nearest_neighbor_dedup": "exact top-1 ground truth bounded to the literal slice vec_id < 200; the full-corpus path is LSH/IVF",
+    "q_pareto_frontier": "dominance join over the literal slice p_partkey < 500; the 100 TB path is the rank-bucket pre-filter (docstring)",
+}
+
+#: query -> WHY a row-at-a-time Python node (BatchEvalPython) is acceptable.
+#: Deliberately empty: every Python boundary in the engine is Arrow-batched.
+PYTHON_ROW_WHITELIST: dict[str, str] = {}
+
+#: build-side subtree markers that PROVE the broadcast is bounded:
+#: a grouping-key-less aggregate is exactly 1 row; any limit caps the rows;
+#: LocalTableScan / Scan ExistingRDD are driver-materialized literal tables
+#: (createDataFrame data already lives in driver memory, so broadcasting it
+#: cannot OOM beyond what the driver held); ReusedExchange points at an
+#: exchange already audited in the same plan.
+_BOUNDED_BUILD_MARKERS = (
+    "keys=[]",
+    "Limit",
+    "TakeOrderedAndProject",
+    "LocalTableScan",
+    "Scan ExistingRDD",
+    "ReusedExchange",
+)
+
+
+def _physical_root(df):
+    """The initial physical plan node (unwrapping AdaptiveSparkPlanExec,
+    whose children are hidden until execution)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName().startswith("AdaptiveSparkPlan"):
+        plan = plan.initialPlan()
+    return plan
+
+
+def _iter_nodes(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        for i in range(n.children().size()):
+            stack.append(n.children().apply(i))
+
+
+def unbounded_bnlj_sides(df) -> list[str]:
+    """Build-side subtree head lines for every BroadcastNestedLoopJoin whose
+    broadcast input the prover cannot show is bounded."""
+    bad: list[str] = []
+    for n in _iter_nodes(_physical_root(df)):
+        if n.nodeName() != "BroadcastNestedLoopJoin":
+            continue
+        build_right = "Right" in n.buildSide().toString()
+        build = n.children().apply(1 if build_right else 0)
+        subtree = build.toString()
+        if not any(m in subtree for m in _BOUNDED_BUILD_MARKERS):
+            bad.append(subtree.splitlines()[0].strip())
+    return bad
 
 
 def audit_plan(plan: str) -> list[str]:
@@ -109,6 +190,34 @@ def audit_queries(
                 continue
             flags = [f for f in flags if f != "global-window"]
             flags.append(f"bounded-global-window[{reason}]")
+        if "broadcast-NL-join" in flags:
+            unbounded = unbounded_bnlj_sides(df)
+            flags = [f for f in flags if f != "broadcast-NL-join"]
+            if not unbounded:
+                flags.append("bounded-bnlj[proven: 1-row agg / limit / literal build side]")
+            elif name in BNLJ_WHITELIST:
+                flags.append(f"bounded-bnlj[whitelisted: {BNLJ_WHITELIST[name]}]")
+            else:
+                lines.append(
+                    f"FAIL  {name}: BroadcastNestedLoopJoin build side not "
+                    f"provably bounded ({'; '.join(unbounded)}) — a scan-"
+                    f"sized broadcast OOMs at 100x; bound it or whitelist "
+                    f"with a reason in BNLJ_WHITELIST"
+                )
+                failures.append(name)
+                continue
+        if "row-at-a-time-python" in flags:
+            if name in PYTHON_ROW_WHITELIST:
+                flags = [f for f in flags if f != "row-at-a-time-python"]
+                flags.append(f"python-row[whitelisted: {PYTHON_ROW_WHITELIST[name]}]")
+            else:
+                lines.append(
+                    f"FAIL  {name}: BatchEvalPython (row-at-a-time pickled "
+                    f"Python) in the plan — use a pandas UDF / Arrow UDTF, "
+                    f"or whitelist with a reason in PYTHON_ROW_WHITELIST"
+                )
+                failures.append(name)
+                continue
         if flags:
             lines.append(f"note  {name}: {', '.join(flags)}")
         else:
