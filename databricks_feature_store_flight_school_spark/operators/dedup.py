@@ -151,23 +151,14 @@ def minhash_signatures_df(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_hashes: int = 64,
-    bands: int = 16,
-    k: int = 3,
+def band_keys(
+    sig_df: DataFrame, id_col: str, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash LSH.
-
-    rows/band = num_hashes/bands; docs sharing ALL mins in any band collide.
-    Output: distinct (id_a < id_b) candidate pairs with the estimated
-    signature similarity (fraction of matching minhashes).
-    """
+    """Banded LSH keys from a signature frame (``sig`` array<bigint>):
+    one (id, band, bucket) row per band, bucket = hash of that band's
+    signature slice.  Docs sharing a bucket in ANY band are candidates."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, k)
-    banded = sig.select(
+    return sig_df.select(
         id_col,
         F.explode(
             F.transform(
@@ -184,6 +175,24 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    rows/band = num_hashes/bands; docs sharing ALL mins in any band collide.
+    Output: distinct (id_a < id_b) candidate pairs with the estimated
+    signature similarity (fraction of matching minhashes).
+    """
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, k)
+    banded = band_keys(sig, id_col, num_hashes, bands)
 
     # candidates dedup as bare id pairs; the 64-long signatures re-attach
     # by id afterwards (a candidate row carrying both signatures is ~1 KiB —
@@ -214,6 +223,163 @@ def minhash_lsh_candidates(
         )
         .select("id_a", "id_b", "est_similarity")
     )
+
+
+def build_dedup_index(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """The persisted dedup index for incremental ingestion: one row per
+    corpus document, ``(id, content_hash, sig)``.
+
+    This is what makes dedup affordable on a growing 100 TB corpus: the
+    corpus text is read ONCE when the index is built; every later increment
+    dedups against these fixed-width rows (32-byte hash + num_hashes
+    bigints) instead of re-shingling the corpus.  Persist it partitioned or
+    bucketed by ``content_hash`` for the exact layer's join locality.
+
+    ``sig`` is null for documents with fewer than ``k`` tokens (no shingles
+    to sign) — those participate in the exact layer only.
+    """
+    hashes = corpus.select(
+        F.col(id_col), content_hash(text_col).alias("content_hash")
+    )
+    sigs = minhash_signatures_df(corpus, id_col, text_col, num_hashes, k)
+    return hashes.join(sigs, id_col, "left")
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float | None = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an ingestion increment against an existing corpus WITHOUT
+    touching the corpus text — the production shape at 100 TB: you never
+    re-dedup the corpus, you dedup the new 1 TB against its index.
+
+    Three layers, strictest first:
+
+    1. within-batch exact: keep the min-id row per content hash;
+    2. cross exact: anti-join the survivors' content hashes against the
+       index (equality only — no false positives at sha2-256);
+    3. near-dup (``threshold`` is the estimated-Jaccard floor; ``None``
+       skips the layer): banded-LSH candidates between the batch's MinHash
+       signatures and the index's, verified by signature agreement — plus
+       the same check within the batch itself (min id survives).
+
+    Returns ``(accepted, accepted_index_rows)``: the accepted batch rows
+    (original columns) and their index rows; append the latter to the index
+    so the next increment sees this one.  Re-running the same increment
+    after appending accepts nothing (idempotent ingestion).
+
+    Scale shape: every join is an equi-join keyed on hash/band values; the
+    batch side is small relative to the corpus, so AQE broadcasts it and
+    the index streams through map-side — no corpus-sized shuffle anywhere.
+    Candidate pairs carry bare ids; signatures re-attach by id.  The
+    index's band keys are derived per run (one linear projection); a
+    deployment ingesting continuously would persist them bucketed by
+    (band, bucket) via operators/skew.write_bucketed and skip even that
+    scan's exchange.
+
+    Near-dup verification uses the signature Jaccard ESTIMATE (matching
+    minhash fraction), not exact shingle Jaccard — exact verification would
+    need the corpus text this operator exists to avoid reading.  With 64
+    hashes the estimate's std error is ~0.06 at J=0.7; callers needing
+    exact decisions re-verify the (tiny) rejected set against fetched
+    corpus rows by id.
+    """
+    hashed = batch.withColumn("__chash", content_hash(text_col))
+    w = Window.partitionBy("__chash").orderBy(id_col)
+    self_exact = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = self_exact.join(
+        index.select(F.col("content_hash").alias("__chash")),
+        "__chash",
+        "left_anti",
+    )
+
+    if threshold is None:
+        accepted = survivors
+        acc_sigs = minhash_signatures_df(accepted, id_col, text_col, num_hashes, k)
+    else:
+        sigs = minhash_signatures_df(survivors, id_col, text_col, num_hashes, k)
+        batch_bands = band_keys(sigs, id_col, num_hashes, bands)
+        index_sigs = index.where(F.col("sig").isNotNull()).select(id_col, "sig")
+        index_bands = band_keys(index_sigs, id_col, num_hashes, bands)
+
+        matching = F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        est = matching.cast("double") / F.lit(float(num_hashes))
+
+        def _near_ids(cand_pairs: DataFrame, sig_b_src: DataFrame) -> DataFrame:
+            """batch ids whose estimated Jaccard vs any counterpart >= threshold"""
+            return (
+                cand_pairs.join(
+                    sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+                    "id_a",
+                )
+                .join(sig_b_src, "id_b")
+                .where(est >= F.lit(threshold))
+                .select(F.col("id_a").alias(id_col))
+                .distinct()
+            )
+
+        # cross near-dups: batch band keys vs index band keys (batch side
+        # broadcast by AQE; the index side never shuffles)
+        cross_cands = (
+            batch_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+            .join(
+                index_bands.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cross_near = _near_ids(
+            cross_cands,
+            index_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+        )
+
+        # within-batch near-dups: same banding among the survivors; the
+        # HIGHER id of a qualifying pair is rejected (min id canonical)
+        a = batch_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+        b = batch_bands.select(F.col(id_col).alias("id_b"), "band", "bucket")
+        self_cands = (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") > F.col("id_b"))  # reject the higher id
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        self_near = _near_ids(
+            self_cands,
+            sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
+        )
+
+        rejected = cross_near.union(self_near).distinct()
+        accepted = survivors.join(rejected, id_col, "left_anti")
+        acc_sigs = sigs.join(accepted.select(id_col), id_col, "left_semi")
+
+    accepted_rows = accepted.drop("__chash").select(*batch.columns)
+    accepted_index = (
+        accepted.select(F.col(id_col), F.col("__chash").alias("content_hash"))
+        .join(acc_sigs, id_col, "left")
+    )
+    return accepted_rows, accepted_index
 
 
 def simhash_df(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

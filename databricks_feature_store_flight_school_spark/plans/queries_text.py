@@ -232,6 +232,94 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_incremental_dedup_exact",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         inc AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM corpus WHERE doc_id % 7 = 1
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, text
+           FROM documents WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
+         ),
+         selfd AS (
+           SELECT doc_id, text,
+                  row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM inc)
+    SELECT s.doc_id
+    FROM selfd s
+    WHERE s.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = s.text)
+    ORDER BY s.doc_id
+    """,
+    "text", "dedup", "incremental",
+)
+def q_incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup, exact layers only (near-dup disabled):
+    an increment of fresh docs + replayed corpus docs + a double-ingested
+    fresh subset is deduped against the corpus INDEX (content hashes — the
+    corpus text is never re-read).  Replays are rejected by the cross
+    anti-join, the double-ingest by the within-batch keep-min-id window;
+    the oracle states the same thing over raw text equality (sha2-256
+    equality == text equality absent collisions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    inc = (
+        docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        .unionAll(
+            corpus.where(F.col("doc_id") % 7 == 1)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        .unionAll(
+            docs.where((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0))
+            .select((F.col("doc_id") + 3000000).alias("doc_id"), "text")
+        )
+    )
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+    accepted, _ = D.incremental_dedup(inc, index, "doc_id", "text", threshold=None)
+    return accepted.select("doc_id").orderBy("doc_id")
+
+
+@register(
+    "q_incremental_dedup",
+    None,  # near-dup layer decides on xxhash64 MinHash estimates -> rows-only
+    "text", "dedup", "incremental", "neardup", "rows-only",
+    pinned_by=(
+        "test_incremental_dedup_layers_and_idempotence",
+        "test_incremental_dedup_matches_exact_twin_when_near_disabled",
+    ),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL incremental ingestion dedup: the q_incremental_dedup_exact
+    increment plus PERTURBED corpus replays (two words appended — exact
+    hashes differ, shingle overlap stays high), deduped against the corpus
+    index with the near-dup layer on (threshold 0.7).  The perturbed
+    replays are caught by the banded-LSH candidates + signature-estimate
+    verify without ever reading the corpus text; fresh docs pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    inc = (
+        docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+        .unionAll(
+            corpus.where(F.col("doc_id") % 7 == 1)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        )
+        .unionAll(
+            corpus.where(F.col("doc_id") % 7 == 2)
+            .select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq wv")).alias("text"),
+            )
+        )
+    )
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+    accepted, _ = D.incremental_dedup(inc, index, "doc_id", "text", threshold=0.7)
+    return accepted.select("doc_id").orderBy("doc_id")
+
+
+@register(
     "q_simhash_neardup",
     None,  # xxhash64-based SimHash -> rows-only
     "text", "dedup", "neardup", "rows-only",

@@ -311,6 +311,77 @@ def test_minhash_lsh_neardup_recall(spark, sf_dir):
     assert recall >= 0.9, f"MinHash LSH recall too low: {recall:.2f}"
 
 
+def test_incremental_dedup_layers_and_idempotence(spark):
+    """q_incremental_dedup's pin: every layer decides correctly on a
+    constructed increment — exact replay rejected, double-ingest keeps the
+    min id, a two-word-appended near-dup of a >=20-word corpus doc is
+    rejected by the signature estimate, a fresh doc passes — and appending
+    the accepted index rows makes a re-run of the SAME increment accept
+    nothing (idempotent ingestion)."""
+    from databricks_feature_store_flight_school_spark.operators import dedup as D
+
+    corpus_doc = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(8))  # 24 words
+    other_doc = " ".join(f"delta{i} eps{i}" for i in range(10))
+    corpus = spark.createDataFrame(
+        [(1, corpus_doc), (2, other_doc)], "doc_id long, text string"
+    )
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+
+    fresh = " ".join(f"zeta{i} eta{i} theta{i}" for i in range(8))
+    inc = spark.createDataFrame(
+        [
+            (10, corpus_doc),            # exact replay of corpus -> rejected
+            (11, corpus_doc + " zq wv"),  # near-dup of corpus -> rejected
+            (12, fresh),                  # novel -> accepted
+            (13, fresh),                  # exact dup WITHIN batch -> rejected (12 kept)
+        ],
+        "doc_id long, text string",
+    )
+    accepted, acc_index = D.incremental_dedup(inc, index, "doc_id", "text", threshold=0.7)
+    assert {r["doc_id"] for r in accepted.collect()} == {12}
+    idx_rows = acc_index.collect()
+    assert [r["doc_id"] for r in idx_rows] == [12]
+    assert idx_rows[0]["content_hash"] is not None and idx_rows[0]["sig"] is not None
+
+    # idempotence: after appending the accepted rows to the index, the same
+    # increment yields zero accepted
+    grown = index.unionByName(acc_index)
+    again, _ = D.incremental_dedup(inc, grown, "doc_id", "text", threshold=0.7)
+    assert again.count() == 0
+
+
+def test_incremental_dedup_matches_exact_twin_when_near_disabled(spark, sf_dir):
+    """q_incremental_dedup's pin #2: with threshold=None the operator must
+    equal the from-scratch exact semantics (self keep-min-id + anti-join on
+    text) on the real documents corpus — the same statement
+    q_incremental_dedup_exact makes against DuckDB, asserted here in-process
+    so the near-dup layer's plumbing can't silently leak into the exact path."""
+    from databricks_feature_store_flight_school_spark.operators import dedup as D
+    from databricks_feature_store_flight_school_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    inc = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text").unionAll(
+        corpus.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+    accepted, _ = D.incremental_dedup(inc, index, "doc_id", "text", threshold=None)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    want = (
+        inc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(corpus.select("text"), "text", "left_anti")
+    )
+    assert {r["doc_id"] for r in accepted.collect()} == {
+        r["doc_id"] for r in want.collect()
+    }
+    assert accepted.count() > 0
+
+
 def test_percentile_approx_error_bound(spark, sf_dir):
     """q_percentile_approx's pin: Spark guarantees percentile_approx's RANK
     error <= n/accuracy.  At accuracy=10000 (the catalog setting) verify the
