@@ -295,6 +295,15 @@ def incremental_dedup(
     hashes the estimate's std error is ~0.06 at J=0.7; callers needing
     exact decisions re-verify the (tiny) rejected set against fetched
     corpus rows by id.
+
+    NULL-text rows hash to NULL: the within-batch window still collapses
+    them to one survivor (NULL is one partition), but the cross anti-join
+    never matches a NULL key, so that survivor is always accepted — filter
+    NULL/empty text upstream (the C4-clean pass does) if that's not wanted.
+    Ids are assumed unique across batch and index (standard for ingestion
+    ids); a batch id equal to an index id would not corrupt joins (the two
+    sides are attached from separate frames) but makes the output ambiguous
+    to consumers.
     """
     hashed = batch.withColumn("__chash", content_hash(text_col))
     w = Window.partitionBy("__chash").orderBy(id_col)
