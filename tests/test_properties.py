@@ -986,3 +986,55 @@ def test_ivm_join_view_deltas(spark, tmp_path_factory, ops, init_l, init_r):
         }
         got = {r["nation"]: (r["total"], r["_n_rows"]) for r in agg.collect()}
         assert got == want
+
+
+# documents are 1-3 words drawn from a tiny vocabulary so exact duplicates
+# occur often; ids are assigned by position (unique, deterministic)
+_doc_texts = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=3).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(corpus_texts=_doc_texts, batch_texts=_doc_texts)
+@settings(**_SETTINGS)
+def test_incremental_dedup_exact_layer_matches_python_model(
+    spark, corpus_texts, batch_texts
+):
+    """incremental_dedup(threshold=None) against a Python model: accept a
+    batch row iff it is the FIRST occurrence of its text within the batch
+    (min id) and the text does not appear anywhere in the corpus.  Random
+    tiny-vocabulary docs make exact collisions (within batch and across)
+    frequent; ids never collide (corpus 0.., batch 1000..)."""
+    from databricks_feature_store_flight_school_spark.operators import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus_texts)]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=1000 + i, text=t) for i, t in enumerate(batch_texts)]
+    )
+    index = build_dedup_index(corpus, "doc_id", "text")
+    accepted, acc_index = incremental_dedup(
+        batch, index, "doc_id", "text", threshold=None
+    )
+
+    corpus_set = set(corpus_texts)
+    seen: set[str] = set()
+    want: set[int] = set()
+    for i, t in enumerate(batch_texts):
+        if t not in corpus_set and t not in seen:
+            want.add(1000 + i)
+        seen.add(t)
+    got = {r["doc_id"] for r in accepted.collect()}
+    assert got == want
+    # the returned index rows cover exactly the accepted ids, hash non-null
+    rows = acc_index.collect()
+    assert {r["doc_id"] for r in rows} == want
+    assert all(r["content_hash"] is not None for r in rows)
