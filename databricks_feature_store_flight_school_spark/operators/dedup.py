@@ -280,6 +280,11 @@ def incremental_dedup(
     so the next increment sees this one.  Re-running the same increment
     after appending accepts nothing (idempotent ingestion).
 
+    ``num_hashes``/``k`` must match the values the index was built with:
+    the signature agreement zips the two arrays positionally, so a length
+    or shingle-width mismatch silently deflates every estimate (near-dups
+    pass through).  Persist the parameters next to the index table.
+
     Scale shape: every join is an equi-join keyed on hash/band values; the
     batch side is small relative to the corpus, so AQE broadcasts it and
     the index streams through map-side — no corpus-sized shuffle anywhere.
