@@ -81,14 +81,17 @@ def host_calibration(spark, reps: int = 5) -> float:
 
     times = []
     for _ in range(reps):
-        t0 = time.time()
+        # perf_counter, same clock as the headline loop: the probe's median
+        # feeds the guard's host factor, so it must not mix a coarser,
+        # NTP-adjustable wall clock into the ratio
+        t0 = time.perf_counter()
         (
             spark.range(0, 300_000_000, 1, 32)
             .select((F.xxhash64("id") % 1_000_000).alias("h"))
             .agg(F.sum("h"))
             .write.format("noop").mode("overwrite").save()
         )
-        times.append(time.time() - t0)
+        times.append(time.perf_counter() - t0)
     return round(sorted(times)[reps // 2], 3)
 
 

@@ -152,11 +152,17 @@ def minhash_signatures_df(
 
 
 def band_keys(
-    sig_df: DataFrame, id_col: str, num_hashes: int = 64, bands: int = 16
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Banded LSH keys from a signature frame (``sig`` array<bigint>):
     one (id, band, bucket) row per band, bucket = hash of that band's
-    signature slice.  Docs sharing a bucket in ANY band are candidates."""
+    signature slice.  Docs sharing a bucket in ANY band are candidates.
+    ``extra_cols`` are carried through unchanged (e.g. the index parameter
+    columns for a persisted band-key table)."""
     rows_per_band = num_hashes // bands
     return sig_df.select(
         id_col,
@@ -174,7 +180,13 @@ def band_keys(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        *extra_cols,
+    ).select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        *extra_cols,
+    )
 
 
 def minhash_lsh_candidates(
@@ -225,6 +237,58 @@ def minhash_lsh_candidates(
     )
 
 
+#: parameter columns every dedup index carries (written by
+#: :func:`build_dedup_index`, validated in-plan by :func:`incremental_dedup`)
+DEDUP_INDEX_PARAM_COLS = ("minhash_num_hashes", "shingle_k")
+
+
+def _require_cols(df: DataFrame, cols: Sequence[str], what: str) -> None:
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{what} lacks required column(s) {missing}: build it with "
+            f"build_dedup_index / index_band_keys so the MinHash parameters "
+            f"travel WITH the data — a parameterless index cannot be "
+            f"validated and a silent num_hashes/k mismatch deflates every "
+            f"Jaccard estimate"
+        )
+
+
+def _param_guard_predicate(expected: dict[str, int], what: str) -> Column:
+    """Boolean Column that RAISES (executor-side) on any row whose stored
+    parameter columns differ from the caller's values, else true.
+
+    Used as a ``.where(...)`` so it (a) cannot be pruned away — a filter is
+    semantically required — and (b) preserves the child's output
+    partitioning, keeping a bucketed index scan Exchange-free (a CASE WHEN
+    wrapped around the join key itself would defeat alias-aware
+    partitioning propagation)."""
+    mismatch: Column | None = None
+    parts: list[Column] = [F.lit(f"{what} parameter mismatch:")]
+    for name, want in expected.items():
+        m = ~F.col(name).eqNullSafe(F.lit(want))
+        mismatch = m if mismatch is None else (mismatch | m)
+        parts.append(
+            F.when(
+                m,
+                F.concat(
+                    F.lit(f" index stores {name}="),
+                    F.coalesce(F.col(name).cast("string"), F.lit("NULL")),
+                    F.lit(f" but the caller passed {name}={want};"),
+                ),
+            ).otherwise(F.lit(""))
+        )
+    parts.append(
+        F.lit(
+            " a mismatched signature length or shingle width silently "
+            "deflates every Jaccard estimate — call with the index's "
+            "parameters or rebuild the index"
+        )
+    )
+    assert mismatch is not None
+    return F.when(mismatch, F.raise_error(F.concat(*parts))).otherwise(F.lit(True))
+
+
 def build_dedup_index(
     corpus: DataFrame,
     id_col: str = "doc_id",
@@ -233,22 +297,146 @@ def build_dedup_index(
     k: int = 3,
 ) -> DataFrame:
     """The persisted dedup index for incremental ingestion: one row per
-    corpus document, ``(id, content_hash, sig)``.
+    corpus document, ``(id, content_hash, sig, minhash_num_hashes,
+    shingle_k)``.
 
     This is what makes dedup affordable on a growing 100 TB corpus: the
-    corpus text is read ONCE when the index is built; every later increment
-    dedups against these fixed-width rows (32-byte hash + num_hashes
-    bigints) instead of re-shingling the corpus.  Persist it partitioned or
-    bucketed by ``content_hash`` for the exact layer's join locality.
+    corpus text is scanned ONCE when the index is built (content hash and
+    shingles come out of the same projection; the hash rides the signature
+    aggregation as a ``min`` over its constant-per-doc value, so no second
+    scan and no re-join); every later increment dedups against these
+    fixed-width rows (32-byte hash + num_hashes bigints) instead of
+    re-shingling the corpus.  Persist it bucketed by ``content_hash``
+    (``operators/skew.write_bucketed``) for an Exchange-free exact layer.
+
+    The build parameters ship WITH the index as constant columns
+    (:data:`DEDUP_INDEX_PARAM_COLS` — parquet RLE makes them ~free);
+    :func:`incremental_dedup` validates them in-plan and raises on
+    mismatch, so a caller cannot silently deflate the Jaccard estimates
+    with a different ``num_hashes``/``k``.
 
     ``sig`` is null for documents with fewer than ``k`` tokens (no shingles
     to sign) — those participate in the exact layer only.
     """
-    hashes = corpus.select(
-        F.col(id_col), content_hash(text_col).alias("content_hash")
+    sh = corpus.select(
+        F.col(id_col),
+        content_hash(text_col).alias("__chash"),
+        F.explode_outer(word_shingles(text_col, k)).alias("__shingle"),
     )
-    sigs = minhash_signatures_df(corpus, id_col, text_col, num_hashes, k)
-    return hashes.join(sigs, id_col, "left")
+    agg = sh.groupBy(id_col).agg(
+        F.min("__chash").alias("content_hash"),
+        *[
+            F.min(
+                F.when(
+                    F.col("__shingle").isNotNull(),
+                    F.xxhash64(F.lit(i), F.col("__shingle")),
+                )
+            ).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return agg.select(
+        F.col(id_col),
+        "content_hash",
+        F.when(
+            F.col("__m0").isNotNull(),
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]),
+        ).alias("sig"),
+        F.lit(num_hashes).alias("minhash_num_hashes"),
+        F.lit(k).alias("shingle_k"),
+    )
+
+
+def index_band_keys(
+    index: DataFrame, id_col: str = "doc_id", bands: int = 16
+) -> DataFrame:
+    """The persistable LSH band-key table for a dedup index: one
+    ``(id, band, bucket)`` row per signed document per band, plus the
+    parameter columns (``minhash_num_hashes``, ``shingle_k``, ``lsh_bands``)
+    so :func:`incremental_dedup` can validate a persisted table the same
+    way it validates the index.
+
+    Persist it bucketed by ``(band, bucket)`` (``skew.write_bucketed``) and
+    pass it as ``index_bands=``: the near-dup candidate joins then read the
+    index side with NO Exchange at all (plan-asserted in
+    tests/test_dedup_index.py) — the continuous-ingestion deployment shape.
+
+    The slice width is ``minhash_num_hashes // bands`` taken from the
+    index's own parameter column, so the band keys cannot disagree with the
+    signatures they were cut from."""
+    _require_cols(index, DEDUP_INDEX_PARAM_COLS, "dedup index")
+    sigs = index.where(F.col("sig").isNotNull()).select(
+        id_col, "sig", *DEDUP_INDEX_PARAM_COLS
+    )
+    # floor BEFORE multiplying so a non-divisible num_hashes slices exactly
+    # like band_keys' Python-side num_hashes // bands
+    rows_per_band = F.floor(F.col("minhash_num_hashes") / F.lit(bands)).cast("int")
+    bk = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+        *DEDUP_INDEX_PARAM_COLS,
+    )
+    return bk.select(
+        id_col,
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        *DEDUP_INDEX_PARAM_COLS,
+        F.lit(bands).alias("lsh_bands"),
+    )
+
+
+def _cap_band_buckets(
+    bands_df: DataFrame, id_col: str, max_band_bucket: int | None, side: str
+) -> DataFrame:
+    """Fail-fast guard on hot LSH (band, bucket) groups — the analog of
+    ``similarity.verify_pairs_in_buckets``' ``max_bucket_size``: a
+    near-identical family of N docs puts N rows in the same bucket and the
+    candidate join goes N² there.  Counting is a groupBy (map-side partial,
+    only distinct buckets shuffle) + a broadcast join of the (normally
+    empty) hot set back; the raise rides a filter so the input's
+    partitioning — e.g. a (band, bucket)-bucketed persisted table — is
+    preserved."""
+    if max_band_bucket is None:
+        return bands_df
+    hot = (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") > max_band_bucket)
+    )
+    msg = F.concat(
+        F.lit(f"{side}-side LSH band bucket (band="),
+        F.col("band").cast("string"),
+        F.lit(") holds "),
+        F.col("__bn").cast("string"),
+        F.lit(
+            f" docs (> max_band_bucket={max_band_bucket}): a near-identical "
+            f"family makes the candidate join quadratic in that bucket — "
+            f"collapse the family upstream or raise max_band_bucket "
+            f"deliberately"
+        ),
+    )
+    return (
+        bands_df.join(F.broadcast(hot), ["band", "bucket"], "left")
+        .where(F.when(F.col("__bn").isNotNull(), F.raise_error(msg)).otherwise(F.lit(True)))
+        .select(id_col, "band", "bucket")
+    )
 
 
 def incremental_dedup(
@@ -260,6 +448,8 @@ def incremental_dedup(
     bands: int = 16,
     k: int = 3,
     threshold: float | None = 0.7,
+    max_band_bucket: int | None = 20_000,
+    index_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an ingestion increment against an existing corpus WITHOUT
     touching the corpus text — the production shape at 100 TB: you never
@@ -273,26 +463,50 @@ def incremental_dedup(
     3. near-dup (``threshold`` is the estimated-Jaccard floor; ``None``
        skips the layer): banded-LSH candidates between the batch's MinHash
        signatures and the index's, verified by signature agreement — plus
-       the same check within the batch itself (min id survives).
+       the same check within the batch itself.  Within-batch rejection is
+       PAIRWISE-TRANSITIVE: the higher id of EVERY qualifying pair is
+       rejected, so a similarity chain A~B, B~C (A!~C) keeps only A — B and
+       C both drop, even though C's only near-dup (B) was itself rejected.
+       That is one-survivor-per-similarity-component semantics (stricter
+       than greedy compare-against-kept-set, which would keep C); it is the
+       shape that parallelises — greedy keep-set comparison is inherently
+       sequential in id order — and for dedup over-rejection of a
+       borderline chain member is the conservative direction.
 
     Returns ``(accepted, accepted_index_rows)``: the accepted batch rows
-    (original columns) and their index rows; append the latter to the index
-    so the next increment sees this one.  Re-running the same increment
-    after appending accepts nothing (idempotent ingestion).
+    (original columns) and their index rows (same schema as the index,
+    parameter columns included); append the latter to the index so the
+    next increment sees this one.  Re-running the same increment after
+    appending accepts nothing (idempotent ingestion).
 
-    ``num_hashes``/``k`` must match the values the index was built with:
-    the signature agreement zips the two arrays positionally, so a length
-    or shingle-width mismatch silently deflates every estimate (near-dups
-    pass through).  Persist the parameters next to the index table.
+    **Parameter contract (enforced, not advisory)**: ``num_hashes``/``k``
+    must match the values the index was built with — the signature
+    agreement zips the two arrays positionally, so a length or
+    shingle-width mismatch would silently deflate every estimate (near-dups
+    pass through).  The index therefore carries its build parameters as
+    columns (:func:`build_dedup_index`); this function raises a
+    ``ValueError`` at plan time if they are absent and a runtime error from
+    the executors if any stored value differs from the caller's.  The check
+    rides a filter on the index scan, so it can't be pruned and preserves a
+    bucketed scan's partitioning.
+
+    ``max_band_bucket`` fail-fasts when any LSH (band, bucket) group on
+    either side exceeds it (a near-identical family in the corpus — even an
+    all-accepted one — makes that bucket's candidate join quadratic); the
+    count is a map-side-partial groupBy plus a broadcast of the normally
+    empty hot set, never a shuffle of the band keys themselves.  ``None``
+    disables the guard.
 
     Scale shape: every join is an equi-join keyed on hash/band values; the
     batch side is small relative to the corpus, so AQE broadcasts it and
     the index streams through map-side — no corpus-sized shuffle anywhere.
     Candidate pairs carry bare ids; signatures re-attach by id.  The
-    index's band keys are derived per run (one linear projection); a
-    deployment ingesting continuously would persist them bucketed by
-    (band, bucket) via operators/skew.write_bucketed and skip even that
-    scan's exchange.
+    index's band keys are derived per run (one linear projection) unless a
+    persisted table built by :func:`index_band_keys` is passed as
+    ``index_bands`` — bucket it by (band, bucket) via
+    operators/skew.write_bucketed and the candidate join's index side runs
+    with no Exchange at all (its ``lsh_bands``/``minhash_num_hashes``
+    parameters are validated the same way as the index's).
 
     Near-dup verification uses the signature Jaccard ESTIMATE (matching
     minhash fraction), not exact shingle Jaccard — exact verification would
@@ -310,6 +524,13 @@ def incremental_dedup(
     sides are attached from separate frames) but makes the output ambiguous
     to consumers.
     """
+    _require_cols(index, DEDUP_INDEX_PARAM_COLS, "dedup index")
+    checked_index = index.where(
+        _param_guard_predicate(
+            {"minhash_num_hashes": num_hashes, "shingle_k": k}, "dedup index"
+        )
+    )
+
     hashed = batch.withColumn("__chash", content_hash(text_col))
     w = Window.partitionBy("__chash").orderBy(id_col)
     self_exact = (
@@ -318,7 +539,7 @@ def incremental_dedup(
         .drop("__rn")
     )
     survivors = self_exact.join(
-        index.select(F.col("content_hash").alias("__chash")),
+        checked_index.select(F.col("content_hash").alias("__chash")),
         "__chash",
         "left_anti",
     )
@@ -328,9 +549,29 @@ def incremental_dedup(
         acc_sigs = minhash_signatures_df(accepted, id_col, text_col, num_hashes, k)
     else:
         sigs = minhash_signatures_df(survivors, id_col, text_col, num_hashes, k)
-        batch_bands = band_keys(sigs, id_col, num_hashes, bands)
-        index_sigs = index.where(F.col("sig").isNotNull()).select(id_col, "sig")
-        index_bands = band_keys(index_sigs, id_col, num_hashes, bands)
+        batch_bands = _cap_band_buckets(
+            band_keys(sigs, id_col, num_hashes, bands), id_col, max_band_bucket, "batch"
+        )
+        index_sigs = checked_index.where(F.col("sig").isNotNull()).select(id_col, "sig")
+        if index_bands is None:
+            idx_bands = band_keys(index_sigs, id_col, num_hashes, bands)
+        else:
+            _require_cols(
+                index_bands,
+                (*DEDUP_INDEX_PARAM_COLS, "lsh_bands"),
+                "dedup index band-key table",
+            )
+            idx_bands = index_bands.where(
+                _param_guard_predicate(
+                    {
+                        "minhash_num_hashes": num_hashes,
+                        "shingle_k": k,
+                        "lsh_bands": bands,
+                    },
+                    "dedup index band-key table",
+                )
+            ).select(id_col, "band", "bucket")
+        idx_bands = _cap_band_buckets(idx_bands, id_col, max_band_bucket, "index")
 
         matching = F.size(
             F.filter(
@@ -358,7 +599,7 @@ def incremental_dedup(
         cross_cands = (
             batch_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
             .join(
-                index_bands.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                idx_bands.select(F.col(id_col).alias("id_b"), "band", "bucket"),
                 ["band", "bucket"],
             )
             .select("id_a", "id_b")
@@ -392,6 +633,13 @@ def incremental_dedup(
     accepted_index = (
         accepted.select(F.col(id_col), F.col("__chash").alias("content_hash"))
         .join(acc_sigs, id_col, "left")
+        .select(
+            F.col(id_col),
+            "content_hash",
+            "sig",
+            F.lit(num_hashes).alias("minhash_num_hashes"),
+            F.lit(k).alias("shingle_k"),
+        )
     )
     return accepted_rows, accepted_index
 

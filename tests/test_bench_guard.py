@@ -188,3 +188,80 @@ def test_guard_prefers_min_stat_when_both_sides_carry_it():
     old_pin = {"sf": 0.1, "queries_median": {"q_a": 0.4}, "total_median": 0.4}
     failures, _ = bench_guard.check_result(spiky, old_pin)
     assert failures == ["q_a", "__total__"]
+
+
+def test_guard_total_check_never_mixes_statistics():
+    """A pin with per-query mins but NO total_min must compare totals
+    median-vs-median — comparing a fresh (systematically lower) min against
+    1.6x a pinned MEDIAN would loosen the systemic-slowdown guard."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_guard
+
+    pinned = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 1.0},
+        "queries_min": {"q_a": 0.5},
+        "total_median": 1.0,  # no total_min
+    }
+    # fresh min passes the per-query check, but the median total regressed
+    # 1.7x — mixed-statistic comparison (min 0.9 vs 1.6*1.0) would hide it
+    run = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 1.7},
+        "queries_min": {"q_a": 0.9},
+        "value_median": 1.7,
+        "value_min": 0.9,
+    }
+    failures, lines = bench_guard.check_result(run, pinned)
+    assert failures == ["__total__"], lines
+    assert any("total median" in ln for ln in lines)
+
+
+def test_ratchet_tightens_beaten_pins_one_way():
+    """maybe_ratchet: entries a passing run beats by >10% tighten to the
+    fresh value (including totals and the calibration), slower or
+    near-equal entries stay, and an sf mismatch never ratchets."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_guard
+
+    pinned = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 1.0, "q_b": 1.0},
+        "queries_min": {"q_a": 0.8, "q_b": 0.8},
+        "total_median": 2.0,
+        "total_min": 1.6,
+        "calib_sec": 0.2,
+    }
+    run = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 0.5, "q_b": 0.95},  # q_a beats, q_b within 10%
+        "queries_min": {"q_a": 0.4, "q_b": 0.81},
+        "value_median": 1.45,
+        "value_min": 1.21,
+        "calib_sec": 0.15,
+    }
+    tightened = bench_guard.maybe_ratchet(run, pinned)
+    assert pinned["queries_median"]["q_a"] == 0.5
+    assert pinned["queries_median"]["q_b"] == 1.0  # within 10%: untouched
+    assert pinned["queries_min"]["q_a"] == 0.4
+    assert pinned["total_median"] == 1.45
+    assert pinned["total_min"] == 1.21
+    assert pinned["calib_sec"] == 0.15  # fastest host seen
+    assert len(tightened) == 5
+
+    # one-way: a slower run changes nothing
+    before = {k: (dict(v) if isinstance(v, dict) else v) for k, v in pinned.items()}
+    slow = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 0.9, "q_b": 1.4},
+        "queries_min": {"q_a": 0.7, "q_b": 1.2},
+        "value_median": 2.3,
+        "value_min": 1.9,
+        "calib_sec": 0.3,
+    }
+    assert bench_guard.maybe_ratchet(slow, pinned) == []
+    assert pinned == before
+
+    # sf mismatch: never ratchet across scales
+    other = dict(run, sf=0.01)
+    assert bench_guard.maybe_ratchet(other, before) == []

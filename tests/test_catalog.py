@@ -300,6 +300,50 @@ def test_plan_audit_no_unbounded_global_windows(spark, sf_dir):
     assert not stale_py, f"python-row whitelist entries no longer needed: {sorted(stale_py)}"
 
 
+def test_bnlj_prover_is_structural_not_substring(spark):
+    """The boundedness proof must be computed bottom-up over node types
+    (round 9): a scan-sized build that merely CONTAINS a bounded marker —
+    here a full Range crossed with a 1-row keys=[] aggregate, so 'keys=[]'
+    appears deep inside the subtree — is NOT bounded and must be flagged;
+    the genuinely bounded forms (1-row scalar, limit, scalar x scalar join)
+    must still prove clean."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import explain_audit
+    from pyspark.sql import functions as F
+
+    big = spark.range(100_000)
+    scalar = big.agg(F.sum("id").alias("s"))
+
+    # scan-sized build containing a keys=[] aggregate: the r8 substring scan
+    # cleared this; the structural prover must not
+    poisoned_build = big.crossJoin(scalar)
+    df_bad = spark.range(10).crossJoin(F.broadcast(poisoned_build))
+    assert explain_audit.unbounded_bnlj_sides(df_bad), (
+        "a Range x scalar build (100k rows) was falsely proven bounded"
+    )
+
+    # 1-row scalar build: proven
+    assert explain_audit.unbounded_bnlj_sides(spark.range(10).crossJoin(scalar)) == []
+    # limit build: proven
+    assert (
+        explain_audit.unbounded_bnlj_sides(
+            spark.range(10).crossJoin(F.broadcast(big.limit(5)))
+        )
+        == []
+    )
+    # bounded x bounded join build: proven (both inputs bounded)
+    both = scalar.crossJoin(big.limit(3).withColumnRenamed("id", "id2"))
+    assert (
+        explain_audit.unbounded_bnlj_sides(
+            spark.range(10).crossJoin(F.broadcast(both))
+        )
+        == []
+    )
+
+
 def test_gen_plans_summary_extracts_plan_evidence(spark, sf_dir):
     """PLANS.md generator (tools/gen_plans.py): the committed plan-evidence
     artifact stays trustworthy only if its extractors parse real formatted

@@ -382,6 +382,89 @@ def test_incremental_dedup_matches_exact_twin_when_near_disabled(spark, sf_dir):
     assert accepted.count() > 0
 
 
+def test_incremental_dedup_enforces_index_param_contract(spark):
+    """The num_hashes/k contract is enforced, not documented (round-9
+    hardening): an index missing the parameter columns raises ValueError at
+    plan time; an index built with different parameters raises from the
+    executors before any result can be produced — a silent mismatch would
+    deflate every Jaccard estimate and wave near-dups through."""
+    from databricks_feature_store_flight_school_spark.operators import dedup as D
+
+    corpus = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(10, " ".join(f"v{i}" for i in range(30)))], "doc_id long, text string"
+    )
+
+    bare = D.build_dedup_index(corpus, "doc_id", "text").drop("minhash_num_hashes")
+    with pytest.raises(ValueError, match="lacks required column"):
+        D.incremental_dedup(inc, bare, "doc_id", "text")
+
+    idx32 = D.build_dedup_index(corpus, "doc_id", "text", num_hashes=32)
+    acc, _ = D.incremental_dedup(inc, idx32, "doc_id", "text", num_hashes=64)
+    with pytest.raises(Exception, match="parameter mismatch"):
+        acc.collect()
+
+    # matching params on the same index pass
+    ok, _ = D.incremental_dedup(inc, idx32, "doc_id", "text", num_hashes=32)
+    assert {r["doc_id"] for r in ok.collect()} == {10}
+
+    # a band-key table built at different bands raises too
+    idx = D.build_dedup_index(corpus, "doc_id", "text")
+    acc2, _ = D.incremental_dedup(
+        inc, idx, "doc_id", "text", bands=8,
+        index_bands=D.index_band_keys(idx, "doc_id", bands=16),
+    )
+    with pytest.raises(Exception, match="lsh_bands"):
+        acc2.collect()
+
+
+def test_incremental_dedup_caps_hot_band_buckets(spark):
+    """A near-identical family in the CORPUS puts all its members in the
+    same LSH (band, bucket); the candidate join there is quadratic.  The
+    guard fail-fasts with the offending bucket named instead of letting one
+    task carry family² work (mirrors similarity.verify_pairs_in_buckets'
+    max_bucket_size)."""
+    from databricks_feature_store_flight_school_spark.operators import dedup as D
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(8))
+    family = spark.createDataFrame(
+        [(i, base + f" tail{i}") for i in range(5)], "doc_id long, text string"
+    )
+    idx = D.build_dedup_index(family, "doc_id", "text")
+    inc = spark.createDataFrame(
+        [(100, " ".join(f"z{i} y{i} x{i}" for i in range(8)))],
+        "doc_id long, text string",
+    )
+    acc, _ = D.incremental_dedup(
+        inc, idx, "doc_id", "text", threshold=0.7, max_band_bucket=2
+    )
+    with pytest.raises(Exception, match="max_band_bucket"):
+        acc.collect()
+    # the default cap admits the same family; the fresh doc passes
+    ok, _ = D.incremental_dedup(inc, idx, "doc_id", "text", threshold=0.7)
+    assert {r["doc_id"] for r in ok.collect()} == {100}
+
+
+def test_build_dedup_index_scans_corpus_once(spark, sf_dir):
+    """The docstring's 'text is read ONCE' is a plan property: content hash
+    rides the signature aggregation (min over its constant-per-doc value),
+    so the physical plan holds exactly one scan of the documents table —
+    not a hash projection joined back to a shingle aggregation."""
+    from databricks_feature_store_flight_school_spark.operators import dedup as D
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = D.build_dedup_index(docs, "doc_id", "text")
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    n_scans = sum(1 for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan" in ln)
+    assert n_scans == 1, plan
+    # and the one-scan rewrite still signs + hashes correctly
+    row = idx.where(F.col("sig").isNotNull()).first()
+    assert row is not None and len(row["sig"]) == 64 and row["content_hash"]
+
+
 def test_percentile_approx_error_bound(spark, sf_dir):
     """q_percentile_approx's pin: Spark guarantees percentile_approx's RANK
     error <= n/accuracy.  At accuracy=10000 (the catalog setting) verify the

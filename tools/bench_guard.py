@@ -31,7 +31,11 @@ observed same-code total was 1.42x the pin — while a systemic regression
 (conf change, session default, codegen loss) moves every query at once.
 
 Re-pin deliberately: run ``python tools/bench_guard.py --repin`` on a quiet
-host after an intentional perf trade, and say why in the commit.
+host after an intentional perf trade, and say why in the commit.  The pin
+is a RATCHET in the other direction: any per-query or total value a fresh
+passing run beats by >10% is tightened automatically (``maybe_ratchet``),
+so a one-time slow-host re-pin cannot permanently widen the envelope — the
+next fast run narrows it back.
 """
 
 from __future__ import annotations
@@ -52,6 +56,10 @@ TOTAL_RATIO = 1.6
 #: and never above this cap (an implausibly slow probe should fail loudly,
 #: not stretch the envelope without bound)
 MAX_HOST_FACTOR = 2.5
+#: ratchet threshold: a fresh passing value below this fraction of its pin
+#: tightens the pin (one-way — the envelope can only shrink automatically;
+#: loosening stays a deliberate --repin)
+RATCHET_FACTOR = 0.9
 
 #: deliberate per-query regressions: name -> reason (mirrors
 #: eager_audit.EAGER_BUILD_WHITELIST — an entry here must explain the
@@ -119,22 +127,64 @@ def check_result(result: dict, pinned: dict | None = None) -> tuple[list[str], l
             )
         else:
             lines.append(f"ok    {name}: {got:.3f}s (pin {base:.3f}s)")
-    total = result[f"value_{stat}"] if f"value_{stat}" in result else result["value_median"]
-    pinned_total = pinned.get(f"total_{stat}", pinned["total_median"])
+    # keep BOTH sides of the total check on the SAME statistic: min is
+    # systematically below median, so comparing a fresh min against a pinned
+    # median would quietly loosen the systemic-slowdown guard — if either
+    # side lacks the min total, fall back to median-vs-median
+    stat_t = (
+        stat if (f"total_{stat}" in pinned and f"value_{stat}" in result) else "median"
+    )
+    total = result[f"value_{stat_t}"]
+    pinned_total = pinned[f"total_{stat_t}"]
     tlimit = TOTAL_RATIO * pinned_total * host_factor
     if total > tlimit:
         failures.append("__total__")
         lines.append(
-            f"FAIL  total {stat} {total:.3f}s > {tlimit:.3f}s "
+            f"FAIL  total {stat_t} {total:.3f}s > {tlimit:.3f}s "
             f"(= {TOTAL_RATIO}x pinned {pinned_total:.3f}s) — "
             f"systemic slowdown: check session confs / codegen before "
             f"blaming the host"
         )
     else:
         lines.append(
-            f"ok    total {stat} {total:.3f}s (pin {pinned_total:.3f}s)"
+            f"ok    total {stat_t} {total:.3f}s (pin {pinned_total:.3f}s)"
         )
     return failures, lines
+
+
+def maybe_ratchet(result: dict, pinned: dict) -> list[str]:
+    """One-way tightening (round 9): any pinned per-query or total
+    min/median that a fresh PASSING run beats by >10% is written down to
+    the fresh value, and the pinned calibration follows the fastest host
+    seen.  The round-8 re-pin baked in a slow host and the host factor
+    clamps at >=1.0, so without this the envelope could only ever loosen —
+    a ~20% real regression fit inside the pin.  Returns the list of
+    tightened entries (empty = pin untouched); the caller persists."""
+    tightened: list[str] = []
+    if float(result.get("sf", -1)) != float(pinned.get("sf", -2)):
+        return tightened
+    for stat in ("median", "min"):
+        qkey = f"queries_{stat}"
+        if qkey in result and qkey in pinned:
+            for name, base in pinned[qkey].items():
+                got = result[qkey].get(name)
+                if got is not None and got < RATCHET_FACTOR * base:
+                    pinned[qkey][name] = got
+                    tightened.append(f"{name}[{stat}] {base:.3f} -> {got:.3f}")
+        tkey, vkey = f"total_{stat}", f"value_{stat}"
+        if tkey in pinned and vkey in result and result[vkey] < RATCHET_FACTOR * pinned[tkey]:
+            tightened.append(f"total[{stat}] {pinned[tkey]:.3f} -> {result[vkey]:.3f}")
+            pinned[tkey] = result[vkey]
+    if tightened and result.get("calib_sec") and (
+        not pinned.get("calib_sec") or result["calib_sec"] < pinned["calib_sec"]
+    ):
+        # the tightest numbers came from this (faster) host — the pinned
+        # calibration must describe it, or future host factors under-scale
+        tightened.append(
+            f"calib_sec {pinned.get('calib_sec')} -> {result['calib_sec']}"
+        )
+        pinned["calib_sec"] = result["calib_sec"]
+    return tightened
 
 
 def main() -> int:
@@ -164,6 +214,12 @@ def main() -> int:
         return 0
     failures, lines = check_result(result)
     print("\n".join(lines))
+    if not failures:
+        pinned = json.loads(PINNED_FILE.read_text())
+        tightened = maybe_ratchet(result, pinned)
+        if tightened:
+            PINNED_FILE.write_text(json.dumps(pinned, indent=2) + "\n")
+            print("ratchet: tightened " + "; ".join(tightened))
     return 1 if failures else 0
 
 

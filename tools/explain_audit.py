@@ -14,12 +14,16 @@ Three plan classes are ENFORCED, not just reported:
    be whitelisted WITH the boundedness reason; an entity- or
    fact-cardinality global window fails the audit (exit 1) — that is the
    single-task sort that kills a query at 100 TB.
-2. **Broadcast nested-loop joins** — boundedness is PROVEN from the plan
-   itself: the audit walks to each BNLJ node and inspects its build-side
-   subtree for a grouping-key-less aggregate (a 1-row corpus scalar), a
-   limit, or a literal LocalTableScan.  A BNLJ whose broadcast side is none
-   of those is a scan-sized broadcast — an OOM at 100x — and fails unless
-   named in BNLJ_WHITELIST with the reason its build side is bounded.
+2. **Broadcast nested-loop joins** — boundedness is PROVEN structurally
+   (round 9): a bottom-up bounded-rows property over node TYPES.  Bounded
+   roots are limits, grouping-key-less aggregates (1-row corpus scalars),
+   and driver-materialized literal scans; row-preserving operators
+   (project/filter/sort/exchange/window) propagate the property; joins and
+   unions are bounded only when EVERY input is; ReusedExchange only if the
+   exchange it references is itself proven bounded.  A marker string deep
+   inside an otherwise scan-sized subtree (the round-8 substring scan's
+   blind spot) no longer counts.  Anything unproven fails unless named in
+   BNLJ_WHITELIST with the reason its build side is bounded.
 3. **Row-at-a-time Python** (BatchEvalPython) — fails unconditionally; the
    engine's Python surface is Arrow-batched (pandas UDFs, Arrow-optimized
    UDTFs), and a silent fallback to pickled rows is a 10-100x throughput
@@ -91,20 +95,80 @@ BNLJ_WHITELIST: dict[str, str] = {
 #: Deliberately empty: every Python boundary in the engine is Arrow-batched.
 PYTHON_ROW_WHITELIST: dict[str, str] = {}
 
-#: build-side subtree markers that PROVE the broadcast is bounded:
-#: a grouping-key-less aggregate is exactly 1 row; any limit caps the rows;
-#: LocalTableScan / Scan ExistingRDD are driver-materialized literal tables
-#: (createDataFrame data already lives in driver memory, so broadcasting it
-#: cannot OOM beyond what the driver held); ReusedExchange points at an
-#: exchange already audited in the same plan.
-_BOUNDED_BUILD_MARKERS = (
-    "keys=[]",
-    "Limit",
-    "TakeOrderedAndProject",
-    "LocalTableScan",
-    "Scan ExistingRDD",
-    "ReusedExchange",
+#: node classes for the STRUCTURAL bounded-rows proof (round 9 — replaces
+#: the substring-marker scan, which a scan-sized build could fool by merely
+#: CONTAINING a bounded node somewhere in its subtree, e.g. a full table
+#: joined to a 1-row aggregate):
+#: limits bound their output regardless of input
+_LIMIT_NODES = {"LocalLimit", "GlobalLimit", "TakeOrderedAndProject", "CollectLimit"}
+#: driver-materialized literal leaves (createDataFrame data already lives in
+#: driver memory, so broadcasting cannot OOM beyond what the driver held)
+_BOUNDED_LEAF_PREFIXES = ("LocalTableScan", "Scan ExistingRDD", "EmptyRelation")
+#: 1:1-or-fewer operators: output rows <= input rows, so boundedness
+#: propagates up from the child
+_ROW_PRESERVING_PREFIXES = (
+    "Project",
+    "Filter",
+    "Sort",
+    "Exchange",
+    "BroadcastExchange",
+    "Coalesce",
+    "WholeStageCodegen",
+    "InputAdapter",
+    "ColumnarToRow",
+    "Window",
+    "Expand",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "BroadcastQueryStage",
 )
+
+
+def _children_bounded(n) -> bool:
+    size = n.children().size()
+    if size == 0:
+        return False
+    return all(_node_bounded(n.children().apply(i)) for i in range(size))
+
+
+def _node_bounded(n) -> bool:
+    """Bottom-up bounded-rows property over physical node TYPES: a subtree
+    is bounded only when the bounding node sits at its root or provably
+    propagates there — never because a marker string appears somewhere
+    inside (the round-8 substring scan falsely cleared a scan-sized build
+    that merely contained 'keys=[]' deep in a joined branch)."""
+    name = n.nodeName()
+    if name in _LIMIT_NODES or "Limit" in name:
+        return True
+    if any(name.startswith(p) for p in _BOUNDED_LEAF_PREFIXES):
+        return True
+    if "Aggregate" in name:
+        # a grouping-key-less aggregate emits 1 row (partial: 1/partition);
+        # a keyed aggregate emits <= its input's rows
+        try:
+            if n.groupingExpressions().isEmpty():
+                return True
+        except Exception:  # pragma: no cover - non-aggregate lookalike
+            pass
+        return _children_bounded(n)
+    if name == "ReusedExchange":
+        # bounded ONLY if the exchange it references is itself proven
+        # bounded — pointing at an un-audited broadcast is not a proof
+        try:
+            return _node_bounded(n.child())
+        except Exception:  # pragma: no cover - accessor drift across versions
+            return False
+    if "Join" in name or name == "CartesianProduct":
+        # |out| <= |left| x |right|: bounded x bounded stays bounded;
+        # anything x unbounded is not (conservative for semi/anti)
+        return _children_bounded(n)
+    if name == "Union":
+        return _children_bounded(n)
+    if any(name.startswith(p) for p in _ROW_PRESERVING_PREFIXES):
+        return _children_bounded(n)
+    # unknown nodes — file scans, Range, Generate (data-dependent fan-out) —
+    # are unbounded by default
+    return False
 
 
 def _physical_root(df):
@@ -127,16 +191,16 @@ def _iter_nodes(node):
 
 def unbounded_bnlj_sides(df) -> list[str]:
     """Build-side subtree head lines for every BroadcastNestedLoopJoin whose
-    broadcast input the prover cannot show is bounded."""
+    broadcast input the structural prover (:func:`_node_bounded`) cannot
+    show is bounded."""
     bad: list[str] = []
     for n in _iter_nodes(_physical_root(df)):
         if n.nodeName() != "BroadcastNestedLoopJoin":
             continue
         build_right = "Right" in n.buildSide().toString()
         build = n.children().apply(1 if build_right else 0)
-        subtree = build.toString()
-        if not any(m in subtree for m in _BOUNDED_BUILD_MARKERS):
-            bad.append(subtree.splitlines()[0].strip())
+        if not _node_bounded(build):
+            bad.append(build.toString().splitlines()[0].strip())
     return bad
 
 
