@@ -317,6 +317,12 @@ def build_dedup_index(
 
     ``sig`` is null for documents with fewer than ``k`` tokens (no shingles
     to sign) — those participate in the exact layer only.
+
+    For an auditable ingestion log, register this frame as a feature table
+    keyed on ``id_col`` and merge each increment's accepted index rows:
+    the versioned history + change feed then record which increment
+    admitted which document, replayable by time travel
+    (tests/test_featurestore.py::test_dedup_index_as_feature_table_lineage).
     """
     sh = corpus.select(
         F.col(id_col),

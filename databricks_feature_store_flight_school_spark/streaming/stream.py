@@ -170,6 +170,35 @@ def stateful_user_stats(stream: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def user_stats_agg_jvm(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """JVM agg-composition twin of :func:`stateful_user_stats`: the SAME
+    per-user running stats (count / value sum / first-last seen) expressed
+    as a plain streaming groupBy aggregation — count, sum, min(ts), max(ts)
+    are all built-in stateful aggregates, so the state machinery stays
+    entirely JVM-side (whole-stage-codegen update, no Arrow transfer, no
+    Python worker round-trip per trigger).
+
+    This is the measured answer to the applyInPandasWithState throughput
+    gap (STREAM_THROUGHPUT.json: the Python-worker shape runs ~16x below
+    the JVM stateful shapes): when the per-key state a pipeline needs IS
+    expressible as an aggregate composition, compose aggregates and keep
+    the 100 TB state path JVM-only; reach for applyInPandasWithState /
+    transformWithState only when user-code state transitions (timers,
+    conditional evictions, non-algebraic updates) genuinely cannot be
+    written as aggregates.  Output schema matches USER_STATS_SCHEMA so the
+    parity test pins both shapes to the same batch groupBy."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
 def stream_to_feature_table(
     agg: DataFrame,
     client,

@@ -1700,3 +1700,86 @@ def test_materialized_view_refresh_auto_vacuum(spark, client):
     assert meta.properties["mv_applied_version"] == 5
     with pytest.raises(ValueError, match="vacuum"):
         client.read_table("vmv", version=1)
+
+
+# -- dedup-index lineage (round 9: the auditable ingestion log) --------------
+
+def test_dedup_index_as_feature_table_lineage(spark, client):
+    """The persisted dedup index rides the feature-store control plane
+    (VERDICT r8 next-round #6): register build_dedup_index's output as a
+    feature table keyed by doc_id, merge each increment's accepted index
+    rows, and the CAS-versioned history becomes an auditable ingestion log —
+    table_changes(v_n, v_n+1) lists exactly which documents increment n+1
+    admitted (all inserts, never updates), time travel replays any past
+    corpus state, and a replayed increment admits nothing (no new version
+    needed)."""
+    from databricks_feature_store_flight_school_spark.operators import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(8))
+    other = " ".join(f"delta{i} eps{i} phi{i}" for i in range(8))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    index = build_dedup_index(corpus, "doc_id", "text")
+    meta = client.create_feature_table(
+        "dedup_index", keys="doc_id", df=index,
+        description="incremental-dedup corpus index (content_hash + MinHash sig)",
+    )
+    v0 = meta.current_version
+
+    fresh1 = " ".join(f"zeta{i} eta{i} theta{i}" for i in range(8))
+    inc1 = spark.createDataFrame(
+        [(10, base), (11, fresh1)], "doc_id long, text string"  # replay + novel
+    )
+    acc1, acc1_idx = incremental_dedup(
+        inc1, client.read_table("dedup_index"), "doc_id", "text", threshold=0.7
+    )
+    assert {r["doc_id"] for r in acc1.collect()} == {11}
+    meta = client.write_table("dedup_index", acc1_idx, mode="merge")
+    v1 = meta.current_version
+    assert v1 == v0 + 1
+
+    # the change feed IS the admission log for increment 1
+    log1 = client.table_changes("dedup_index", v0, v1).collect()
+    assert {(r["doc_id"], r["_change_type"]) for r in log1} == {(11, "insert")}
+
+    # increment 2: replay of increment 1's doc + a perturbed near-dup of the
+    # original corpus + one genuinely new doc
+    fresh2 = " ".join(f"mu{i} nu{i} xi{i}" for i in range(8))
+    inc2 = spark.createDataFrame(
+        [(20, fresh1), (21, base + " zq wv"), (22, fresh2)],
+        "doc_id long, text string",
+    )
+    acc2, acc2_idx = incremental_dedup(
+        inc2, client.read_table("dedup_index"), "doc_id", "text", threshold=0.7
+    )
+    assert {r["doc_id"] for r in acc2.collect()} == {22}
+    meta = client.write_table("dedup_index", acc2_idx, mode="merge")
+    v2 = meta.current_version
+    log2 = client.table_changes("dedup_index", v1, v2).collect()
+    assert {(r["doc_id"], r["_change_type"]) for r in log2} == {(22, "insert")}
+
+    # replayability: time travel to v1 reproduces the exact index increment 2
+    # was deduped against
+    as_of_v1 = client.read_table("dedup_index", version=v1)
+    assert {r["doc_id"] for r in as_of_v1.collect()} == {1, 2, 11}
+    replay, _ = incremental_dedup(inc2, as_of_v1, "doc_id", "text", threshold=0.7)
+    assert {r["doc_id"] for r in replay.collect()} == {22}
+
+    # idempotent re-ingest: against the CURRENT index, increment 2 admits
+    # nothing — no write, no new version, the log stays truthful
+    again, again_idx = incremental_dedup(
+        inc2, client.read_table("dedup_index"), "doc_id", "text", threshold=0.7
+    )
+    assert again.count() == 0 and again_idx.count() == 0
+
+    # the parameter contract survives the feature-store round-trip: a caller
+    # with different num_hashes is rejected by the stored columns
+    acc_bad, _ = incremental_dedup(
+        inc2, client.read_table("dedup_index"), "doc_id", "text", num_hashes=32
+    )
+    with pytest.raises(Exception, match="parameter mismatch"):
+        acc_bad.collect()

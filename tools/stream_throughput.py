@@ -35,6 +35,7 @@ from databricks_feature_store_flight_school_spark.streaming.stream import (  # n
     stateful_user_stats,
     streaming_dedup,
     streaming_window_counts,
+    user_stats_agg_jvm,
 )
 
 
@@ -66,6 +67,14 @@ def main() -> None:
     shapes = {
         "stateful_user_stats": (
             stateful_user_stats(read_event_stream(spark, sf_dir), watermark="100 hours"),
+            "update",
+        ),
+        # the JVM agg-composition twin of the same per-user stats: measures
+        # what the Python-worker boundary costs when the state IS an
+        # aggregate composition (the 100 TB default; reach for
+        # applyInPandasWithState only for non-algebraic state)
+        "user_stats_agg_jvm": (
+            user_stats_agg_jvm(read_event_stream(spark, sf_dir), watermark="100 hours"),
             "update",
         ),
         "window_counts": (
