@@ -301,13 +301,23 @@ def build_dedup_index(
     shingle_k)``.
 
     This is what makes dedup affordable on a growing 100 TB corpus: the
-    corpus text is scanned ONCE when the index is built (content hash and
-    shingles come out of the same projection; the hash rides the signature
-    aggregation as a ``min`` over its constant-per-doc value, so no second
-    scan and no re-join); every later increment dedups against these
-    fixed-width rows (32-byte hash + num_hashes bigints) instead of
-    re-shingling the corpus.  Persist it bucketed by ``content_hash``
-    (``operators/skew.write_bucketed``) for an Exchange-free exact layer.
+    corpus text is read only at index-build time; every later increment
+    dedups against these fixed-width rows (32-byte hash + num_hashes
+    bigints) instead of re-shingling the corpus.  Persist it bucketed by
+    ``content_hash`` (``operators/skew.write_bucketed``) for an
+    Exchange-free exact layer.
+
+    Plan shape — TWO columnar scans of (id, text), deliberately: the hash
+    projection and the shingle/signature aggregation each read the corpus
+    and join by id (linear; AQE broadcasts the fixed-width hash side).
+    The tempting single-scan form — carrying content_hash through the
+    shingle explode into the signature groupBy — measured 2.3–2.7×
+    SLOWER on the sf10 corpus (the 64-min aggregate went 48 s → 134–156 s
+    the moment a ``min(string)`` joined its buffer): a var-length field in
+    the aggregation buffer knocks HashAggregate off its fixed-width
+    UnsafeRow fast path, which costs far more than one extra two-column
+    scan's I/O at any scale.  (The guarded mins and ``explode_outer``
+    were measured free; only the string in the buffer mattered.)
 
     The build parameters ship WITH the index as constant columns
     (:data:`DEDUP_INDEX_PARAM_COLS` — parquet RLE makes them ~free);
@@ -324,30 +334,14 @@ def build_dedup_index(
     admitted which document, replayable by time travel
     (tests/test_featurestore.py::test_dedup_index_as_feature_table_lineage).
     """
-    sh = corpus.select(
-        F.col(id_col),
-        content_hash(text_col).alias("__chash"),
-        F.explode_outer(word_shingles(text_col, k)).alias("__shingle"),
+    hashes = corpus.select(
+        F.col(id_col), content_hash(text_col).alias("content_hash")
     )
-    agg = sh.groupBy(id_col).agg(
-        F.min("__chash").alias("content_hash"),
-        *[
-            F.min(
-                F.when(
-                    F.col("__shingle").isNotNull(),
-                    F.xxhash64(F.lit(i), F.col("__shingle")),
-                )
-            ).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ],
-    )
-    return agg.select(
+    sigs = minhash_signatures_df(corpus, id_col, text_col, num_hashes, k)
+    return hashes.join(sigs, id_col, "left").select(
         F.col(id_col),
         "content_hash",
-        F.when(
-            F.col("__m0").isNotNull(),
-            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]),
-        ).alias("sig"),
+        "sig",
         F.lit(num_hashes).alias("minhash_num_hashes"),
         F.lit(k).alias("shingle_k"),
     )
