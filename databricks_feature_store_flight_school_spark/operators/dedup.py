@@ -501,8 +501,9 @@ def incremental_dedup(
     batch side is small relative to the corpus, so AQE broadcasts it and
     the index streams through map-side — no corpus-sized shuffle anywhere.
     Candidate pairs carry bare ids; signatures re-attach by id.  The
-    index's band keys are derived per run (one linear projection) unless a
-    persisted table built by :func:`index_band_keys` is passed as
+    index's band keys are derived per run (linear passes — twice when the
+    bucket cap is on, once for its counts) unless a persisted table built
+    by :func:`index_band_keys` is passed as
     ``index_bands`` — bucket it by (band, bucket) via
     operators/skew.write_bucketed and the candidate join's index side runs
     with no Exchange at all (its ``lsh_bands``/``minhash_num_hashes``

