@@ -198,6 +198,21 @@ def test_bucketed_index_exchange_free_at_sf01(spark):
     assert not any(1_000_000 <= i < 2_000_000 for i in got)
 
 
+def test_band_bucket_cap_is_result_neutral_when_not_tripped(spark, dedup_fixture):
+    """max_band_bucket only ever RAISES — it must never change which rows
+    are accepted.  Same increment with the cap disabled, at the default,
+    and at a tight-but-not-tripped value: identical accepted sets."""
+    corpus, inc = dedup_fixture
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+    runs = []
+    for cap in (None, 20_000, 16):
+        accepted, _ = D.incremental_dedup(
+            inc, index, "doc_id", "text", threshold=0.7, max_band_bucket=cap
+        )
+        runs.append({r["doc_id"] for r in accepted.collect()})
+    assert runs[0] == runs[1] == runs[2] == {12}
+
+
 def test_index_band_keys_match_derived_band_keys(spark, dedup_fixture):
     """The persisted band-key table must be byte-identical to the band keys
     incremental_dedup derives per run — the slice width comes from the

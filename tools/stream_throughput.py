@@ -6,8 +6,10 @@ Why this exists: the batch scale sweeps (SCALING.md) show the relational
 and LLM-pipeline operators travel linearly to sf10, but said nothing about
 the STREAMING operators' state machinery — the part that behaves
 differently at scale (per-key state reads/writes against the store on
-every micro-batch).  This probe runs the three stateful shapes —
-applyInPandasWithState per-user stats, windowed agg, and
+every micro-batch).  This probe runs four stateful shapes —
+applyInPandasWithState per-user stats, its JVM agg-composition twin
+(user_stats_agg_jvm — identical output, parity-pinned; the pair prices
+the Python-worker boundary), windowed agg, and
 dropDuplicatesWithinWatermark — to completion over the bounded replay
 (Trigger.AvailableNow) with RocksDB serving the state (the 100 TB backend:
 executor-local disk, changelog-checkpointable), and reports wall seconds +
