@@ -217,51 +217,73 @@ def test_guard_total_check_never_mixes_statistics():
     assert any("total median" in ln for ln in lines)
 
 
-def test_ratchet_tightens_beaten_pins_one_way():
-    """maybe_ratchet: entries a passing run beats by >10% tighten to the
-    fresh value (including totals and the calibration), slower or
-    near-equal entries stay, and an sf mismatch never ratchets."""
+def test_ratchet_is_host_normalized_and_needs_two_sightings():
+    """maybe_ratchet (round-10 semantics, ADVICE r9): candidates are
+    converted to PIN-HOST units via the calibration ratio, park in
+    pending_ratchet on first sighting, and land only when a second passing
+    run confirms — at the more conservative (larger) of the two values.
+    calib_sec never changes (pins keep one provenance); runs without a
+    calibration on either side never ratchet; an unconfirmed pending entry
+    is cleared by a run that doesn't reproduce it."""
     sys.path.insert(0, str(REPO / "tools"))
     import bench_guard
 
     pinned = {
         "sf": 0.1,
         "queries_median": {"q_a": 1.0, "q_b": 1.0},
-        "queries_min": {"q_a": 0.8, "q_b": 0.8},
         "total_median": 2.0,
-        "total_min": 1.6,
         "calib_sec": 0.2,
     }
-    run = {
+    # host 2x FASTER than the pin host (calib 0.1): raw q_a=0.3 normalizes
+    # to 0.6 — still beats 0.9, but only parks as pending on first sight
+    run1 = {
         "sf": 0.1,
-        "queries_median": {"q_a": 0.5, "q_b": 0.95},  # q_a beats, q_b within 10%
-        "queries_min": {"q_a": 0.4, "q_b": 0.81},
-        "value_median": 1.45,
-        "value_min": 1.21,
-        "calib_sec": 0.15,
+        "queries_median": {"q_a": 0.3, "q_b": 0.95},
+        "value_median": 1.25,
+        "calib_sec": 0.1,
     }
-    tightened = bench_guard.maybe_ratchet(run, pinned)
-    assert pinned["queries_median"]["q_a"] == 0.5
-    assert pinned["queries_median"]["q_b"] == 1.0  # within 10%: untouched
-    assert pinned["queries_min"]["q_a"] == 0.4
-    assert pinned["total_median"] == 1.45
-    assert pinned["total_min"] == 1.21
-    assert pinned["calib_sec"] == 0.15  # fastest host seen
-    assert len(tightened) == 5
+    notes = bench_guard.maybe_ratchet(run1, pinned)
+    assert pinned["queries_median"]["q_a"] == 1.0  # not yet
+    assert pinned["pending_ratchet"]["q_a[median]"] == pytest.approx(0.6)
+    # q_b raw 0.95 normalizes to 1.9 -> not a candidate; total 1.25 -> 2.5
+    # normalized -> not a candidate either
+    assert [n for n in notes if n.startswith("pending q_a")] and len(notes) == 1
 
-    # one-way: a slower run changes nothing
-    before = {k: (dict(v) if isinstance(v, dict) else v) for k, v in pinned.items()}
-    slow = {
+    # second sighting on the pin host itself (factor 1.0): confirms at the
+    # LARGER of the two normalized sightings
+    run2 = {
         "sf": 0.1,
-        "queries_median": {"q_a": 0.9, "q_b": 1.4},
-        "queries_min": {"q_a": 0.7, "q_b": 1.2},
-        "value_median": 2.3,
-        "value_min": 1.9,
-        "calib_sec": 0.3,
+        "queries_median": {"q_a": 0.7, "q_b": 1.0},
+        "value_median": 1.9,  # >= 0.9 * pinned total: not a total candidate
+        "calib_sec": 0.2,
     }
-    assert bench_guard.maybe_ratchet(slow, pinned) == []
+    notes = bench_guard.maybe_ratchet(run2, pinned)
+    assert pinned["queries_median"]["q_a"] == pytest.approx(0.7)
+    assert "pending_ratchet" not in pinned
+    assert any("confirmed twice" in n for n in notes)
+
+    # a lucky one-off that the next run does NOT reproduce gets cleared
+    lucky = dict(
+        run1, queries_median={"q_a": 0.2, "q_b": 1.0}, value_median=1.95, calib_sec=0.2
+    )
+    bench_guard.maybe_ratchet(lucky, pinned)
+    assert "q_a[median]" in pinned["pending_ratchet"]
+    normal = dict(run2, queries_median={"q_a": 0.69, "q_b": 1.0})
+    notes = bench_guard.maybe_ratchet(normal, pinned)
+    assert "pending_ratchet" not in pinned
+    assert any("not reproduced" in n for n in notes)
+    assert pinned["queries_median"]["q_a"] == pytest.approx(0.7)  # unchanged
+
+    # calibration provenance is immutable under ratcheting
+    assert pinned["calib_sec"] == 0.2
+
+    # no calibration on the fresh run -> no ratcheting at all
+    before = {k: (dict(v) if isinstance(v, dict) else v) for k, v in pinned.items()}
+    nocal = {"sf": 0.1, "queries_median": {"q_a": 0.1}, "value_median": 0.1}
+    assert bench_guard.maybe_ratchet(nocal, pinned) == []
     assert pinned == before
 
     # sf mismatch: never ratchet across scales
-    other = dict(run, sf=0.01)
-    assert bench_guard.maybe_ratchet(other, before) == []
+    other = dict(run2, sf=0.01)
+    assert bench_guard.maybe_ratchet(other, pinned) == []
+    assert pinned == before

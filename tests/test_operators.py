@@ -748,6 +748,39 @@ def test_connected_components_warns_on_max_iter(spark):
     assert not [w for w in caught2 if issubclass(w.category, RuntimeWarning)]
 
 
+def test_connected_components_one_action_per_superstep(spark, monkeypatch):
+    """Driver chattiness pin (VERDICT r9 #4): the loop issues exactly ONE
+    driver action per superstep — the convergence sum rides the same
+    action that populates the round's cache / materializes the lazy
+    checkpoint; there is no initial-sum action and no eager periodic
+    checkpoint action.  (Spark JOB ids are not the metric: AQE submits one
+    job per shuffle stage within an action, which is pipeline progress,
+    not a driver round-trip.)  A chain 0-..-8 converges in 8 label-moving
+    rounds + 1 no-change round = 9 supersteps = 9 collects (the old shape
+    issued 13: +1 initial sum, +3 eager periodic checkpoints)."""
+    from databricks_feature_store_flight_school_spark.operators.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame([Row(src=i, dst=i + 1) for i in range(8)])
+    # patch the CONCRETE class (pyspark.sql.DataFrame is an abstract base in
+    # Spark 4; instances resolve collect on the classic subclass)
+    cls = type(chain)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting_collect)
+    result = connected_components(chain, checkpoint_every=3)
+    inner = calls["n"]
+    got = sorted((r["node"], r["component"]) for r in orig(result))
+    assert got == [(i, 0) for i in range(9)]
+    assert inner == 9, f"expected 9 driver actions (1/superstep), got {inner}"
+
+
 def test_freq_items_sketch_covers_exact_heavy_hitters(spark, sf_dir):
     """Spark's single-pass approximate frequent-items sketch
     (DataFrame.stat.freqItems, Karp-Papadimitriou-Shenker) must contain every

@@ -153,38 +153,75 @@ def check_result(result: dict, pinned: dict | None = None) -> tuple[list[str], l
 
 
 def maybe_ratchet(result: dict, pinned: dict) -> list[str]:
-    """One-way tightening (round 9): any pinned per-query or total
-    min/median that a fresh PASSING run beats by >10% is written down to
-    the fresh value, and the pinned calibration follows the fastest host
-    seen.  The round-8 re-pin baked in a slow host and the host factor
-    clamps at >=1.0, so without this the envelope could only ever loosen —
-    a ~20% real regression fit inside the pin.  Returns the list of
-    tightened entries (empty = pin untouched); the caller persists."""
-    tightened: list[str] = []
+    """One-way tightening (round 9; host-normalized + persistence round 10):
+    a pinned per-query or total min/median tightens when a fresh PASSING
+    run beats it by >10% in PIN-HOST units, and only after the improvement
+    PERSISTS across two runs.  The round-8 re-pin baked in a slow host and
+    the host factor clamps at >=1.0, so without the ratchet the envelope
+    could only ever loosen — a ~20% real regression fit inside the pin.
+
+    Two round-9 flaws fixed here (ADVICE r9):
+
+    - **Host normalization.**  Raw tightening let a fast host write its raw
+      values under the (slow) pinned calibration, and repeated ratcheting
+      converged the pin to the all-time luckiest host×rep.  Candidates are
+      now converted to pin-host units (``got * pinned_calib /
+      result_calib``, factor clamped to [1/MAX_HOST_FACTOR,
+      MAX_HOST_FACTOR]) and the STORED value keeps those units, so
+      ``calib_sec`` never mixes provenance — it only changes on a
+      deliberate ``--repin``.  Runs missing a calibration on either side
+      don't ratchet at all.
+    - **Noise floor.**  Same-code per-query values span a 1.0-2.0x band on
+      this shared host, so a single lucky rep must not become the pin: a
+      candidate is parked in ``pending_ratchet`` and only lands when a
+      SECOND passing run independently beats the 10% bar — at the LARGER
+      (more conservative) of the two sightings.  A run that doesn't
+      confirm a pending candidate clears it.
+
+    Returns a list describing tightened and newly-pending entries (empty =
+    pin file untouched); the caller persists on any non-empty return."""
+    changed: list[str] = []
     if float(result.get("sf", -1)) != float(pinned.get("sf", -2)):
-        return tightened
+        return changed
+    if not (pinned.get("calib_sec") and result.get("calib_sec")):
+        return changed  # can't normalize -> don't ratchet on raw values
+    factor = pinned["calib_sec"] / result["calib_sec"]
+    factor = min(max(factor, 1.0 / MAX_HOST_FACTOR), MAX_HOST_FACTOR)
+    pending: dict[str, float] = pinned.setdefault("pending_ratchet", {})
+
+    def consider(key: str, base: float, raw: float | None) -> float | None:
+        """Returns the new pin value if ``key`` tightens this run."""
+        if raw is None:
+            return None
+        norm = raw * factor
+        if norm >= RATCHET_FACTOR * base:
+            if pending.pop(key, None) is not None:
+                changed.append(f"pending-clear {key} (not reproduced)")
+            return None
+        prev = pending.pop(key, None)
+        if prev is None:
+            pending[key] = norm
+            changed.append(f"pending {key} {base:.3f} -> {norm:.3f} (needs 2nd run)")
+            return None
+        new = max(norm, prev)  # conservative of the two sightings
+        changed.append(f"{key} {base:.3f} -> {new:.3f} (confirmed twice)")
+        return new
+
     for stat in ("median", "min"):
         qkey = f"queries_{stat}"
         if qkey in result and qkey in pinned:
             for name, base in pinned[qkey].items():
-                got = result[qkey].get(name)
-                if got is not None and got < RATCHET_FACTOR * base:
-                    pinned[qkey][name] = got
-                    tightened.append(f"{name}[{stat}] {base:.3f} -> {got:.3f}")
+                new = consider(f"{name}[{stat}]", base, result[qkey].get(name))
+                if new is not None:
+                    pinned[qkey][name] = new
         tkey, vkey = f"total_{stat}", f"value_{stat}"
-        if tkey in pinned and vkey in result and result[vkey] < RATCHET_FACTOR * pinned[tkey]:
-            tightened.append(f"total[{stat}] {pinned[tkey]:.3f} -> {result[vkey]:.3f}")
-            pinned[tkey] = result[vkey]
-    if tightened and result.get("calib_sec") and (
-        not pinned.get("calib_sec") or result["calib_sec"] < pinned["calib_sec"]
-    ):
-        # the tightest numbers came from this (faster) host — the pinned
-        # calibration must describe it, or future host factors under-scale
-        tightened.append(
-            f"calib_sec {pinned.get('calib_sec')} -> {result['calib_sec']}"
-        )
-        pinned["calib_sec"] = result["calib_sec"]
-    return tightened
+        if tkey in pinned and vkey in result:
+            new = consider(f"total[{stat}]", pinned[tkey], result[vkey])
+            if new is not None:
+                pinned[tkey] = new
+    if not pending:
+        pinned.pop("pending_ratchet", None)
+    return changed
 
 
 def main() -> int:
@@ -209,6 +246,7 @@ def main() -> int:
         pinned["total_min"] = result["value_min"]
         pinned["sf"] = result["sf"]
         pinned["calib_sec"] = result["calib_sec"]
+        pinned.pop("pending_ratchet", None)  # fresh provenance, fresh slate
         PINNED_FILE.write_text(json.dumps(pinned, indent=2) + "\n")
         print(f"re-pinned {PINNED_FILE} at total median {result['value_median']}s")
         return 0

@@ -6,11 +6,10 @@ order-insensitive value multiset.  Use while iterating:
 
     python tools/check_oracle.py [sf_dir] [query ...] [--skip=query ...]
 
-``--skip=`` exists for the documented sf1+ sweep split: q_fuzzy_part_match's
-deliberately-NAIVE DuckDB twin alone is ~45 min of levenshteins at sf1
-(BASELINE.md), so scale sweeps run the catalog with ``--skip=
-q_fuzzy_part_match`` and verify that one query in its own invocation.
-For sf1+ also set ORACLE_SHUFFLE_PARTITIONS=32 (see below).
+``--skip=`` remains available for ad-hoc splits, but no query needs it any
+more: q_fuzzy_part_match's twin grouped distinct names in round 10 (16.5 s
+at sf1, was ~45 min naive), so full-catalog sweeps at every SF are one
+invocation.  For sf1+ set ORACLE_SHUFFLE_PARTITIONS=32 (see below).
 """
 
 from __future__ import annotations
