@@ -402,27 +402,18 @@ def index_band_keys(
     )
 
 
-def _cap_band_buckets(
-    bands_df: DataFrame, id_col: str, max_band_bucket: int | None, side: str
+def _hot_raise_filter(
+    bands_df: DataFrame, hot: DataFrame, id_col: str, max_band_bucket: int, side: str
 ) -> DataFrame:
-    """Fail-fast guard on hot LSH (band, bucket) groups — the analog of
-    ``similarity.verify_pairs_in_buckets``' ``max_bucket_size``: a
-    near-identical family of N docs puts N rows in the same bucket and the
-    candidate join goes N² there.  Counting is a groupBy (map-side partial,
-    only distinct buckets shuffle) + a broadcast join of the (normally
-    empty) hot set back; the raise rides a filter so the input's
-    partitioning — e.g. a (band, bucket)-bucketed persisted table — is
-    preserved."""
-    if max_band_bucket is None:
-        return bands_df
-    hot = (
-        bands_df.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("__bn"))
-        .where(F.col("__bn") > max_band_bucket)
-    )
+    """Raise (executor-side) on any band-key row landing in a known-hot
+    (band, bucket) group.  ``hot`` carries (band, bucket, __bn); the raise
+    rides a broadcast left join + filter so the input's partitioning —
+    e.g. a (band, bucket)-bucketed persisted table — is preserved."""
     msg = F.concat(
         F.lit(f"{side}-side LSH band bucket (band="),
         F.col("band").cast("string"),
+        F.lit(", bucket="),
+        F.col("bucket").cast("string"),
         F.lit(") holds "),
         F.col("__bn").cast("string"),
         F.lit(
@@ -439,6 +430,80 @@ def _cap_band_buckets(
     )
 
 
+def _cap_band_buckets(
+    bands_df: DataFrame, id_col: str, max_band_bucket: int | None, side: str
+) -> DataFrame:
+    """Fail-fast guard on hot LSH (band, bucket) groups — the analog of
+    ``similarity.verify_pairs_in_buckets``' ``max_bucket_size``: a
+    near-identical family of N docs puts N rows in the same bucket and the
+    candidate join goes N² there.  Counting is a groupBy (map-side partial,
+    only distinct buckets shuffle — Exchange-free over a (band, bucket)-
+    bucketed table) + a broadcast join of the (normally empty) hot set
+    back.  For a PERSISTED index this recount is the one corpus-sized
+    aggregation per increment; pass a maintained hot table
+    (``index_hot_buckets``, see operators/dedup_store.py) to
+    :func:`incremental_dedup` to replace it with an O(|increment|)-
+    maintained lookup."""
+    if max_band_bucket is None:
+        return bands_df
+    hot = (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .where(F.col("__bn") > max_band_bucket)
+    )
+    return _hot_raise_filter(bands_df, hot, id_col, max_band_bucket, side)
+
+
+#: parameter columns a maintained hot-bucket table carries (written by
+#: operators/dedup_store.hot_band_buckets / update_hot_band_buckets,
+#: validated in-plan by :func:`incremental_dedup`)
+HOT_BUCKET_PARAM_COLS = (*DEDUP_INDEX_PARAM_COLS, "lsh_bands", "max_band_bucket")
+
+
+def verify_dedup_index_consistency(
+    index: DataFrame, index_bands: DataFrame, what: str = "dedup index band-key table"
+) -> None:
+    """Cheap freshness guard tying a persisted band-key table to the index
+    it claims to cover (ADVICE r9): the band-key table holds exactly
+    ``lsh_bands`` rows per SIGNED index document, so
+    ``count(index_bands) == lsh_bands * count(index where sig is not
+    null)`` — a stale table (index rows appended without their band keys)
+    breaks the equality.  Two bounded jobs: one single-row aggregate per
+    table (the index side scans only the ``sig`` null mask).  Raises
+    ``ValueError`` on mismatch with the append instruction.
+
+    Coverage is by COUNT, not by id set — an id-level anti-join would scan
+    and shuffle both tables.  A table that is simultaneously missing N
+    docs' keys and containing N alien docs' keys passes the count check;
+    that requires two independent maintenance bugs, and the id-level audit
+    remains a one-liner for forensics
+    (``index.join(index_bands, id, "left_anti")``)."""
+    b = index_bands.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lsh_bands").alias("lo"),
+        F.max("lsh_bands").alias("hi"),
+    ).first()
+    signed = index.where(F.col("sig").isNotNull()).count()
+    if b["n"] == 0 and signed == 0:
+        return
+    if b["n"] == 0 or b["lo"] != b["hi"]:
+        raise ValueError(
+            f"{what} is {'empty' if b['n'] == 0 else 'mixed-parameter'} "
+            f"while the index holds {signed} signed documents — rebuild it "
+            f"with index_band_keys(index)"
+        )
+    if b["n"] != b["lo"] * signed:
+        raise ValueError(
+            f"{what} is stale: it holds {b['n']} band-key rows but the "
+            f"index holds {signed} signed documents x lsh_bands={b['lo']} "
+            f"= {b['lo'] * signed} expected — near-dups of every document "
+            f"admitted since the table was built would silently pass.  "
+            f"Append index_band_keys of each increment's accepted index "
+            f"rows alongside every index append "
+            f"(operators/dedup_store.append_dedup_increment does both)"
+        )
+
+
 def incremental_dedup(
     batch: DataFrame,
     index: DataFrame,
@@ -450,6 +515,8 @@ def incremental_dedup(
     threshold: float | None = 0.7,
     max_band_bucket: int | None = 20_000,
     index_bands: DataFrame | None = None,
+    index_hot_buckets: DataFrame | None = None,
+    verify_index_bands: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an ingestion increment against an existing corpus WITHOUT
     touching the corpus text — the production shape at 100 TB: you never
@@ -495,7 +562,26 @@ def incremental_dedup(
     all-accepted one — makes that bucket's candidate join quadratic); the
     count is a map-side-partial groupBy plus a broadcast of the normally
     empty hot set, never a shuffle of the band keys themselves.  ``None``
-    disables the guard.
+    disables the guard.  The index-side recount is the one corpus-sized
+    aggregation per increment; pass ``index_hot_buckets`` — the tiny
+    maintained hot table from operators/dedup_store (updated
+    O(|increment|) per append) — to replace it with a broadcast lookup.
+    Its parameter columns (:data:`HOT_BUCKET_PARAM_COLS`, including the
+    ``max_band_bucket`` it was maintained under) are validated in-plan
+    like the index's.
+
+    **Maintenance contract for persisted tables (enforced)**: after every
+    increment, append the returned ``accepted_index`` rows to the index
+    AND ``index_band_keys(accepted_index)`` to the band-key table — a
+    persisted ``index_bands`` that misses documents admitted since it was
+    built silently skips near-dup detection against exactly those
+    documents (exact replays are still caught via content_hash).
+    ``operators/dedup_store.append_dedup_increment`` performs the whole
+    append (both tables + hot table, bucket layouts preserved); with
+    ``verify_index_bands=True`` (default) this function additionally runs
+    :func:`verify_dedup_index_consistency` — two bounded count jobs at
+    plan-build time — and raises on a stale table.  Set it False only
+    when the caller just ran the check itself.
 
     Scale shape: every join is an equi-join keyed on hash/band values; the
     batch side is small relative to the corpus, so AQE broadcasts it and
@@ -562,6 +648,8 @@ def incremental_dedup(
                 (*DEDUP_INDEX_PARAM_COLS, "lsh_bands"),
                 "dedup index band-key table",
             )
+            if verify_index_bands:
+                verify_dedup_index_consistency(index, index_bands)
             idx_bands = index_bands.where(
                 _param_guard_predicate(
                     {
@@ -572,7 +660,26 @@ def incremental_dedup(
                     "dedup index band-key table",
                 )
             ).select(id_col, "band", "bucket")
-        idx_bands = _cap_band_buckets(idx_bands, id_col, max_band_bucket, "index")
+        if index_hot_buckets is not None and max_band_bucket is not None:
+            _require_cols(
+                index_hot_buckets, HOT_BUCKET_PARAM_COLS, "dedup hot-bucket table"
+            )
+            hot = index_hot_buckets.where(
+                _param_guard_predicate(
+                    {
+                        "minhash_num_hashes": num_hashes,
+                        "shingle_k": k,
+                        "lsh_bands": bands,
+                        "max_band_bucket": max_band_bucket,
+                    },
+                    "dedup hot-bucket table",
+                )
+            ).select("band", "bucket", F.col("n").alias("__bn"))
+            idx_bands = _hot_raise_filter(
+                idx_bands, hot, id_col, max_band_bucket, "index"
+            )
+        else:
+            idx_bands = _cap_band_buckets(idx_bands, id_col, max_band_bucket, "index")
 
         matching = F.size(
             F.filter(

@@ -30,12 +30,31 @@ from databricks_feature_store_flight_school_spark.operators.skew import (
 _INDEX_JOIN_KEYS = ("content_hash", "__chash", "band", "bucket")
 
 
+def _subtree_is_broadcast(node) -> bool:
+    """True if this child subtree is the BUILD side of a broadcast join —
+    its root is a broadcast exchange (possibly reused / staged)."""
+    name = node.nodeName()
+    if name in ("BroadcastExchange", "BroadcastQueryStage"):
+        return True
+    if name in ("ReusedExchange", "InputAdapter", "WholeStageCodegen"):
+        # unwrap one level: a reused broadcast still names the exchange
+        return "BroadcastExchange" in node.toString().splitlines()[0] or (
+            node.children().size() > 0
+            and _subtree_is_broadcast(node.children().apply(0))
+        )
+    return False
+
+
 def _index_side_shuffles(df, table_markers) -> list[str]:
     """First lines of every shuffle Exchange that (a) partitions on one of
     the index-join keys and (b) feeds directly off a scan of one of
-    ``table_markers`` through narrow operators only (project/filter/sort).
-    A join node breaks the path: an Exchange above a join shuffles join
-    OUTPUT, not the index scan."""
+    ``table_markers`` through partitioning-preserving operators.  A
+    shuffle-consuming join node breaks the path (an Exchange above it
+    shuffles join OUTPUT, not the index scan) — but a BROADCAST join is
+    path-preserving for its STREAMED child (ADVICE r9: the hot-bucket
+    guard inserts exactly such a join between the band-key scan and the
+    candidate join, and resetting there would blind the assertion on the
+    default-cap path); only its broadcast build side resets."""
     plan = df._jdf.queryExecution().executedPlan()
     if plan.nodeName().startswith("AdaptiveSparkPlan"):
         plan = plan.initialPlan()
@@ -44,7 +63,8 @@ def _index_side_shuffles(df, table_markers) -> list[str]:
 
     def walk(node, exchange_head: str | None):
         name = node.nodeName()
-        if "Join" in name or name == "CartesianProduct":
+        is_broadcast_join = name.startswith("Broadcast") and "Join" in name
+        if ("Join" in name or name == "CartesianProduct") and not is_broadcast_join:
             exchange_head = None
         elif name == "Exchange":
             head = node.toString().splitlines()[0]
@@ -56,7 +76,11 @@ def _index_side_shuffles(df, table_markers) -> list[str]:
             if any(m in leaf for m in table_markers):
                 hits.append(exchange_head.strip())
         for i in range(node.children().size()):
-            walk(node.children().apply(i), exchange_head)
+            child = node.children().apply(i)
+            if is_broadcast_join and _subtree_is_broadcast(child):
+                walk(child, None)  # build side: not the streamed path
+            else:
+                walk(child, exchange_head)
 
     walk(plan, None)
     return hits
@@ -196,6 +220,215 @@ def test_bucketed_index_exchange_free_at_sf01(spark):
     assert got == want and len(got) > 0
     # and the layers behaved on real data: no exact replay survived
     assert not any(1_000_000 <= i < 2_000_000 for i in got)
+
+
+def _narrow_aggregates_over(df, table_markers) -> list[str]:
+    """Aggregate nodes that consume a scan of one of ``table_markers``
+    through NARROW operators only (no join in between) — the plan shape of
+    a corpus-sized recount (scan -> partial HashAggregate).  Aggregates
+    above a join consume join output (e.g. the candidate distinct) and
+    don't count."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName().startswith("AdaptiveSparkPlan"):
+        plan = plan.initialPlan()
+    hits: list[str] = []
+
+    def narrow_leaves(node) -> list[str]:
+        name = node.nodeName()
+        if "Join" in name or name == "CartesianProduct":
+            return []
+        if node.children().size() == 0:
+            leaf = node.toString().splitlines()[0]
+            return [m for m in table_markers if m in leaf]
+        out: list[str] = []
+        for i in range(node.children().size()):
+            out += narrow_leaves(node.children().apply(i))
+        return out
+
+    def walk(node):
+        if "Aggregate" in node.nodeName():
+            for i in range(node.children().size()):
+                for m in narrow_leaves(node.children().apply(i)):
+                    hits.append(f"{node.nodeName()} over {m}")
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(plan)
+    return hits
+
+
+def _doc(tag: str) -> str:
+    return " ".join(f"{tag}{i} mid{tag}{i} tail{tag}{i}" for i in range(8))
+
+
+def test_multi_increment_soak_append_compact(spark):
+    """The continuous-ingestion loop, end to end (VERDICT r9 #1/#2):
+    K increments against persisted bucketed index + band-key + hot tables,
+    each step (a) admitting exactly the novel docs — including rejecting
+    near-dups of docs admitted by EARLIER INCREMENTS, the coverage a stale
+    band table loses, (b) idempotent on re-run after its append, (c)
+    Exchange-free on the index side, and (d) free of corpus-sized
+    aggregations (the hot-bucket table replaces the per-increment recount;
+    plan-asserted).  Appends preserve both bucket layouts; after K appends
+    compaction restores one file per bucket and the Exchange-free property
+    still holds.  Finally, an index append WITHOUT its band keys is caught
+    by the consistency guard."""
+    import databricks_feature_store_flight_school_spark.operators.dedup as D2
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        append_dedup_increment,
+        compact_dedup_index,
+        hot_band_buckets,
+    )
+
+    for t in ("ddxs_index", "ddxs_bands", "ddxs_hot"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    corpus = spark.createDataFrame(
+        [(1, _doc("base")), (2, _doc("other"))], "doc_id long, text string"
+    )
+    index = D2.build_dedup_index(corpus, "doc_id", "text")
+    write_bucketed(index, "ddxs_index", "content_hash", num_buckets=4)
+    bands_df = D2.index_band_keys(index, "doc_id", bands=16)
+    write_bucketed(bands_df, "ddxs_bands", ["band", "bucket"], num_buckets=4)
+    hot_band_buckets(bands_df, 20_000).write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable("ddxs_hot")
+
+    # each increment: one fresh doc, one exact replay of the PREVIOUS
+    # increment's fresh doc, one near-dup (perturbed) of it — so steps 2+
+    # exercise exactly the coverage a stale band table would lose
+    fresh = {k: _doc(f"f{k}") for k in (1, 2, 3)}
+    incs = {
+        1: [(101, fresh[1]), (102, _doc("base"))],          # fresh + corpus replay
+        2: [(201, fresh[2]), (202, fresh[1]), (203, fresh[1] + " zq wv")],
+        3: [(301, fresh[3]), (302, fresh[2]), (303, fresh[2] + " zq wv")],
+    }
+    want_accept = {1: {101}, 2: {201}, 3: {301}}
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        markers = ("ddxs_index", "ddxs_bands")
+        for step in (1, 2, 3):
+            inc = spark.createDataFrame(incs[step], "doc_id long, text string")
+            accepted, acc_idx = D2.incremental_dedup(
+                inc,
+                bucketed_table(spark, "ddxs_index"),
+                "doc_id",
+                "text",
+                threshold=0.7,
+                index_bands=bucketed_table(spark, "ddxs_bands"),
+                index_hot_buckets=spark.table("ddxs_hot"),
+            )
+            assert _index_side_shuffles(accepted, markers) == [], f"step {step}"
+            aggs = _narrow_aggregates_over(accepted, ("ddxs_bands",))
+            assert aggs == [], f"step {step}: corpus-sized recount present: {aggs}"
+            got = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+            assert got == want_accept[step], f"step {step}: {got}"
+            append_dedup_increment(
+                spark, "ddxs_index", "ddxs_bands", acc_idx,
+                hot_table="ddxs_hot",
+            )
+            # idempotence: the same increment after its append admits nothing
+            replay, _ = D2.incremental_dedup(
+                inc,
+                bucketed_table(spark, "ddxs_index"),
+                "doc_id",
+                "text",
+                threshold=0.7,
+                index_bands=bucketed_table(spark, "ddxs_bands"),
+                index_hot_buckets=spark.table("ddxs_hot"),
+            )
+            assert replay.count() == 0, f"step {step} not idempotent"
+
+        # positive control for the recount detector: the derived/no-hot
+        # path DOES aggregate narrowly over the bands table
+        inc = spark.createDataFrame(incs[3], "doc_id long, text string")
+        control, _ = D2.incremental_dedup(
+            inc,
+            bucketed_table(spark, "ddxs_index"),
+            "doc_id",
+            "text",
+            threshold=0.7,
+            index_bands=bucketed_table(spark, "ddxs_bands"),
+        )
+        assert _narrow_aggregates_over(control, ("ddxs_bands",)), (
+            "recount detector found nothing in the recount path"
+        )
+
+        # K appends eroded the one-file-per-bucket layout; compact restores
+        # it and the Exchange-free property holds on the compacted tables
+        stats = compact_dedup_index(
+            spark, "ddxs_index", "ddxs_bands", hot_table="ddxs_hot"
+        )
+        for t in ("ddxs_index", "ddxs_bands"):
+            assert stats["files_before"][t] > 4, stats
+            assert stats["files_after"][t] <= 4, stats
+        post, _ = D2.incremental_dedup(
+            spark.createDataFrame([(901, _doc("f9"))], "doc_id long, text string"),
+            bucketed_table(spark, "ddxs_index"),
+            "doc_id",
+            "text",
+            threshold=0.7,
+            index_bands=bucketed_table(spark, "ddxs_bands"),
+            index_hot_buckets=spark.table("ddxs_hot"),
+        )
+        assert _index_side_shuffles(post, markers) == []
+        assert {r["doc_id"] for r in post.collect()} == {901}
+
+        # stale band table: appending index rows WITHOUT band keys must be
+        # caught at the next increment's plan build
+        stale_rows = D2.build_dedup_index(
+            spark.createDataFrame([(999, _doc("f99"))], "doc_id long, text string"),
+            "doc_id",
+            "text",
+        )
+        stale_rows.write.mode("append").bucketBy(4, "content_hash").format(
+            "parquet"
+        ).saveAsTable("ddxs_index")
+        with pytest.raises(ValueError, match="stale"):
+            D2.incremental_dedup(
+                spark.createDataFrame([(950, _doc("f95"))], "doc_id long, text string"),
+                bucketed_table(spark, "ddxs_index"),
+                "doc_id",
+                "text",
+                threshold=0.7,
+                index_bands=bucketed_table(spark, "ddxs_bands"),
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("ddxs_index", "ddxs_bands", "ddxs_hot"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_hot_table_maintenance_matches_full_recount(spark):
+    """The O(|increment|) hot-table update must agree with a full recount
+    of base+increment (VERDICT r9 #2's pin), including: a bucket crossing
+    the cap only via the combined count, an already-hot bucket gaining
+    rows (refreshed count), and an untouched hot bucket (kept verbatim)."""
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        hot_band_buckets,
+        update_hot_band_buckets,
+    )
+
+    def bands_frame(rows):
+        return spark.createDataFrame(
+            [(i, b, bk, 64, 3, 16) for i, (b, bk) in enumerate(rows)],
+            "doc_id long, band int, bucket long, minhash_num_hashes int, "
+            "shingle_k int, lsh_bands int",
+        )
+
+    cap = 2
+    # base: bucket (0,10) hot with 3; (1,20) at cap with 2; (2,30) cold 1
+    base = bands_frame([(0, 10)] * 3 + [(1, 20)] * 2 + [(2, 30)])
+    # increment: pushes (1,20) over the cap, adds to hot (0,10), new (3,40)
+    inc = bands_frame([(1, 20), (0, 10), (3, 40)])
+    hot = hot_band_buckets(base, cap)
+    updated = update_hot_band_buckets(base, inc, hot, cap)
+    recount = hot_band_buckets(base.unionByName(inc), cap)
+    key = lambda r: (r["band"], r["bucket"], r["n"], r["max_band_bucket"])  # noqa: E731
+    assert sorted(map(key, updated.collect())) == sorted(
+        map(key, recount.collect())
+    ) == [(0, 10, 4, 2), (1, 20, 3, 2)]
 
 
 def test_band_bucket_cap_is_result_neutral_when_not_tripped(spark, dedup_fixture):
