@@ -19,6 +19,18 @@ increment):
 
 Usage:  python tools/incremental_dedup_bench.py [SF_DIR] [OUT_DIR]
         (defaults /root/testdata/sf0.1 and a temp dir; prints one JSON line)
+
+``--soak`` runs the round-10 CONTINUOUS-ingestion measurement instead
+(VERDICT r9 #1b): the documents table splits into an initial corpus (20%)
+plus 4 equal increments (20% each), the index lives in persisted bucketed
+tables with a maintained hot-bucket table, and every step runs the full
+production loop — incremental_dedup against the persisted tables,
+correctness asserts (exact replays of the PREVIOUS increment's admissions
+all rejected; perturbed near-dups of them ≥99% rejected — the coverage a
+stale band table loses), then append_dedup_increment.  The index grows 2×
+.. 5× across steps while increments stay the same size, so a ~flat
+per-step dedup wall IS the O(|increment|) evidence; the run ends with a
+timed compact_dedup_index and its file-count delta.
 """
 
 from __future__ import annotations
@@ -42,9 +54,114 @@ from databricks_feature_store_flight_school_spark.session import get_spark  # no
 from databricks_feature_store_flight_school_spark.sources import load_table  # noqa: E402
 
 
+def soak(spark, sf_dir: str, steps: int = 4, num_buckets: int = 16) -> dict:
+    from databricks_feature_store_flight_school_spark.operators.dedup import (
+        index_band_keys,
+    )
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        append_dedup_increment,
+        compact_dedup_index,
+        hot_band_buckets,
+    )
+    from databricks_feature_store_flight_school_spark.operators.skew import (
+        bucketed_table,
+        write_bucketed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_slices = steps + 1
+    slices = [docs.where(F.col("doc_id") % n_slices == j) for j in range(n_slices)]
+    for t in ("soak_index", "soak_bands", "soak_hot"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    t0 = time.perf_counter()
+    index0 = build_dedup_index(slices[0], "doc_id", "text")
+    write_bucketed(index0, "soak_index", "content_hash", num_buckets=num_buckets)
+    bands0 = index_band_keys(bucketed_table(spark, "soak_index"), "doc_id", bands=16)
+    write_bucketed(bands0, "soak_bands", ["band", "bucket"], num_buckets=num_buckets)
+    hot_band_buckets(spark.table("soak_bands"), 20_000).write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable("soak_hot")
+    bootstrap_sec = time.perf_counter() - t0
+
+    step_rows = []
+    for j in range(1, steps + 1):
+        prev = slices[j - 1]
+        exact_replays = prev.where(F.col("doc_id") % 97 == 1).select(
+            (F.col("doc_id") + 10_000_000 * j).alias("doc_id"), "text"
+        )
+        perturbed = prev.where(F.col("doc_id") % 97 == 2).select(
+            (F.col("doc_id") + 20_000_000 * j).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq wv")).alias("text"),
+        )
+        increment = slices[j].unionAll(exact_replays).unionAll(perturbed)
+
+        t0 = time.perf_counter()
+        accepted, acc_index = incremental_dedup(
+            increment,
+            bucketed_table(spark, "soak_index"),
+            "doc_id",
+            "text",
+            threshold=0.7,
+            index_bands=bucketed_table(spark, "soak_bands"),
+            index_hot_buckets=spark.table("soak_hot"),
+        )
+        acc_ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+        dedup_sec = time.perf_counter() - t0
+
+        lo, hi = 10_000_000 * j, 20_000_000 * j
+        exact_escaped = sum(1 for i in acc_ids if lo <= i < hi)
+        n_pert = perturbed.count()
+        pert_escaped = sum(1 for i in acc_ids if i >= hi)
+        assert exact_escaped == 0, f"step {j}: {exact_escaped} exact replays escaped"
+        recall = (n_pert - pert_escaped) / n_pert if n_pert else None
+        assert recall is None or recall >= 0.99, f"step {j}: recall {recall}"
+
+        t0 = time.perf_counter()
+        append_dedup_increment(
+            spark, "soak_index", "soak_bands", acc_index, hot_table="soak_hot"
+        )
+        append_sec = time.perf_counter() - t0
+        step_rows.append(
+            {
+                "step": j,
+                "index_docs_before": spark.table("soak_index").count()
+                - len(acc_ids),
+                "increment_docs": increment.count(),
+                "accepted": len(acc_ids),
+                "neardup_recall": round(recall, 4) if recall is not None else None,
+                "dedup_sec": round(dedup_sec, 1),
+                "append_sec": round(append_sec, 1),
+            }
+        )
+
+    t0 = time.perf_counter()
+    stats = compact_dedup_index(
+        spark, "soak_index", "soak_bands", hot_table="soak_hot"
+    )
+    compact_sec = time.perf_counter() - t0
+    out = {
+        "sf_dir": sf_dir,
+        "mode": "soak",
+        "bootstrap_sec": round(bootstrap_sec, 1),
+        "steps": step_rows,
+        "compact_sec": round(compact_sec, 1),
+        "files_before_compact": stats["files_before"],
+        "files_after_compact": stats["files_after"],
+    }
+    for t in ("soak_index", "soak_bands", "soak_hot"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    return out
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="ddxbench_")
+    args = [a for a in sys.argv[1:] if a != "--soak"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    if "--soak" in sys.argv:
+        spark = get_spark(app_name="incremental-dedup-soak")
+        print(json.dumps(soak(spark, sf_dir)))
+        return
+    out_dir = args[1] if len(args) > 1 else tempfile.mkdtemp(prefix="ddxbench_")
     spark = get_spark(app_name="incremental-dedup-bench")
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
