@@ -17,7 +17,7 @@ REPO = Path(__file__).resolve().parent.parent
     "script",
     ["examples/feature_store_demo.py", "examples/corpus_pipeline_demo.py",
      "examples/scalable_analytics_demo.py", "examples/change_feed_demo.py",
-     "examples/streaming_ivm_demo.py"],
+     "examples/streaming_ivm_demo.py", "examples/ingestion_loop_demo.py"],
 )
 def test_example_script_runs(script, tmp_path):
     args = [sys.executable, str(REPO / script)]
