@@ -502,9 +502,15 @@ def ivf_probe_index(
     nprobe: int = 2,
 ) -> DataFrame:
     """Query a persisted IVF index (see :func:`ivf_build_index`): rank exact
-    cosine inside each query's ``nprobe`` nearest cells.  The cell filter is
-    an IN-list on the PARTITION column, so pruning happens at file listing —
-    unprobed cells are never opened."""
+    cosine inside each query's ``nprobe`` nearest cells.  Pruning is
+    DYNAMIC partition pruning (round 10): the probe-assignment side is a
+    filtered broadcast, so Catalyst inserts a ``dynamicpruningexpression``
+    on the partition column and unprobed cell directories are skipped at
+    file listing — same effect as the previous driver-side IN-list collect
+    (the r5-acknowledged bounded action), with NO job at plan-build time
+    and lazy composition restored.  Plan-asserted in
+    tests/test_operators.py; if DPP ever declined to fire the query would
+    still be CORRECT (the join filters), just unpruned."""
     import json
     import os
 
@@ -534,13 +540,8 @@ def ivf_probe_index(
             (F.col("pos") + 1).cast("int").alias("bucket"),
         )
     )
-    # partition pruning needs the bucket list driver-side (an IN filter on
-    # the partition column); the query set is small by contract, so this
-    # collect is bounded by |queries| * nprobe ints.
-    probed = sorted({r["bucket"] for r in q.select("bucket").distinct().collect()})
     scored = (
-        cells.where(F.col("bucket").isin(probed))
-        .join(F.broadcast(q), "bucket")
+        cells.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine_sim", _pair_cosine())
     )

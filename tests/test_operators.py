@@ -861,10 +861,13 @@ def test_ivf_persisted_index_prunes_partitions_and_matches_inmemory(
     }
     assert as_set(got) == as_set(want)
 
+    # pruning is DYNAMIC (round 10): no driver-side bucket collect at plan
+    # build — the filtered broadcast probe side feeds a
+    # dynamicpruningexpression on the partition column
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
-    pf = plan.split("PartitionFilters")[1][:200]
-    assert "bucket" in pf and "IN" in pf.upper()
+    pf = plan.split("PartitionFilters")[1][:260]
+    assert "bucket" in pf and "dynamicpruning" in pf, pf
 
 
 def test_documents_fixture_single_space_invariant(spark, sf_dir):
