@@ -361,6 +361,15 @@ def index_band_keys(
     index side with NO Exchange at all (plan-asserted in
     tests/test_dedup_index.py) — the continuous-ingestion deployment shape.
 
+    **Maintenance contract**: a persisted table must grow WITH the index —
+    append ``index_band_keys`` of each increment's accepted index rows
+    alongside every index append (``operators/dedup_store.
+    append_dedup_increment`` does both, layout-preserving), or near-dups
+    of documents admitted since the table was built silently pass;
+    :func:`verify_dedup_index_consistency` (default-on in
+    :func:`incremental_dedup`) catches a stale table in two bounded
+    counts.
+
     The slice width is ``minhash_num_hashes // bands`` taken from the
     index's own parameter column, so the band keys cannot disagree with the
     signatures they were cut from."""
