@@ -317,7 +317,7 @@ def q_fs_score_batch_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer
     ),
     ins AS (
-        SELECT c_custkey + 1000000 AS c_custkey, 'NEW' AS segment,
+        SELECT c_custkey + 100000000 AS c_custkey, 'NEW' AS segment,
                round(round(c_acctbal, 2) + 250, 2) AS acctbal
         FROM customer WHERE c_custkey % 97 = 0
     ),
@@ -350,7 +350,10 @@ def q_fs_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's online publish would ride at scale: sync |changed| rows,
     not |table|).  v1 = all customer profiles; v2 = MERGE carrying both an
     update slice (every 5th key, +500 balance) and an insert slice
-    (synthetic keys); v3 = row-level DELETE of every 11th key.  The feed
+    (synthetic keys at +100M — past the key domain through sf600; the
+    round-10 sf10 sweep caught the old +1M offset colliding with real
+    custkeys, tripping the merge duplicate-source guard); v3 = row-level
+    DELETE of every 11th key.  The feed
     diffs v1 against current with one keys-partitioned full-outer join and
     classifies insert / update / delete, dropping unchanged keys — a key
     deleted after being updated correctly reports as a plain delete vs v1.
@@ -367,7 +370,7 @@ def q_fs_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     insert = (
         base.where(F.col("c_custkey") % 97 == 0)
         .select(
-            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            (F.col("c_custkey") + 100000000).alias("c_custkey"),
             F.lit("NEW").alias("segment"),
             F.round(F.col("acctbal") + 250, 2).alias("acctbal"),
         )

@@ -314,16 +314,28 @@ def q_nation_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg", "percentile",
 )
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``: index p*(n-1), linear interpolation).  The
-    sketch-based scale path is percentile_approx (rows-only territory)."""
+    """Exact interpolated percentiles per group (DuckDB ``quantile_cont``
+    semantics), computed via the level-table operators/ranks.group_quantile_cont
+    (round 10): Spark's builtin exact ``percentile`` buffers a value->count
+    map per group and its final merge holds every distinct price of 60M
+    rows in one buffer — measured killing the sf10 JVM in the full-catalog
+    sweep.  The level-table form's window input is the value domain, not the row count, and returns identical values.  The
+    sketch-based scale path for unbounded groups is percentile_approx."""
+    from ..operators.ranks import group_quantile_cont
+
     li = load_table(spark, sf_dir, "lineitem")
+    price = group_quantile_cont(
+        li, "l_returnflag", "l_extendedprice",
+        {"__med": 0.5, "__p90": 0.9},
+    )
+    qty = group_quantile_cont(li, "l_returnflag", "l_quantity", {"__q1": 0.25})
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median_price"),
-            F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
-            F.round(F.percentile("l_quantity", 0.25), 6).alias("q1_quantity"),
+        price.join(qty, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("__med", 6).alias("median_price"),
+            F.round("__p90", 6).alias("p90_price"),
+            F.round("__q1", 6).alias("q1_quantity"),
         )
         .orderBy("l_returnflag")
     )

@@ -37,19 +37,31 @@ from .catalog import register
 def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT grouped percentiles (linear interpolation, percentile_cont
     semantics) — the oracle-checkable twin of the approx_percentile sketch
-    path (q_percentile_approx, rows-only).  Spark's `percentile` aggregate
-    buffers each group's values; that is the deliberate trade: exact answers
-    for bounded-cardinality groups, while the KLL/approx path covers
-    unbounded 100 TB groups."""
+    path (q_percentile_approx, rows-only).  The quantity percentiles keep
+    Spark's builtin ``percentile`` DELIBERATELY: l_quantity has a ~50-value
+    domain, so its value->count aggregation buffer is bounded at any SF —
+    the map form's legitimate niche.  The price percentile (unbounded
+    distincts — the shape that killed the sf10 JVM via the builtin) goes
+    through the level-table operators/ranks.group_quantile_cont instead
+    (round 10); the KLL/approx path covers unbounded 100 TB groups."""
+    from ..operators.ranks import group_quantile_cont
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    qty = (
         li.groupBy("l_returnflag")
         .agg(
             F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("qty_p25"),
             F.round(F.percentile("l_quantity", F.lit(0.50)), 6).alias("qty_p50"),
             F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("qty_p75"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.90)), 6).alias("price_p90"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    price = group_quantile_cont(li, "l_returnflag", "l_extendedprice", {"__p90": 0.9})
+    return (
+        qty.join(price, "l_returnflag")
+        .select(
+            "l_returnflag", "qty_p25", "qty_p50", "qty_p75",
+            F.round("__p90", 6).alias("price_p90"), "n_rows",
         )
         .orderBy("l_returnflag")
     )
@@ -1276,22 +1288,31 @@ def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation per group — the outlier-robust dispersion
     statistic (the robust-scaling alternative to stddev for feature
     normalisation): group median first, broadcast it back, then the median
-    of absolute deviations.  Two grouped exact percentiles over the SAME
-    grouping key — the second pass reuses the first's partitioning."""
+    of absolute deviations.  Both medians run over unbounded-distinct
+    price values, so both go through the level-table
+    operators/ranks.group_quantile_cont (round 10 — the builtin map-based
+    ``percentile`` held every distinct price in one buffer and killed the
+    sf10 JVM); two level-table passes over the same 3-value grouping key."""
+    from ..operators.ranks import group_quantile_cont
+
     li = load_table(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price")
+    med = group_quantile_cont(
+        li, "l_returnflag", "l_extendedprice", {"med_price": 0.5}
+    ).select("l_returnflag", "med_price")
+    dev = li.join(F.broadcast(med), "l_returnflag")
+    mad = group_quantile_cont(
+        dev,
+        "l_returnflag",
+        F.abs(F.col("l_extendedprice") - F.col("med_price")),
+        {"__mad": 0.5},
     )
     return (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.max("med_price"), 4).alias("median_price"),
-            F.round(
-                F.percentile(F.abs(F.col("l_extendedprice") - F.col("med_price")), F.lit(0.5)),
-                4,
-            ).alias("mad_price"),
-            F.count(F.lit(1)).alias("n_rows"),
+        med.join(mad, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("med_price", 4).alias("median_price"),
+            F.round("__mad", 4).alias("mad_price"),
+            F.col("__qn").alias("n_rows"),
         )
         .orderBy("l_returnflag")
     )

@@ -30,13 +30,32 @@ from databricks_feature_store_flight_school_spark.session import get_spark  # no
 from databricks_feature_store_flight_school_spark.sources import TABLES  # noqa: E402
 
 
+def _round_sig(s: pd.Series, digits: int = 12) -> pd.Series:
+    """Round floats to ``digits`` SIGNIFICANT digits — a relative
+    tolerance.  The old absolute ``round(9)`` broke at sf10: a 4e11
+    aggregate's last ulp is ~6e-5, so Spark's and DuckDB's different
+    summation orders legitimately disagree in the 2nd decimal while
+    agreeing to 13 significant digits; meanwhile 12 significant digits is
+    TIGHTER than 9 decimals for the sub-1 values (discount rates) the old
+    rule was calibrated on."""
+    import numpy as np
+
+    a = s.astype("float64").to_numpy()
+    with np.errstate(all="ignore"):
+        mag = np.floor(np.log10(np.abs(a)))
+        scale = np.power(10.0, (digits - 1) - mag)
+        ok = np.isfinite(a) & (a != 0.0)
+        out = np.where(ok, np.round(a * np.where(ok, scale, 1.0)) / np.where(ok, scale, 1.0), a)
+    return pd.Series(out, index=s.index)
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            out[c] = s.astype("float64").round(9)
+            out[c] = _round_sig(s)
         elif pd.api.types.is_integer_dtype(s):
             # Unify int WIDTHS only (int32 vs int64); deliberately do NOT
             # widen to float — the driver's value hash distinguishes int64
