@@ -372,17 +372,78 @@ def q_cast_trim_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_hash_bucket",
-    None,  # Murmur3 F.hash has no DuckDB equivalent -> rows-only (SURVEY §2.8 F1)
-    "functions", "rows-only",
-    pinned_by=("test_lastcall_hash_bucket_deterministic",),
-)
+#: Murmur3_x86_32(seed=42) — Spark's ``F.hash`` — re-implemented in pure
+#: DuckDB SQL so q_hash_bucket gets a VALUE-matched oracle instead of the
+#: rows-only fallback it carried through round 9.  The fold walks the
+#: UTF-8 bytes exactly like Spark's ``Murmur3_x86_32.hashUnsafeBytes``:
+#: 4-byte little-endian blocks mixK1+mixH1'd in order (``list_reduce``
+#: seeded with 42), then each tail byte mixed INDIVIDUALLY (Spark departs
+#: from canonical murmur3 here — the tail is per-byte, not one partial
+#: block), then fmix with the byte length.  32-bit wraparound rides
+#: UBIGINT products masked ``% 2^32`` (max product (2^32-1)^2 fits
+#: unsigned 64-bit); the result is re-signed to match Spark's int.
+#: Byte addressing uses ``ascii(substr(...))`` == byte value, valid
+#: because c_name is ASCII by construction; non-ASCII input would need
+#: blob indexing.  Verified bit-exact vs F.hash on every customer row
+#: plus empty/1-3-byte-tail edge strings.
+_MURMUR3_ORACLE = """
+    WITH f AS (
+      SELECT c_custkey,
+        octet_length(encode(c_name))::UBIGINT AS n,
+        list_transform(
+          range(0, (octet_length(encode(c_name)) // 4)::BIGINT),
+          i -> ( ascii(substr(c_name, (4*i+1)::INT, 1))::UBIGINT
+               + 256      * ascii(substr(c_name, (4*i+2)::INT, 1))::UBIGINT
+               + 65536    * ascii(substr(c_name, (4*i+3)::INT, 1))::UBIGINT
+               + 16777216 * ascii(substr(c_name, (4*i+4)::INT, 1))::UBIGINT )
+        ) || list_transform(
+          range((4 * (octet_length(encode(c_name)) // 4))::BIGINT,
+                octet_length(encode(c_name))::BIGINT),
+          i -> ascii(substr(c_name, (i+1)::INT, 1))::UBIGINT
+        ) AS raw_ks
+      FROM customer
+    ),
+    k AS (
+      SELECT c_custkey, n,
+        list_transform(raw_ks, k -> (
+          ((((((k * 3432918353) % 4294967296) << 15)
+             | (((k * 3432918353) % 4294967296) >> 17)) & 4294967295)
+           * 461845907) % 4294967296
+        )) AS ks
+      FROM f
+    ),
+    h AS (
+      SELECT c_custkey, n,
+        list_reduce(list_prepend(42::UBIGINT, ks), (h, k) -> (
+          (((((xor(h, k) << 13) | (xor(h, k) >> 19)) & 4294967295) * 5)
+           + 3864292196) % 4294967296
+        )) AS h1
+      FROM k
+    ),
+    fm1 AS (SELECT c_custkey, xor(h1, n) AS a FROM h),
+    fm2 AS (SELECT c_custkey,
+                   (xor(a, a >> 16) * 2246822507) % 4294967296 AS b FROM fm1),
+    fm3 AS (SELECT c_custkey,
+                   (xor(b, b >> 13) * 3266489909) % 4294967296 AS c FROM fm2),
+    mm AS (
+      SELECT c_custkey,
+        CASE WHEN xor(c, c >> 16) >= 2147483648
+             THEN xor(c, c >> 16)::BIGINT - 4294967296
+             ELSE xor(c, c >> 16)::BIGINT END AS mm3
+      FROM fm3
+    )
+    SELECT c_custkey, (mm3 % 100) < 35 AS last_call_escalated FROM mm
+"""
+
+
+@register("q_hash_bucket", _MURMUR3_ORACLE, "functions")
 def q_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic pseudo-random bucketing: hash(key) % 100 < 35, the
     synthetic-label idiom of Feature_Store_Telco_Churn_Flight_School.py:157.
-    Spark % keeps the dividend sign, so negative hashes pass the < 35 test —
-    reproduced exactly; declared rows-only for the oracle."""
+    Spark % keeps the dividend sign, so negative hashes pass the < 35 test
+    (~67% true, not 35%) — reproduced exactly; the oracle is a bit-exact
+    Murmur3_x86_32 fold in DuckDB SQL (:data:`_MURMUR3_ORACLE`), upgraded
+    round 10 from the rows-only fallback."""
     return (
         load_table(spark, sf_dir, "customer")
         .select(
