@@ -100,13 +100,39 @@ def q_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_media_features",
-    None,  # per-byte histogram loop is not reasonably SQL-expressible
-    "multimodal", "mapInPandas", "rows-only",
-    pinned_by=("test_extract_features_shape", "test_extract_features_arrow_matches_pandas"),
+    # The byte-histogram featurizer replayed in SQL (round 10, upgraded
+    # from rows-only): payload bytes == ascii(char) because documents text
+    # is pure ASCII (same precondition q_media_resize documents), each byte
+    # lands in exactly one of the 16 dims so the normalizing total is just
+    # length(text), and printf('%.6f') and Python's f'{v:.6f}' both emit
+    # the correctly-rounded decimal of the SAME double n/len — identical
+    # strings.  Missing dims densify through the range(0,16) cross join.
+    """
+    WITH pos AS (
+      SELECT d.doc_id,
+             unnest(list_transform(range(1, length(d.text) + 1),
+                                   i -> ascii(substr(d.text, i::INT, 1)) % 16)) AS dim
+      FROM documents d
+    ),
+    h AS (
+      SELECT doc_id, dim, count(*) AS n FROM pos GROUP BY doc_id, dim
+    )
+    SELECT d.doc_id,
+      string_agg(printf('%.6f', coalesce(h.n, 0) / greatest(length(d.text), 1)),
+                 ',' ORDER BY g.dim) AS feature
+    FROM documents d
+    CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) g
+    LEFT JOIN h ON h.doc_id = d.doc_id AND h.dim = g.dim
+    GROUP BY d.doc_id
+    """,
+    "multimodal", "mapInPandas",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extraction stub (byte histogram standing in for a CNN/audio
-    embedding forward pass): one FEATURE_DIM vector per blob via mapInPandas."""
+    embedding forward pass): one FEATURE_DIM vector per blob via mapInPandas.
+    Value-matched against a SQL replay of the histogram (the oracle string
+    above); the Arrow twin's byte-exact parity stays pinned in
+    tests/test_multimodal_streaming.py."""
     return M.extract_features(_with_payload(spark, sf_dir), "doc_id", "payload")
 
 
