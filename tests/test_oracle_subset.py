@@ -28,50 +28,22 @@ import check_oracle  # noqa: E402
 
 #: queries added/rewritten in the current round — always checked
 CURRENT_ROUND = [
-    "q_activity_bitmap",
-    "q_argmax_aggregates",
-    "q_autocorrelation",
-    "q_bigram_lm_score",
-    "q_bootstrap_ci",
-    "q_dsir_selection",
-    "q_grouped_percentile_scalable",
-    "q_weighted_sample_per_source",
-    "q_exists_subquery",
+    # round 10: oracle upgrades (rows-only -> value-matched)
+    "q_hash_bucket",
+    "q_media_features",
+    # round 10: exact percentiles moved to the level-table form
+    "q_percentiles",
+    "q_percentile_exact",
+    "q_mad_robust",
+    # round 10: change-feed synthetic-key offset widened (sf10 collision)
     "q_fs_change_feed",
-    "q_fs_incremental_agg",
-    "q_fs_ivm_join_view",
-    "q_fs_materialized_view",
-    "q_lateral_topk",
-    "q_dau_mau",
-    "q_decile_lift",
-    "q_dow_seasonality",
-    "q_embedding_covariance",
-    "q_gini_coefficient",
-    "q_growth_accounting",
-    "q_key_skew_profile",
-    "q_ks_test",
-    "q_linear_interpolation",
-    "q_lorenz_curve",
-    "q_mann_whitney",
-    "q_market_basket",
-    "q_media_resize",
-    "q_nation_pagerank",
-    "q_null_profile",
-    "q_peak_concurrency",
-    "q_pricing_summary",
-    "q_percentile_scalable",
-    "q_referential_integrity",
-    "q_revenue_pareto",
-    "q_rfm_segments",
-    "q_roc_auc",
-    "q_seasonal_decompose",
-    "q_source_mixture",
-    "q_text_readability",
-    "q_term_pmi",
-    "q_triangle_count",
-    "q_weighted_median",
-    "q_window_dist_functions",
-    "q_zipf_fit",
+    # round 10: regrouped fuzzy oracle twin / 1-action supersteps / DPP probe
+    "q_fuzzy_part_match",
+    "q_dedup_components",
+    "q_ivf_topk",
+    # round 10: persisted-index lifecycle (append/compact/hot-table)
+    "q_incremental_dedup",
+    "q_incremental_dedup_exact",
 ]
 
 
@@ -100,3 +72,45 @@ def test_oracle_subset(spark, sf_dir, duck_con, name):
     omap = entrymod.oracle_sql()
     err = check_oracle.compare_query(spark, duck_con, qmap, omap, name, sf_dir)
     assert err is None, f"{name}: {err}"
+
+
+def test_murmur3_duckdb_oracle_matches_spark_hash_on_edge_strings(spark):
+    """The q_hash_bucket oracle re-implements Murmur3_x86_32(seed 42) as a
+    DuckDB SQL fold (plans/queries_relational._MURMUR3_ORACLE).  The fixture
+    data is fixed-width 18-byte names, which exercises exactly ONE
+    (block-count, tail-length) shape — this pins the fold on every tail
+    length (0-3), the empty string, single-block and many-block inputs, and
+    the full printable-ASCII byte range, against F.hash itself.
+
+    (ASCII-only by design: the oracle addresses bytes via ascii(substr), ==
+    the UTF-8 byte only below 0x80 — same documented precondition as
+    q_media_resize's oracle.)"""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from databricks_feature_store_flight_school_spark.plans.queries_relational import (
+        _MURMUR3_ORACLE,
+    )
+
+    edge = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+        "abcdefgh", "abcdefghi",
+        " !\"#$%&'()*+,-./0123456789:;<=>?@ABC",  # low printable range
+        "[\\]^_`abcdefghijklmnopqrstuvwxyz{|}~",  # high printable range
+        "Customer#000000000",
+        "x" * 101,  # 25 blocks + 1 tail byte
+    ]
+    rows = list(enumerate(edge))
+    sdf = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    want = {
+        r["c_custkey"]: r["e"]
+        for r in sdf.select(
+            "c_custkey", (F.hash(F.col("c_name")) % 100 < 35).alias("e")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer (c_custkey BIGINT, c_name VARCHAR)")
+    con.executemany("INSERT INTO customer VALUES (?, ?)", rows)
+    got = dict(con.execute(_MURMUR3_ORACLE).fetchall())
+    con.close()
+    assert got == want
