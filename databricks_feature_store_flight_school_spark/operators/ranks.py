@@ -218,28 +218,35 @@ def group_quantile_cont(
     groups here are low-cardinality by contract (flags, segments); the
     KLL sketch (q_percentile_approx) is the unbounded everything path.
 
-    NULL values are excluded (``percentile`` semantics); a group with no
-    non-null values simply does not appear (as with the builtin under
-    GROUP BY).
+    NULL values are excluded from the computation but NOT from the group
+    list (exact ``percentile``-under-GROUP-BY semantics, pinned against the
+    builtin in tests/test_operators.py): a group whose values are ALL null
+    still appears, with NULL percentiles and ``__qn`` 0.  Nulls ride the
+    same grouped pass as one extra level per affected group (they sort
+    first with a zeroed effective count, so they can never win a position
+    match) — no second input scan.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     v = F.col(value) if isinstance(value, str) else value
     lv = (
         df.select(*groups, v.alias("__v"))
-        .where(F.col("__v").isNotNull())
         .groupBy(*groups, "__v")
         .agg(F.count(F.lit(1)).alias("__ln"))
     )
+    # null levels participate with effective count 0: they keep their group
+    # alive but hold no positions, so no interpolation index can land on them
+    nn = F.when(F.col("__v").isNotNull(), F.col("__ln")).otherwise(F.lit(0))
     wc = (
         Window.partitionBy(*groups)
-        .orderBy("__v")
+        .orderBy(F.col("__v").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     wt = Window.partitionBy(*groups)
     x = lv.select(
-        *groups, "__v", "__ln",
-        F.sum("__ln").over(wc).alias("__c"),
-        F.sum("__ln").over(wt).alias("__n"),
+        *groups, "__v",
+        nn.alias("__ln"),
+        F.sum(nn).over(wc).alias("__c"),
+        F.sum(nn).over(wt).alias("__n"),
     )
     aggs = []
     for alias, p in ps.items():
@@ -254,4 +261,16 @@ def group_quantile_cont(
             + F.when(in_hi, frac * F.col("__v")).otherwise(F.lit(0.0))
         )
         aggs.append(F.sum(contrib).alias(alias))
-    return x.groupBy(*groups).agg(*aggs, F.max("__n").alias("__qn"))
+    out = x.groupBy(*groups).agg(
+        *aggs, F.max("__n").alias("__qn")
+    )
+    # an all-null group summed only zero contributions — surface NULL, as
+    # the builtin does, not 0.0
+    return out.select(
+        *groups,
+        *[
+            F.when(F.col("__qn") > 0, F.col(a)).otherwise(F.lit(None)).alias(a)
+            for a in ps
+        ],
+        "__qn",
+    )

@@ -1329,3 +1329,52 @@ def test_edit_distance_join_tiny_strings_blockless(spark):
     nset = {tuple(r) for r in naive.collect()}
     fset = {tuple(r) for r in fast.select("key_a", "key_b", "edit_dist").collect()}
     assert nset == fset and len(nset) > 0
+
+
+def test_group_quantile_cont_matches_builtin_percentile(spark):
+    """operators/ranks.group_quantile_cont (round 10, the bounded-memory
+    replacement for the builtin's value->count map) must return the
+    builtin's EXACT answers on every distribution shape: single-row and
+    two-row groups, all-equal values, duplicate levels straddling the
+    interpolation index, negatives, mixed nulls, an ALL-null group (builtin
+    keeps it with NULL output), and p in {0, interior, irrational, 1}.  One
+    combined frame — (dataset, group) is the compound key — so the whole
+    battery is two jobs."""
+    from databricks_feature_store_flight_school_spark.operators.ranks import (
+        group_quantile_cont,
+    )
+
+    data = [
+        ("single", "a", 7.5),
+        ("two", "a", 1.0), ("two", "a", 2.0),
+        ("equal", "a", 3.0), ("equal", "a", 3.0), ("equal", "a", 3.0),
+        ("ties", "a", 1.0), ("ties", "a", 1.0), ("ties", "a", 2.0),
+        ("ties", "a", 2.0), ("ties", "a", 9.0),
+        ("neg", "a", -5.0), ("neg", "a", -1.0), ("neg", "a", 4.0), ("neg", "a", 0.0),
+        ("nulls", "a", None), ("nulls", "a", 10.0), ("nulls", "a", None),
+        ("nulls", "a", 20.0), ("nulls", "a", 30.0),
+        ("allnull", "a", None), ("allnull", "a", None),
+        ("twogroups", "a", 1.0), ("twogroups", "b", 2.0), ("twogroups", "b", 8.0),
+        ("spread", "a", 1e12), ("spread", "a", 2.5), ("spread", "a", -1e12),
+        ("spread", "a", 0.125), ("spread", "a", 3.0), ("spread", "a", 17.0),
+        ("spread", "a", 42.0),
+    ]
+    df = spark.createDataFrame(data, "ds string, g string, v double")
+    ps = {"p0": 0.0, "p25": 0.25, "p50": 0.5, "p77": 0.77, "p100": 1.0}
+    got = {
+        (r["ds"], r["g"]): [r[a] for a in ps]
+        for r in group_quantile_cont(df, ["ds", "g"], "v", ps).collect()
+    }
+    want = {
+        (r["ds"], r["g"]): (list(r["ref"]) if r["ref"] is not None else [None] * 5)
+        for r in df.groupBy("ds", "g")
+        .agg(F.expr("percentile(v, array(0.0, 0.25, 0.5, 0.77, 1.0))").alias("ref"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        for a, b in zip(got[key], want[key]):
+            if b is None:
+                assert a is None, (key, got[key], want[key])
+            else:
+                assert a == pytest.approx(b, rel=1e-12), (key, got[key], want[key])
