@@ -364,11 +364,13 @@ def index_band_keys(
     **Maintenance contract**: a persisted table must grow WITH the index —
     append ``index_band_keys`` of each increment's accepted index rows
     alongside every index append (``operators/dedup_store.
-    append_dedup_increment`` does both, layout-preserving), or near-dups
-    of documents admitted since the table was built silently pass;
-    :func:`verify_dedup_index_consistency` (default-on in
-    :func:`incremental_dedup`) catches a stale table in two bounded
-    counts.
+    append_dedup_increment`` does both, layout-preserving, and re-verifies
+    the pair post-append), or near-dups of documents admitted since the
+    table was built silently pass; :func:`verify_dedup_index_consistency`
+    catches a stale table in two bounded counts — run automatically at
+    every append, or on the read side via
+    ``incremental_dedup(verify_index_bands=True)`` for manually-maintained
+    tables.
 
     The slice width is ``minhash_num_hashes // bands`` taken from the
     index's own parameter column, so the band keys cannot disagree with the
@@ -525,7 +527,7 @@ def incremental_dedup(
     max_band_bucket: int | None = 20_000,
     index_bands: DataFrame | None = None,
     index_hot_buckets: DataFrame | None = None,
-    verify_index_bands: bool = True,
+    verify_index_bands: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an ingestion increment against an existing corpus WITHOUT
     touching the corpus text — the production shape at 100 TB: you never
@@ -577,7 +579,10 @@ def incremental_dedup(
     O(|increment|) per append) — to replace it with a broadcast lookup.
     Its parameter columns (:data:`HOT_BUCKET_PARAM_COLS`, including the
     ``max_band_bucket`` it was maintained under) are validated in-plan
-    like the index's.
+    like the index's — non-vacuously: dedup_store's builders always emit a
+    band=-1 sentinel row, so a hot table with NO hot buckets still carries
+    one row for the guard to check (an empty scan would otherwise let a
+    cap mismatch silently disable the fail-fast).
 
     **Maintenance contract for persisted tables (enforced)**: after every
     increment, append the returned ``accepted_index`` rows to the index
@@ -586,11 +591,14 @@ def incremental_dedup(
     built silently skips near-dup detection against exactly those
     documents (exact replays are still caught via content_hash).
     ``operators/dedup_store.append_dedup_increment`` performs the whole
-    append (both tables + hot table, bucket layouts preserved); with
-    ``verify_index_bands=True`` (default) this function additionally runs
-    :func:`verify_dedup_index_consistency` — two bounded count jobs at
-    plan-build time — and raises on a stale table.  Set it False only
-    when the caller just ran the check itself.
+    append (both tables + hot table, bucket layouts preserved) AND
+    re-verifies the pair post-append with
+    :func:`verify_dedup_index_consistency` — consistency is enforced where
+    maintenance happens, once per append, keeping this function lazy (no
+    Spark jobs at plan-build) and free of per-read corpus-sized work.
+    Callers feeding MANUALLY-maintained tables opt into the same read-side
+    check here with ``verify_index_bands=True`` (two bounded count jobs at
+    plan-build time, raising on a stale table).
 
     Scale shape: every join is an equi-join keyed on hash/band values; the
     batch side is small relative to the corpus, so AQE broadcasts it and

@@ -60,11 +60,14 @@ __all__ = [
 ]
 
 
-def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]]:
-    """(num_buckets, bucket_columns) of a bucketed managed table, from the
-    catalog (DESCRIBE TABLE EXTENDED).  Raises if the table isn't bucketed
-    — appending unbucketed data to these tables is exactly the layout
-    erosion this module exists to prevent."""
+def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str], list[str]]:
+    """(num_buckets, bucket_columns, sort_columns) of a bucketed managed
+    table, from the catalog (DESCRIBE TABLE EXTENDED).  Raises if the table
+    isn't bucketed — appending unbucketed data to these tables is exactly
+    the layout erosion this module exists to prevent.  Sort columns matter
+    too: Spark validates the FULL spec on append, so a table written with
+    ``skew.write_bucketed(..., sort_cols=...)`` refuses an append that
+    omits ``sortBy`` — the spec must round-trip both."""
     rows = {
         r["col_name"]: r["data_type"]
         for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
@@ -77,26 +80,59 @@ def bucket_spec(spark: SparkSession, table: str) -> tuple[int, list[str]]:
             f"increment path"
         )
     n = int(rows["Num Buckets"])
-    cols = [c.strip(" `") for c in rows["Bucket Columns"].strip("[]").split(",")]
-    return n, cols
+
+    def _cols(key: str) -> list[str]:
+        inner = rows.get(key, "[]").strip("[]").strip()
+        return [c.strip(" `") for c in inner.split(",")] if inner else []
+
+    return n, _cols("Bucket Columns"), _cols("Sort Columns")
 
 
-def _append_bucketed(df: DataFrame, table: str, n: int, cols: list[str]) -> None:
-    """Append preserving the table's bucket layout.  Spark validates the
-    spec against the catalog and refuses a mismatch — the enforcement that
-    makes this path safe (a bare ``insertInto`` would append UNBUCKETED
-    files silently; results stay correct, but the layout erodes)."""
-    df.write.mode("append").bucketBy(n, *cols).format("parquet").saveAsTable(table)
+def _append_bucketed(
+    df: DataFrame, table: str, n: int, cols: list[str], sort_cols: list[str]
+) -> None:
+    """Append preserving the table's bucket (and in-bucket sort) layout.
+    Spark validates the spec against the catalog and refuses a mismatch —
+    the enforcement that makes this path safe (a bare ``insertInto`` would
+    append UNBUCKETED files silently; results stay correct, but the layout
+    erodes)."""
+    w = df.write.mode("append").bucketBy(n, *cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def _hot_sentinel(bands_df: DataFrame, max_band_bucket: int) -> DataFrame:
+    """One metadata row (band=-1, bucket=0, n=0) carrying the hot table's
+    parameter columns.  A hot table with no hot buckets would otherwise be
+    EMPTY, and ``incremental_dedup``'s row-wise in-plan parameter guard has
+    nothing to raise on over an empty scan — a cap/parameter mismatch would
+    silently disable the fail-fast guard exactly when it looks healthy.
+    The sentinel guarantees at least one validated row; band -1 can never
+    equal a real band (bands number 0..B-1), so it never matches in the
+    hot-raise join.  (Empty ``bands_df`` — an index with no signed docs —
+    yields no sentinel: there is nothing to under-guard then.)"""
+    return (
+        bands_df.groupBy()
+        .agg(*[F.max(c).alias(c) for c in (*DEDUP_INDEX_PARAM_COLS, "lsh_bands")])
+        .where(F.col("lsh_bands").isNotNull())
+        .withColumn("band", F.lit(-1).cast("int"))
+        .withColumn("bucket", F.lit(0).cast("long"))
+        .withColumn("n", F.lit(0).cast("long"))
+        .withColumn("max_band_bucket", F.lit(max_band_bucket))
+        .select("band", "bucket", "n", *HOT_BUCKET_PARAM_COLS)
+    )
 
 
 def hot_band_buckets(bands_df: DataFrame, max_band_bucket: int) -> DataFrame:
     """Full recount: every (band, bucket) group exceeding the cap, with
     count ``n`` and the parameter columns ``incremental_dedup`` validates
     (the hot table stores WHICH cap it was maintained under — a tighter
-    cap at call time must rebuild, not silently under-guard).  Bootstrap /
-    compaction path; per-append maintenance is
-    :func:`update_hot_band_buckets`."""
-    return (
+    cap at call time must rebuild, not silently under-guard), plus the
+    band=-1 sentinel row that keeps that validation non-vacuous when no
+    bucket is hot (:func:`_hot_sentinel`).  Bootstrap / compaction path;
+    per-append maintenance is :func:`update_hot_band_buckets`."""
+    hot = (
         bands_df.groupBy("band", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -106,6 +142,7 @@ def hot_band_buckets(bands_df: DataFrame, max_band_bucket: int) -> DataFrame:
         .withColumn("max_band_bucket", F.lit(max_band_bucket))
         .select("band", "bucket", "n", *HOT_BUCKET_PARAM_COLS)
     )
+    return _hot_sentinel(bands_df, max_band_bucket).unionByName(hot)
 
 
 def update_hot_band_buckets(
@@ -122,7 +159,11 @@ def update_hot_band_buckets(
     tiny broadcast increment-key set — the bucketed base scans linearly
     and never shuffles), and the union with the prior hot set refreshes
     touched entries.  Counts only grow, so untouched hot entries stay
-    valid verbatim."""
+    valid verbatim — including the band=-1 sentinel (:func:`_hot_sentinel`),
+    which rides ``kept`` under its ORIGINAL cap: calling this with a
+    different ``max_band_bucket`` than the table was built under produces
+    a mixed-cap table that the in-plan guard rejects at next use (a cap
+    change must rebuild via :func:`hot_band_buckets`, never drift in)."""
     inc_counts = inc_bands.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("__inc_n"),
         *[F.max(c).alias(c) for c in (*DEDUP_INDEX_PARAM_COLS, "lsh_bands")],
@@ -164,11 +205,20 @@ def append_dedup_increment(
 
     This is the maintenance contract in one call: after it, the next
     increment sees this one — exact replays AND near-dups (the gap a
-    stale band-key table opens, caught by
-    ``dedup.verify_dedup_index_consistency``).  ``bands``/``num_hashes``/
-    ``k`` are never passed here: the band keys derive from the accepted
-    rows' own parameter columns and the bands count stored in the table,
-    so an append cannot disagree with the layout it extends.
+    stale band-key table opens).  ``bands``/``num_hashes``/``k`` are never
+    passed here: the band keys derive from the accepted rows' own
+    parameter columns and the bands count stored in the table, so an
+    append cannot disagree with the layout it extends.
+
+    Consistency ownership lives HERE: after both appends land, the pair
+    is re-verified with ``dedup.verify_dedup_index_consistency`` (two
+    bounded count jobs), so a stale pair — an out-of-band index append
+    that skipped its band keys, or a bug in this function — raises at the
+    append that follows it, the moment maintenance next touches the
+    tables.  That keeps ``incremental_dedup`` itself lazy (no jobs at
+    plan-build) and free of per-read corpus-sized work; callers feeding it
+    MANUALLY-maintained tables opt into the same read-side check with
+    ``verify_index_bands=True``.
 
     The accepted rows and the updated hot set are pinned with an EAGER
     ``localCheckpoint`` before any append, deliberately not ``cache()``:
@@ -179,8 +229,8 @@ def append_dedup_increment(
     append an EMPTY band-key set (observed; the consistency guard catches
     the corruption, the checkpoint prevents it).  The checkpointed blocks
     are increment-sized and freed with the session."""
-    n_idx, cols_idx = bucket_spec(spark, index_table)
-    n_b, cols_b = bucket_spec(spark, bands_table)
+    n_idx, cols_idx, sort_idx = bucket_spec(spark, index_table)
+    n_b, cols_b, sort_b = bucket_spec(spark, bands_table)
     first = spark.table(bands_table).select("lsh_bands").first()
     if first is None:
         raise ValueError(
@@ -198,14 +248,20 @@ def append_dedup_increment(
             spark.table(bands_table), inc_bands, spark.table(hot_table),
             max_band_bucket,
         ).localCheckpoint(eager=True)
-    _append_bucketed(acc, index_table, n_idx, cols_idx)
-    _append_bucketed(inc_bands, bands_table, n_b, cols_b)
+    _append_bucketed(acc, index_table, n_idx, cols_idx, sort_idx)
+    _append_bucketed(inc_bands, bands_table, n_b, cols_b, sort_b)
     if hot_table is not None:
         new_hot.write.mode("overwrite").format("parquet").saveAsTable(
             f"{hot_table}__next"
         )
         spark.sql(f"DROP TABLE {hot_table}")
         spark.sql(f"ALTER TABLE {hot_table}__next RENAME TO {hot_table}")
+    # post-append ownership check: a stale pair (e.g. an out-of-band index
+    # append that skipped its band keys) surfaces at the NEXT maintenance
+    # touch instead of silently widening the near-dup blind spot
+    verify_dedup_index_consistency(
+        spark.table(index_table), spark.table(bands_table)
+    )
 
 
 def compact_dedup_index(
@@ -232,7 +288,7 @@ def compact_dedup_index(
     before: dict[str, int] = {}
     after: dict[str, int] = {}
     for table in (index_table, bands_table):
-        n, cols = bucket_spec(spark, table)
+        n, cols, sort_cols = bucket_spec(spark, table)
         files = spark.table(table).inputFiles()
         before[table] = len(files)
         # read the FILES, not the table: a repartition on the bucket
@@ -246,13 +302,14 @@ def compact_dedup_index(
         df = spark.read.parquet(*files) if files else spark.table(table)
         tmp = f"{table}__compact"
         spark.sql(f"DROP TABLE IF EXISTS {tmp}")
-        (
+        w = (
             df.repartition(n, *[F.col(c) for c in cols])
             .write.mode("overwrite")
             .bucketBy(n, *cols)
-            .format("parquet")
-            .saveAsTable(tmp)
         )
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.format("parquet").saveAsTable(tmp)
         spark.sql(f"DROP TABLE {table}")
         spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
         after[table] = len(spark.table(table).inputFiles())

@@ -42,6 +42,11 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 3 == 0)
     slices = [docs.where(F.col("doc_id") % 3 == j) for j in (1, 2)]
+    # synthetic ids (replays, the stale-row demo) must sit ABOVE every real
+    # doc_id at ANY sf_dir this demo is pointed at — a fixed 1e6 offset
+    # collides with real ids from sf30 up (1.5M docs); derive it instead
+    # (one scalar collect; this is a walkthrough, not an operator)
+    id_base = docs.agg(F.max("doc_id")).first()[0] + 1
 
     # 1. bootstrap: index bucketed by content_hash, band keys by
     #    (band, bucket), hot-bucket counts as a tiny side table
@@ -64,7 +69,7 @@ def main() -> None:
     prev = corpus
     for step, fresh in enumerate(slices, start=1):
         replays = prev.limit(5).select(
-            (F.col("doc_id") + 1_000_000 * step).alias("doc_id"), "text"
+            (F.col("doc_id") + id_base * step).alias("doc_id"), "text"
         )
         increment = fresh.unionAll(replays)
         accepted, acc_index = incremental_dedup(
@@ -77,7 +82,7 @@ def main() -> None:
             index_hot_buckets=spark.table(hot_t),
         )
         n = accepted.count()
-        n_replays_escaped = accepted.where(F.col("doc_id") >= 1_000_000).count()
+        n_replays_escaped = accepted.where(F.col("doc_id") >= id_base).count()
         assert n_replays_escaped == 0, "a replay of an admitted doc escaped"
         append_dedup_increment(spark, idx_t, bnd_t, acc_index, hot_table=hot_t)
         print(f"step {step}: accepted {n}, index now {spark.table(idx_t).count()}")
@@ -85,8 +90,9 @@ def main() -> None:
 
     # 3. the guard: append index rows WITHOUT their band keys -> the next
     #    increment refuses to run against the stale band table
+    stale_id = id_base * 100
     build_dedup_index(
-        spark.createDataFrame([(9_999_999, "lone stale row demo")],
+        spark.createDataFrame([(stale_id, "lone stale row demo")],
                               "doc_id long, text string"),
         "doc_id", "text",
     ).write.mode("append").bucketBy(4, "content_hash").format(
@@ -96,6 +102,7 @@ def main() -> None:
         incremental_dedup(
             docs.limit(1), bucketed_table(spark, idx_t), "doc_id", "text",
             threshold=0.7, index_bands=bucketed_table(spark, bnd_t),
+            verify_index_bands=True,
         )
         raise AssertionError("stale band table not detected")
     except ValueError as exc:
@@ -105,7 +112,7 @@ def main() -> None:
     # would have done) — compaction verifies consistency and would
     # otherwise refuse to bless the stale pair
     index_band_keys(
-        bucketed_table(spark, idx_t).where(F.col("doc_id") == 9_999_999),
+        bucketed_table(spark, idx_t).where(F.col("doc_id") == stale_id),
         "doc_id", bands=16,
     ).write.mode("append").bucketBy(4, "band", "bucket").format(
         "parquet"

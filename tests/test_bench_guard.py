@@ -283,6 +283,18 @@ def test_ratchet_is_host_normalized_and_needs_two_sightings():
     assert bench_guard.maybe_ratchet(nocal, pinned) == []
     assert pinned == before
 
+    # a host beyond the normalization band (ratio 4.0 > MAX_HOST_FACTOR) is
+    # un-normalizable: refuse to ratchet entirely rather than clamp — a
+    # clamped factor would confirm pins the pin host can never reach
+    toofast = {
+        "sf": 0.1,
+        "queries_median": {"q_a": 0.1, "q_b": 0.1},
+        "value_median": 0.3,
+        "calib_sec": 0.05,
+    }
+    assert bench_guard.maybe_ratchet(toofast, pinned) == []
+    assert pinned == before
+
     # sf mismatch: never ratchet across scales
     other = dict(run2, sf=0.01)
     assert bench_guard.maybe_ratchet(other, pinned) == []

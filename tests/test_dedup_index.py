@@ -375,8 +375,11 @@ def test_multi_increment_soak_append_compact(spark):
         assert _index_side_shuffles(post, markers) == []
         assert {r["doc_id"] for r in post.collect()} == {901}
 
-        # stale band table: appending index rows WITHOUT band keys must be
-        # caught at the next increment's plan build
+        # stale band table: appending index rows WITHOUT band keys (an
+        # out-of-band write that skips the maintenance contract) must be
+        # caught (a) by the opt-in read-side check at the next increment's
+        # plan build, and (b) by the post-append ownership check the next
+        # time append_dedup_increment touches the pair
         stale_rows = D2.build_dedup_index(
             spark.createDataFrame([(999, _doc("f99"))], "doc_id long, text string"),
             "doc_id",
@@ -393,6 +396,16 @@ def test_multi_increment_soak_append_compact(spark):
                 "text",
                 threshold=0.7,
                 index_bands=bucketed_table(spark, "ddxs_bands"),
+                verify_index_bands=True,
+            )
+        next_rows = D2.build_dedup_index(
+            spark.createDataFrame([(960, _doc("f96"))], "doc_id long, text string"),
+            "doc_id",
+            "text",
+        )
+        with pytest.raises(ValueError, match="stale"):
+            append_dedup_increment(
+                spark, "ddxs_index", "ddxs_bands", next_rows, hot_table="ddxs_hot"
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -426,9 +439,11 @@ def test_hot_table_maintenance_matches_full_recount(spark):
     updated = update_hot_band_buckets(base, inc, hot, cap)
     recount = hot_band_buckets(base.unionByName(inc), cap)
     key = lambda r: (r["band"], r["bucket"], r["n"], r["max_band_bucket"])  # noqa: E731
+    # (-1, 0, 0, 2) is the parameter sentinel — always exactly one,
+    # preserved verbatim through the incremental update
     assert sorted(map(key, updated.collect())) == sorted(
         map(key, recount.collect())
-    ) == [(0, 10, 4, 2), (1, 20, 3, 2)]
+    ) == [(-1, 0, 0, 2), (0, 10, 4, 2), (1, 20, 3, 2)]
 
 
 def test_band_bucket_cap_is_result_neutral_when_not_tripped(spark, dedup_fixture):
@@ -465,3 +480,79 @@ def test_index_band_keys_match_derived_band_keys(spark, dedup_fixture):
     }
     row = persisted.first()
     assert (row["minhash_num_hashes"], row["shingle_k"], row["lsh_bands"]) == (64, 3, 16)
+
+
+def test_hot_table_cap_mismatch_raises_even_with_no_hot_buckets(spark, dedup_fixture):
+    """A maintained hot table with NO hot buckets used to be EMPTY, and the
+    row-wise in-plan parameter guard had nothing to raise on — a caller
+    passing a TIGHTER max_band_bucket than the table was maintained under
+    silently lost the fail-fast guard for every bucket between the two
+    caps.  The band=-1 sentinel row keeps the validation non-vacuous: the
+    mismatch must raise, and the matched-cap call must still work."""
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        hot_band_buckets,
+    )
+
+    corpus, inc = dedup_fixture
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+    bands_df = D.index_band_keys(index, "doc_id", bands=16)
+    hot = hot_band_buckets(bands_df, 50_000)  # no bucket is hot -> sentinel only
+    assert hot.count() == 1 and hot.first()["band"] == -1
+
+    accepted, _ = D.incremental_dedup(
+        inc, index, "doc_id", "text", threshold=0.7,
+        index_bands=bands_df, index_hot_buckets=hot, max_band_bucket=50_000,
+    )
+    assert {r["doc_id"] for r in accepted.collect()} == {12}
+
+    mismatched, _ = D.incremental_dedup(
+        inc, index, "doc_id", "text", threshold=0.7,
+        index_bands=bands_df, index_hot_buckets=hot, max_band_bucket=20_000,
+    )
+    with pytest.raises(Exception, match="max_band_bucket"):
+        mismatched.collect()
+
+
+def test_append_preserves_sorted_bucketed_layout(spark):
+    """append_dedup_increment must round-trip the FULL table spec: a table
+    bootstrapped with in-bucket sort (write_bucketed sort_cols, the layout
+    the module's own docs recommend) refuses an append whose writer omits
+    sortBy, so bucket_spec has to surface Sort Columns and the appender has
+    to pass them through."""
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        append_dedup_increment,
+        bucket_spec,
+        hot_band_buckets,
+    )
+
+    for t in ("ddxsrt_index", "ddxsrt_bands", "ddxsrt_hot"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    corpus = spark.createDataFrame(
+        [(1, _doc("srt")), (2, _doc("srt2"))], "doc_id long, text string"
+    )
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+    write_bucketed(
+        index, "ddxsrt_index", "content_hash", num_buckets=4,
+        sort_cols="content_hash",
+    )
+    bands_df = D.index_band_keys(index, "doc_id", bands=16)
+    write_bucketed(
+        bands_df, "ddxsrt_bands", ["band", "bucket"], num_buckets=4,
+        sort_cols=["band", "bucket"],
+    )
+    hot_band_buckets(bands_df, 20_000).write.mode("overwrite").format(
+        "parquet"
+    ).saveAsTable("ddxsrt_hot")
+    assert bucket_spec(spark, "ddxsrt_index") == (4, ["content_hash"], ["content_hash"])
+
+    acc_idx = D.build_dedup_index(
+        spark.createDataFrame([(10, _doc("srt3"))], "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    append_dedup_increment(
+        spark, "ddxsrt_index", "ddxsrt_bands", acc_idx, hot_table="ddxsrt_hot"
+    )
+    assert spark.table("ddxsrt_index").count() == 3
+    for t in ("ddxsrt_index", "ddxsrt_bands", "ddxsrt_hot"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -114,3 +114,20 @@ def test_murmur3_duckdb_oracle_matches_spark_hash_on_edge_strings(spark):
     got = dict(con.execute(_MURMUR3_ORACLE).fetchall())
     con.close()
     assert got == want
+
+
+def test_round_sig_keeps_absolute_floor_for_cancellation_noise():
+    """check_oracle's float rule is 12 significant digits RELATIVE plus the
+    old round(9) ABSOLUTE floor: a value that is ~0 by cancellation comes
+    out 3e-13 on one engine and -1e-13 (or -0.0, or exact 0.0) on the
+    other — all must normalize to the same 0.0 — while large aggregates
+    keep relative comparison (a 4e11 sum's last-ulp noise passes, a real
+    relative difference fails)."""
+    import pandas as pd
+
+    got = check_oracle._round_sig(
+        pd.Series([3e-13, -1e-13, 0.0, -0.0, 4.0e11 + 6e-5, 4.0e11, 1.23456789e-5])
+    ).tolist()
+    assert got[0] == got[1] == got[2] == got[3] == 0.0
+    assert got[4] == got[5] == 4.0e11  # ulp noise collapses relatively
+    assert got[6] == 1.23456789e-5  # small-but-real values keep 12 sig digits

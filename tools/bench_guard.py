@@ -186,7 +186,13 @@ def maybe_ratchet(result: dict, pinned: dict) -> list[str]:
     if not (pinned.get("calib_sec") and result.get("calib_sec")):
         return changed  # can't normalize -> don't ratchet on raw values
     factor = pinned["calib_sec"] / result["calib_sec"]
-    factor = min(max(factor, 1.0 / MAX_HOST_FACTOR), MAX_HOST_FACTOR)
+    if not (1.0 / MAX_HOST_FACTOR <= factor <= MAX_HOST_FACTOR):
+        # a host faster/slower than the calibration can normalize is
+        # UN-normalizable, not clampable: clamping a 3x-faster host to 2.5x
+        # would confirm pins ~0.83x of what the pin host can reach, then
+        # fail spuriously back on the pin host (noise band 1.0-2.0x vs the
+        # 2.0x gate).  Same refusal as the missing-calibration case.
+        return changed
     pending: dict[str, float] = pinned.setdefault("pending_ratchet", {})
 
     def consider(key: str, base: float, raw: float | None) -> float | None:

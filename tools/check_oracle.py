@@ -32,16 +32,21 @@ from databricks_feature_store_flight_school_spark.sources import TABLES  # noqa:
 
 def _round_sig(s: pd.Series, digits: int = 12) -> pd.Series:
     """Round floats to ``digits`` SIGNIFICANT digits — a relative
-    tolerance.  The old absolute ``round(9)`` broke at sf10: a 4e11
-    aggregate's last ulp is ~6e-5, so Spark's and DuckDB's different
-    summation orders legitimately disagree in the 2nd decimal while
-    agreeing to 13 significant digits; meanwhile 12 significant digits is
-    TIGHTER than 9 decimals for the sub-1 values (discount rates) the old
-    rule was calibrated on."""
+    tolerance — with the old ABSOLUTE ``round(9)`` kept as a floor for
+    near-zero values.  Why both: a 4e11 aggregate's last ulp is ~6e-5, so
+    Spark's and DuckDB's different summation orders legitimately disagree
+    in the 2nd decimal while agreeing to 13 significant digits (relative
+    rule needed, broke at sf10); but a value that is ~0 BY CANCELLATION
+    (covariance of near-independent columns, residual sums) comes out as
+    3e-13 on one engine and -1e-13 or exact 0.0 on the other — all noise
+    around zero that a pure relative rule keeps 12 digits of.  Values
+    under 5e-10 therefore snap to 0.0 (exactly what round(9) did), and the
+    relative rule governs everything larger."""
     import numpy as np
 
     a = s.astype("float64").to_numpy()
     with np.errstate(all="ignore"):
+        a = np.where(np.isfinite(a) & (np.abs(a) < 5e-10), 0.0, a)
         mag = np.floor(np.log10(np.abs(a)))
         scale = np.power(10.0, (digits - 1) - mag)
         ok = np.isfinite(a) & (a != 0.0)
