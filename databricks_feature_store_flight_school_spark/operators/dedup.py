@@ -69,6 +69,7 @@ def shingle_pairs_jaccard(
     k: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = 1000,
+    max_candidate_pairs: int | None = 1_000_000_000,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard >= threshold.
 
@@ -80,13 +81,60 @@ def shingle_pairs_jaccard(
     for small-corpus exact ground truth; note shingle sizes (the Jaccard
     denominator) are computed AFTER the filter, so dropped shingles don't
     count toward either document's size.
-    """
+
+    ``max_candidate_pairs`` fail-fasts on the AGGREGATE bound the per-shingle
+    cap cannot see: the self-join materializes sum over kept shingles of
+    df*(df-1)/2 candidate rows, and a corpus where every shingle sits just
+    UNDER ``max_doc_freq`` is quadratic in aggregate while every shingle
+    individually looks cold (measured: the sf10 synthetic corpus holds
+    29,791 distinct shingles, max df 822 — nothing tripped the df cap —
+    totalling 7.4e9 candidates, which OOMed an 8 GiB driver before this
+    guard existed).  The total rides the same shingle-frequency aggregate
+    as the df cap and raises IN-PLAN (a 1-row broadcast + filter predicate,
+    zero extra driver actions) with the actionable alternative: the banded
+    MinHash path (:func:`minhash_lsh_candidates` / :func:`incremental_dedup`)
+    whose candidate count is bucket-bounded, not df-squared.  ``None``
+    disables (exact ground truth on a corpus you have measured)."""
     sh = (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
         .distinct()
     )
-    if max_doc_freq is not None:
+    if max_doc_freq is not None or max_candidate_pairs is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        kept = (
+            freq.where(F.col("df") <= max_doc_freq)
+            if max_doc_freq is not None
+            else freq
+        )
+        if max_candidate_pairs is not None:
+            total = kept.agg(
+                F.coalesce(
+                    F.sum(F.col("df").cast("double") * (F.col("df") - 1) / 2),
+                    F.lit(0.0),
+                ).alias("__cand_pairs")
+            )
+            msg = F.concat(
+                F.lit("shingle self-join would materialize "),
+                F.col("__cand_pairs").cast("decimal(20,0)").cast("string"),
+                F.lit(
+                    f" candidate pairs (> max_candidate_pairs="
+                    f"{max_candidate_pairs}): the corpus is quadratic in "
+                    f"aggregate even though no single shingle exceeds "
+                    f"max_doc_freq={max_doc_freq} — use the banded MinHash "
+                    f"path (minhash_lsh_candidates / incremental_dedup) or "
+                    f"lower max_doc_freq deliberately"
+                ),
+            )
+            guard = F.when(
+                F.col("__cand_pairs") > F.lit(float(max_candidate_pairs)),
+                F.raise_error(msg),
+            ).otherwise(F.lit(True))
+            sh = (
+                sh.crossJoin(F.broadcast(total))
+                .where(guard)
+                .select(id_col, "shingle")
+            )
+    if max_doc_freq is not None:
         sh = (
             sh.join(F.broadcast(freq.where(F.col("df") > max_doc_freq)), "shingle", "left_anti")
         )

@@ -1378,3 +1378,30 @@ def test_group_quantile_cont_matches_builtin_percentile(spark):
                 assert a is None, (key, got[key], want[key])
             else:
                 assert a == pytest.approx(b, rel=1e-12), (key, got[key], want[key])
+
+
+def test_shingle_pairs_candidate_total_guard(spark):
+    """max_candidate_pairs fail-fasts on the AGGREGATE quadratic bound the
+    per-shingle df cap cannot see (the sf10 lesson: 29,791 shingles all
+    under the df cap, 7.4e9 candidates in total).  Below the cap the guard
+    must be result-neutral; above it, the in-plan raise fires with the
+    banded-MinHash redirect."""
+    docs = [(i, f"w{i} x{i} y{i} z{i}") for i in range(6)]
+    docs += [(100, "a b c d"), (101, "a b c d")]  # one real dup pair
+    df = spark.createDataFrame(docs, "id long, text string")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in shingle_pairs_jaccard(df, "id", "text", k=3, threshold=0.8).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in shingle_pairs_jaccard(
+            df, "id", "text", k=3, threshold=0.8, max_candidate_pairs=10
+        ).collect()
+    }
+    assert base == guarded == {(100, 101)}
+    # the dup pair shares 2 shingles -> sum df*(df-1)/2 = 2 candidates > 1
+    with pytest.raises(Exception, match="max_candidate_pairs"):
+        shingle_pairs_jaccard(
+            df, "id", "text", k=3, threshold=0.8, max_candidate_pairs=1
+        ).collect()
