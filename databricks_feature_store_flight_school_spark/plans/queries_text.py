@@ -1003,14 +1003,19 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
                ) AS island
         FROM matches
+    ),
+    spans AS (
+        SELECT doc_a, doc_b,
+               CAST(count(*) + 3 AS BIGINT) AS span_tokens
+        FROM islands
+        GROUP BY doc_a, doc_b, pos_a - pos_b, island
     )
-    SELECT doc_a, doc_b,
-           min(pos_a) AS start_a,
-           min(pos_b) AS start_b,
-           CAST(count(*) + 3 AS BIGINT) AS span_tokens
-    FROM islands
-    GROUP BY doc_a, doc_b, pos_a - pos_b, island
-    ORDER BY doc_a, doc_b, start_a, start_b
+    SELECT span_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(DISTINCT (doc_a, doc_b)) AS BIGINT) AS n_doc_pairs
+    FROM spans
+    GROUP BY span_tokens
+    ORDER BY span_tokens
     """,
     "text", "dedup", "llm-pipeline",
 )
@@ -1033,10 +1038,26 @@ def q_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap) to bound the worst bucket; everything else is windows over narrow
     (doc, pos) rows.  The fixture's closed vocabulary makes cross-doc
     4-gram collisions common enough to exercise every stage (~1.6k matches
-    at sf0.01)."""
+    at sf0.01).
+
+    OUTPUT is the span-length PROFILE (span_tokens, n_spans, n_doc_pairs) —
+    bounded at any corpus — not the span table: the round-10 full sf10
+    sweep collected >1 GiB of span rows into the compare gate
+    (maxResultSize), the same output-cardinality lesson that reshaped
+    q_fuzzy_part_match in round 9 ("every duplicated passage" is a dataset,
+    not an answer).  Pair-level consumers stream
+    operators/dedup.duplicate_passage_spans into a sink instead of
+    collecting; the profile pins the same computation (every span's length
+    lands in exactly one bucket on both engines)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.duplicate_passage_spans(d, "doc_id", "text", k=4).orderBy(
-        "doc_a", "doc_b", "start_a", "start_b"
+    spans = D.duplicate_passage_spans(d, "doc_id", "text", k=4)
+    return (
+        spans.groupBy("span_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.countDistinct("doc_a", "doc_b").alias("n_doc_pairs"),
+        )
+        .orderBy("span_tokens")
     )
 
 
