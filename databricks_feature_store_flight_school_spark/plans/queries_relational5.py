@@ -664,17 +664,74 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
       PROFILE (per-distance pair and entity counts, <= k+1 rows at any
       SF); callers who want the pairs stream them from
       ``operators/fuzzy.edit_distance_join`` directly (parity-tested),
-      they don't collect them."""
+      they don't collect them.
+
+    Round 10b regrouped the SPARK side by distinct (block, name) before
+    the segment join, mirroring its own oracle: edit distance depends only
+    on the names, and names repeat heavily (2M parts / 38,784 distinct
+    names at sf10), so the entity-level pair list — ~52M rows at sf1,
+    >70 GB of candidate shuffle scratch at sf10 (the full-sweep ENOSPC) —
+    collapses to a name-level one (thousands of rows), with entity counts
+    expanded combinatorially exactly as the SQL twin does: pairs(d) =
+    sum cnt_a*cnt_b over distinct-name pairs (+ C(cnt,2) within a name at
+    d=0), and left entities per the same max-counterpart-id rule.  The
+    levenshtein is paid once per distinct name pair on BOTH engines now."""
     from ..operators.fuzzy import edit_distance_join
 
     p = load_table(spark, sf_dir, "part")
-    pairs = edit_distance_join(p, "p_name", "p_partkey", "p_type", k=2)
-    return (
-        pairs.groupBy("edit_dist")
+    g = p.groupBy("p_type", "p_name").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.max("p_partkey").alias("__gid")
+    )
+    # d=0: pairs/lefts within one name group (group max-id is never a
+    # smaller-id side; every other member is)
+    d0 = (
+        g.where(F.col("__cnt") >= 2)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.countDistinct("key_a").cast("bigint").alias("n_left_entities"),
+            F.lit(0).alias("edit_dist"),
+            F.sum(F.col("__cnt") * (F.col("__cnt") - 1) / 2)
+            .cast("bigint")
+            .alias("n_pairs"),
+            F.sum(F.col("__cnt") - 1).cast("bigint").alias("n_left_entities"),
         )
+        .where(F.col("n_pairs").isNotNull())
+    )
+    # d>=1: the PassJoin over DISTINCT names; __gid (the group's max
+    # part id) is a valid unique name id because part keys are unique
+    name_pairs = edit_distance_join(g, "p_name", "__gid", "p_type", k=2).where(
+        F.col("edit_dist") >= 1
+    )
+    cnts = g.select(F.col("__gid").alias("__k"), F.col("__cnt").alias("__c"))
+    np = (
+        name_pairs.join(cnts.withColumnRenamed("__k", "key_a").withColumnRenamed("__c", "__ca"), "key_a")
+        .join(cnts.withColumnRenamed("__k", "key_b").withColumnRenamed("__c", "__cb"), "key_b")
+    )
+    dpairs = np.groupBy("edit_dist").agg(
+        F.sum(F.col("__ca") * F.col("__cb")).cast("bigint").alias("n_pairs")
+    )
+    # left entities at d: parts whose id is below the max counterpart-name
+    # group id for their name at that distance (both directions of each
+    # name pair contribute a counterpart)
+    both = name_pairs.select(
+        F.col("key_a").alias("__nk"), F.col("key_b").alias("__ok"), "edit_dist"
+    ).unionByName(
+        name_pairs.select(
+            F.col("key_b").alias("__nk"), F.col("key_a").alias("__ok"), "edit_dist"
+        )
+    )
+    m = both.groupBy("__nk", "edit_dist").agg(F.max("__ok").alias("__mid"))
+    plx = p.join(
+        F.broadcast(g.select("p_type", "p_name", "__gid")), ["p_type", "p_name"]
+    ).join(F.broadcast(m), F.col("__gid") == F.col("__nk"))
+    dleft = (
+        plx.where(F.col("p_partkey") < F.col("__mid"))
+        .groupBy("edit_dist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_left_entities"))
+    )
+    dd = dpairs.join(dleft, "edit_dist")
+    return (
+        d0.select("edit_dist", "n_pairs", "n_left_entities")
+        .unionByName(dd.select("edit_dist", "n_pairs", "n_left_entities"))
+        .where(F.col("n_pairs") > 0)
         .orderBy("edit_dist")
     )
 
