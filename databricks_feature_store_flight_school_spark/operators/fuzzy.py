@@ -128,9 +128,19 @@ def edit_distance_join(
     # candidates carry IDS ONLY through the dedup shuffle (16-byte rows);
     # names re-attach afterwards by key — at candidate cardinality the
     # string payload is the dominant shuffle cost, and the re-attach joins
-    # are linear (AQE broadcasts the name table while it is small)
+    # are linear (AQE broadcasts the name table while it is small).
+    # The join itself is SALTED (skew.salted_join: index side salted,
+    # probe side replicated): segment text is low-entropy on real name
+    # distributions (at sf10, 8 adjective prefixes dominate the first
+    # segment), so a handful of (block, len, seg, txt) keys produce most
+    # of the candidate OUTPUT — skew that AQE's skew split cannot touch,
+    # because it splits by INPUT partition size and these inputs are tiny
+    # (measured: 3/32 tasks busy for the whole candidate stage at sf10
+    # unsalted; evenly spread salted).
+    from .skew import salted_join
+
     cand = (
-        idx.join(probe, on=blocks + ["__ls", "__seg", "__txt"])
+        salted_join(idx, probe, on=blocks + ["__ls", "__seg", "__txt"], salt=32)
         .where(F.col("__id_a") < F.col("__id_b"))
         .select(
             F.col("__id_a").alias("key_a"),
