@@ -70,6 +70,9 @@ def shingle_pairs_jaccard(
     threshold: float = 0.8,
     max_doc_freq: int | None = 1000,
     max_candidate_pairs: int | None = 1_000_000_000,
+    on_blowup: str = "raise",
+    lsh_num_hashes: int = 128,
+    lsh_bands: int = 32,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard >= threshold.
 
@@ -94,11 +97,30 @@ def shingle_pairs_jaccard(
     zero extra driver actions) with the actionable alternative: the banded
     MinHash path (:func:`minhash_lsh_candidates` / :func:`incremental_dedup`)
     whose candidate count is bucket-bounded, not df-squared.  ``None``
-    disables (exact ground truth on a corpus you have measured)."""
+    disables (exact ground truth on a corpus you have measured).
+
+    ``on_blowup`` picks what happens when ``max_candidate_pairs`` trips:
+    ``"raise"`` (default) keeps the in-plan fail-fast above; ``"lsh"``
+    degrades IN-API to the banded-MinHash path the raise message points at
+    — candidates from ``minhash_lsh_candidates(lsh_num_hashes,
+    lsh_bands)``, then EXACT shingle-Jaccard verification of just those
+    candidates, so the output schema and precision match the exact path
+    (every returned pair truly has Jaccard >= threshold over the
+    df-filtered shingle set) while recall drops to the LSH collision
+    probability ``1-(1-t^(h/b))^b`` (~0.999 at t=0.8 with the 128/32
+    defaults, measured 1.0 vs exact ground truth at sf0.01/sf0.1 —
+    tests/test_dedup.py::test_shingle_pairs_on_blowup_lsh).  Choosing the
+    path needs the candidate total at PLAN-BUILD time, so ``"lsh"`` runs
+    the shingle-frequency aggregate eagerly — one extra bounded job
+    (distinct-shingle-sized, the same aggregate the guard broadcasts) —
+    where ``"raise"`` stays fully lazy."""
+    if on_blowup not in ("raise", "lsh"):
+        raise ValueError(f"on_blowup must be 'raise' or 'lsh', got {on_blowup!r}")
     sh = (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
         .distinct()
     )
+    degrade_to_lsh = False
     if max_doc_freq is not None or max_candidate_pairs is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         kept = (
@@ -107,33 +129,48 @@ def shingle_pairs_jaccard(
             else freq
         )
         if max_candidate_pairs is not None:
-            total = kept.agg(
-                F.coalesce(
-                    F.sum(F.col("df").cast("double") * (F.col("df") - 1) / 2),
-                    F.lit(0.0),
-                ).alias("__cand_pairs")
-            )
-            msg = F.concat(
-                F.lit("shingle self-join would materialize "),
-                F.col("__cand_pairs").cast("decimal(20,0)").cast("string"),
-                F.lit(
-                    f" candidate pairs (> max_candidate_pairs="
-                    f"{max_candidate_pairs}): the corpus is quadratic in "
-                    f"aggregate even though no single shingle exceeds "
-                    f"max_doc_freq={max_doc_freq} — use the banded MinHash "
-                    f"path (minhash_lsh_candidates / incremental_dedup) or "
-                    f"lower max_doc_freq deliberately"
-                ),
-            )
-            guard = F.when(
-                F.col("__cand_pairs") > F.lit(float(max_candidate_pairs)),
-                F.raise_error(msg),
-            ).otherwise(F.lit(True))
-            sh = (
-                sh.crossJoin(F.broadcast(total))
-                .where(guard)
-                .select(id_col, "shingle")
-            )
+            pairs_expr = F.coalesce(
+                F.sum(F.col("df").cast("double") * (F.col("df") - 1) / 2),
+                F.lit(0.0),
+            ).alias("__cand_pairs")
+            if on_blowup == "lsh":
+                # eager path decision: one bounded aggregate job now
+                # instead of the in-plan raise later
+                n_cand = kept.agg(pairs_expr).first()["__cand_pairs"]
+                degrade_to_lsh = n_cand > float(max_candidate_pairs)
+            else:
+                total = kept.agg(pairs_expr)
+                df_clause = (
+                    f"the corpus is quadratic in aggregate even though no "
+                    f"single shingle exceeds max_doc_freq={max_doc_freq} — "
+                    if max_doc_freq is not None
+                    else ""
+                )
+                df_alt = (
+                    "lower max_doc_freq deliberately"
+                    if max_doc_freq is not None
+                    else "set max_doc_freq to drop corpus-wide shingles"
+                )
+                msg = F.concat(
+                    F.lit("shingle self-join would materialize "),
+                    F.col("__cand_pairs").cast("decimal(20,0)").cast("string"),
+                    F.lit(
+                        f" candidate pairs (> max_candidate_pairs="
+                        f"{max_candidate_pairs}): {df_clause}use the banded "
+                        f"MinHash path (on_blowup='lsh', or "
+                        f"minhash_lsh_candidates / incremental_dedup "
+                        f"directly) or {df_alt}"
+                    ),
+                )
+                guard = F.when(
+                    F.col("__cand_pairs") > F.lit(float(max_candidate_pairs)),
+                    F.raise_error(msg),
+                ).otherwise(F.lit(True))
+                sh = (
+                    sh.crossJoin(F.broadcast(total))
+                    .where(guard)
+                    .select(id_col, "shingle")
+                )
     if max_doc_freq is not None:
         sh = (
             sh.join(F.broadcast(freq.where(F.col("df") > max_doc_freq)), "shingle", "left_anti")
@@ -142,12 +179,31 @@ def shingle_pairs_jaccard(
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
+    if degrade_to_lsh:
+        # candidate-bounded intersection: only LSH-colliding pairs ever pay
+        # the shingle join — each candidate pair fans out by doc_a's
+        # shingles, then an equi-join on (id_b, shingle) keeps the shared
+        # ones, so the cost is |candidates| x avg shingles/doc instead of
+        # sum(df^2)/2.  Candidates come from the UNfiltered signatures
+        # (minhash over all shingles) — a recall-side difference only;
+        # verification below is over the df-filtered set, identical to the
+        # exact path's semantics.
+        cands = minhash_lsh_candidates(
+            df, id_col, text_col, lsh_num_hashes, lsh_bands, k
+        ).select("id_a", "id_b")
+        inter = (
+            cands.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("intersection"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("intersection"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("intersection") / (F.col("n_a") + F.col("n_b") - F.col("intersection"))

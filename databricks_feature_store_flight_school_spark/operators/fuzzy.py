@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .skew import salted_join
+
 
 def _seg_bounds(length_col, i, nseg: int):
     """(start, len) Column pair of segment ``i`` (int or Column) when a
@@ -49,6 +51,7 @@ def edit_distance_join(
     id_col: str,
     block_cols: str | list[str] | None = None,
     k: int = 2,
+    salt: int = 32,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with ``levenshtein(name_a, name_b) <= k``
     (within the same ``block_cols`` values, if given).
@@ -56,7 +59,14 @@ def edit_distance_join(
     Returns columns ``key_a, key_b, name_a, name_b, edit_dist``.  Strings
     shorter than ``k+1`` chars cannot be segmented into k+1 non-empty parts;
     they fall back to a block+length-band join (bounded: at most 2k+1
-    lengths of tiny strings per block)."""
+    lengths of tiny strings per block).
+
+    ``salt`` spreads the candidate join's hot segment keys over that many
+    shuffle partitions (see the salted-join note below); the probe side is
+    replicated ``salt``× in shuffle volume, so the default (32, tuned for
+    the sf10 part-name distribution, where 8 adjective prefixes dominate
+    the first segment) is worth dialing DOWN for small or high-entropy
+    inputs — ``salt=1`` is a plain unsalted equi-join."""
     blocks = (
         [block_cols] if isinstance(block_cols, str) else list(block_cols or [])
     )
@@ -137,10 +147,8 @@ def edit_distance_join(
     # because it splits by INPUT partition size and these inputs are tiny
     # (measured: 3/32 tasks busy for the whole candidate stage at sf10
     # unsalted; evenly spread salted).
-    from .skew import salted_join
-
     cand = (
-        salted_join(idx, probe, on=blocks + ["__ls", "__seg", "__txt"], salt=32)
+        salted_join(idx, probe, on=blocks + ["__ls", "__seg", "__txt"], salt=salt)
         .where(F.col("__id_a") < F.col("__id_b"))
         .select(
             F.col("__id_a").alias("key_a"),

@@ -1405,3 +1405,33 @@ def test_shingle_pairs_candidate_total_guard(spark):
         shingle_pairs_jaccard(
             df, "id", "text", k=3, threshold=0.8, max_candidate_pairs=1
         ).collect()
+
+
+def test_shingle_pairs_on_blowup_lsh(spark):
+    """on_blowup='lsh' (VERDICT r10 #3): when the candidate-pair guard
+    trips, the call degrades in-API to banded-MinHash candidates + exact
+    shingle-Jaccard verification instead of raising.  Precision is exact
+    (same schema, same jaccard/intersection values as the exact path for
+    every returned pair); recall is the LSH collision probability — 1.0
+    on this corpus (and measured 1.0 vs exact ground truth at sf0.01,
+    BASELINE.md round 11).  Untripped, 'lsh' is result-identical to the
+    exact path; an unknown mode raises at call time."""
+    docs = [(i, f"w{i} x{i} y{i} z{i}") for i in range(6)]
+    docs += [(100, "a b c d e f g h"), (101, "a b c d e f g h")]
+    docs += [(200, "p q r s t u v w x y"), (201, "p q r s t u v w x y zz")]
+    df = spark.createDataFrame(docs, "id long, text string")
+
+    def rows(**kw):
+        return {
+            (r["id_a"], r["id_b"], r["intersection"], round(r["jaccard"], 9))
+            for r in shingle_pairs_jaccard(
+                df, "id", "text", k=3, threshold=0.7, **kw
+            ).collect()
+        }
+
+    exact = rows()
+    assert exact == rows(max_candidate_pairs=1, on_blowup="lsh")  # tripped
+    assert exact == rows(max_candidate_pairs=10**9, on_blowup="lsh")  # not
+    assert {(a, b) for a, b, *_ in exact} == {(100, 101), (200, 201)}
+    with pytest.raises(ValueError, match="on_blowup"):
+        shingle_pairs_jaccard(df, "id", "text", on_blowup="retry")

@@ -41,7 +41,16 @@ def _round_sig(s: pd.Series, digits: int = 12) -> pd.Series:
     3e-13 on one engine and -1e-13 or exact 0.0 on the other — all noise
     around zero that a pure relative rule keeps 12 digits of.  Values
     under 5e-10 therefore snap to 0.0 (exactly what round(9) did), and the
-    relative rule governs everything larger."""
+    relative rule governs everything larger.
+
+    MASKED BAND (ADVICE r10, accepted tradeoff): the snap is unconditional,
+    so a genuine engine discrepancy living ENTIRELY below |v| < 5e-10 —
+    e.g. a query whose answers are tiny probabilities — passes silently.
+    No catalog query returns values in that band as its signal (rates and
+    ratios here are O(1e-3)+); a future query that does should carry its
+    own scaled oracle (compare v*1e12) rather than weaken this floor,
+    because the floor is what absorbs legitimate cancellation noise for
+    every covariance/residual-style aggregate in the catalog."""
     import numpy as np
 
     a = s.astype("float64").to_numpy()
