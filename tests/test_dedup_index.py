@@ -261,7 +261,27 @@ def _doc(tag: str) -> str:
     return " ".join(f"{tag}{i} mid{tag}{i} tail{tag}{i}" for i in range(8))
 
 
-def test_multi_increment_soak_append_compact(spark):
+def _scan_leaves(df, table_markers) -> list[str]:
+    """First lines of every leaf scan in df's plan that reads one of
+    ``table_markers`` (by physical path/table-name substring)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.nodeName().startswith("AdaptiveSparkPlan"):
+        plan = plan.initialPlan()
+    hits: list[str] = []
+
+    def walk(node):
+        if node.children().size() == 0:
+            leaf = node.toString().splitlines()[0]
+            if any(m in leaf for m in table_markers):
+                hits.append(leaf.strip()[:120])
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(plan)
+    return hits
+
+
+def test_multi_increment_soak_append_compact(spark, monkeypatch):
     """The continuous-ingestion loop, end to end (VERDICT r9 #1/#2):
     K increments against persisted bucketed index + band-key + hot tables,
     each step (a) admitting exactly the novel docs — including rejecting
@@ -269,19 +289,31 @@ def test_multi_increment_soak_append_compact(spark):
     band table loses, (b) idempotent on re-run after its append, (c)
     Exchange-free on the index side, and (d) free of corpus-sized
     aggregations (the hot-bucket table replaces the per-increment recount;
-    plan-asserted).  Appends preserve both bucket layouts; after K appends
-    compaction restores one file per bucket and the Exchange-free property
-    still holds.  Finally, an index append WITHOUT its band keys is caught
-    by the consistency guard."""
+    plan-asserted).  With the counts table + persisted stats the append
+    step itself is INCREMENT-SIZED (r10 #1): the happy path never invokes
+    the full scan-based verify or stats recount (call-asserted via
+    monkeypatch) and the hot update's plan scans only the counts table
+    (plan-asserted).  Appends preserve all bucket layouts; after K appends
+    compaction restores one file per bucket, converts the names to
+    atomically-published views (r10 #2), and the Exchange-free property
+    still holds THROUGH the views.  Finally, an index append WITHOUT its
+    band keys — now an out-of-band write the file-count tripwire sees —
+    is still caught by the consistency guard."""
     import databricks_feature_store_flight_school_spark.operators.dedup as D2
+    import databricks_feature_store_flight_school_spark.operators.dedup_store as DS
     from databricks_feature_store_flight_school_spark.operators.dedup_store import (
         append_dedup_increment,
+        bootstrap_dedup_store,
         compact_dedup_index,
-        hot_band_buckets,
+    )
+    from databricks_feature_store_flight_school_spark.operators.publish import (
+        drop_published,
+        resolve_table,
     )
 
-    for t in ("ddxs_index", "ddxs_bands", "ddxs_hot"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    names = ("ddxs_index", "ddxs_bands", "ddxs_hot", "ddxs_counts")
+    for t in names:
+        drop_published(spark, t)
     corpus = spark.createDataFrame(
         [(1, _doc("base")), (2, _doc("other"))], "doc_id long, text string"
     )
@@ -289,9 +321,10 @@ def test_multi_increment_soak_append_compact(spark):
     write_bucketed(index, "ddxs_index", "content_hash", num_buckets=4)
     bands_df = D2.index_band_keys(index, "doc_id", bands=16)
     write_bucketed(bands_df, "ddxs_bands", ["band", "bucket"], num_buckets=4)
-    hot_band_buckets(bands_df, 20_000).write.mode("overwrite").format(
-        "parquet"
-    ).saveAsTable("ddxs_hot")
+    bootstrap_dedup_store(
+        spark, "ddxs_index", "ddxs_bands",
+        hot_table="ddxs_hot", counts_table="ddxs_counts",
+    )
 
     # each increment: one fresh doc, one exact replay of the PREVIOUS
     # increment's fresh doc, one near-dup (perturbed) of it — so steps 2+
@@ -324,10 +357,43 @@ def test_multi_increment_soak_append_compact(spark):
             assert aggs == [], f"step {step}: corpus-sized recount present: {aggs}"
             got = {r["doc_id"] for r in accepted.select("doc_id").collect()}
             assert got == want_accept[step], f"step {step}: {got}"
-            append_dedup_increment(
-                spark, "ddxs_index", "ddxs_bands", acc_idx,
-                hot_table="ddxs_hot",
-            )
+            # increment-sized append (r10 #1): the happy path must not run
+            # the full verify or a stats recount, and its hot update must
+            # scan ONLY the counts table — assert all three on the real call
+            hot_plans: list = []
+            real = {
+                n: getattr(DS, n)
+                for n in (
+                    "update_hot_from_counts",
+                    "verify_dedup_index_consistency",
+                    "_computed_stats",
+                )
+            }
+
+            def spy_update(*a, **kw):
+                out = real["update_hot_from_counts"](*a, **kw)
+                hot_plans.append(out)
+                return out
+
+            def boom(*_a, **_kw):  # pragma: no cover - failure path
+                raise AssertionError(
+                    f"corpus-sized scan in the happy append path (step {step})"
+                )
+
+            monkeypatch.setattr(DS, "update_hot_from_counts", spy_update)
+            monkeypatch.setattr(DS, "verify_dedup_index_consistency", boom)
+            monkeypatch.setattr(DS, "_computed_stats", boom)
+            try:
+                append_dedup_increment(
+                    spark, "ddxs_index", "ddxs_bands", acc_idx,
+                    hot_table="ddxs_hot", counts_table="ddxs_counts",
+                )
+            finally:
+                for n, fn in real.items():
+                    monkeypatch.setattr(DS, n, fn)
+            assert len(hot_plans) == 1, f"step {step}"
+            scans = _scan_leaves(hot_plans[0], ("ddxs_bands", "ddxs_index"))
+            assert scans == [], f"step {step}: hot update scans corpus: {scans}"
             # idempotence: the same increment after its append admits nothing
             replay, _ = D2.incremental_dedup(
                 inc,
@@ -356,10 +422,21 @@ def test_multi_increment_soak_append_compact(spark):
         )
 
         # K appends eroded the one-file-per-bucket layout; compact restores
-        # it and the Exchange-free property holds on the compacted tables
+        # it (converting the names to atomically-published views) and the
+        # Exchange-free property holds THROUGH the views
         stats = compact_dedup_index(
-            spark, "ddxs_index", "ddxs_bands", hot_table="ddxs_hot"
+            spark, "ddxs_index", "ddxs_bands", hot_table="ddxs_hot",
+            counts_table="ddxs_counts",
         )
+        assert spark.catalog.getTable("ddxs_index").tableType == "VIEW"
+        # counts collapsed to one delta row per group: total equals the
+        # band-key row count again
+        n_bands_rows = spark.table("ddxs_bands").count()
+        agg = spark.table("ddxs_counts").agg(
+            F.sum("n").alias("s"), F.count(F.lit(1)).alias("groups")
+        ).first()
+        assert agg["s"] == n_bands_rows
+        assert agg["groups"] == spark.table("ddxs_counts").count()
         for t in ("ddxs_index", "ddxs_bands"):
             assert stats["files_before"][t] > 4, stats
             assert stats["files_after"][t] <= 4, stats
@@ -378,8 +455,8 @@ def test_multi_increment_soak_append_compact(spark):
         # stale band table: appending index rows WITHOUT band keys (an
         # out-of-band write that skips the maintenance contract) must be
         # caught (a) by the opt-in read-side check at the next increment's
-        # plan build, and (b) by the post-append ownership check the next
-        # time append_dedup_increment touches the pair
+        # plan build, and (b) by the file-count tripwire -> full verify the
+        # next time append_dedup_increment touches the pair
         stale_rows = D2.build_dedup_index(
             spark.createDataFrame([(999, _doc("f99"))], "doc_id long, text string"),
             "doc_id",
@@ -387,7 +464,7 @@ def test_multi_increment_soak_append_compact(spark):
         )
         stale_rows.write.mode("append").bucketBy(4, "content_hash").format(
             "parquet"
-        ).saveAsTable("ddxs_index")
+        ).saveAsTable(resolve_table(spark, "ddxs_index"))
         with pytest.raises(ValueError, match="stale"):
             D2.incremental_dedup(
                 spark.createDataFrame([(950, _doc("f95"))], "doc_id long, text string"),
@@ -405,12 +482,13 @@ def test_multi_increment_soak_append_compact(spark):
         )
         with pytest.raises(ValueError, match="stale"):
             append_dedup_increment(
-                spark, "ddxs_index", "ddxs_bands", next_rows, hot_table="ddxs_hot"
+                spark, "ddxs_index", "ddxs_bands", next_rows,
+                hot_table="ddxs_hot", counts_table="ddxs_counts",
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        for t in ("ddxs_index", "ddxs_bands", "ddxs_hot"):
-            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        for t in names:
+            drop_published(spark, t)
 
 
 def test_hot_table_maintenance_matches_full_recount(spark):
@@ -524,9 +602,12 @@ def test_append_preserves_sorted_bucketed_layout(spark):
         bucket_spec,
         hot_band_buckets,
     )
+    from databricks_feature_store_flight_school_spark.operators.publish import (
+        drop_published,
+    )
 
     for t in ("ddxsrt_index", "ddxsrt_bands", "ddxsrt_hot"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        drop_published(spark, t)
     corpus = spark.createDataFrame(
         [(1, _doc("srt")), (2, _doc("srt2"))], "doc_id long, text string"
     )
@@ -555,4 +636,193 @@ def test_append_preserves_sorted_bucketed_layout(spark):
     )
     assert spark.table("ddxsrt_index").count() == 3
     for t in ("ddxsrt_index", "ddxsrt_bands", "ddxsrt_hot"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        drop_published(spark, t)
+
+
+def test_update_hot_from_counts_matches_full_recount(spark):
+    """The counts-table hot update (the increment-sized append path's, r10
+    #1) must agree with a full recount of base+increment — including a
+    bucket crossing the cap only via the combined count, an already-hot
+    bucket gaining rows, an untouched hot bucket kept verbatim, and base
+    counts SPLIT ACROSS MULTIPLE DELTA ROWS (the shape K un-compacted
+    appends leave)."""
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        band_bucket_counts,
+        hot_band_buckets,
+        update_hot_from_counts,
+    )
+
+    def bands_frame(rows):
+        return spark.createDataFrame(
+            [(i, b, bk, 64, 3, 16) for i, (b, bk) in enumerate(rows)],
+            "doc_id long, band int, bucket long, minhash_num_hashes int, "
+            "shingle_k int, lsh_bands int",
+        )
+
+    cap = 2
+    base = bands_frame([(0, 10)] * 3 + [(1, 20)] * 2 + [(2, 30)])
+    inc = bands_frame([(1, 20), (0, 10), (3, 40)])
+    # counts table as TWO delta generations of the base (un-compacted shape)
+    base_a = bands_frame([(0, 10)] * 2 + [(1, 20)])
+    base_b = bands_frame([(0, 10), (1, 20), (2, 30)])
+    counts = band_bucket_counts(base_a).unionByName(band_bucket_counts(base_b))
+    hot = hot_band_buckets(base, cap)
+    updated = update_hot_from_counts(counts, band_bucket_counts(inc), hot, cap)
+    recount = hot_band_buckets(base.unionByName(inc), cap)
+    key = lambda r: (r["band"], r["bucket"], r["n"], r["max_band_bucket"])  # noqa: E731
+    assert sorted(map(key, updated.collect())) == sorted(
+        map(key, recount.collect())
+    ) == [(-1, 0, 0, 2), (0, 10, 4, 2), (1, 20, 3, 2)]
+    # weighted full recount from the counts table matches the band recount
+    assert sorted(map(key, hot_band_buckets(counts.unionByName(
+        band_bucket_counts(inc)), cap, "n").collect())) == sorted(
+        map(key, recount.collect()))
+
+
+def test_publish_swap_keeps_reader_alive(spark):
+    """The atomic-publish swap (r10 #2): a reader hammering the logical
+    name while the writer publishes many generations must never observe a
+    missing table — the failure mode the old DROP+RENAME swap had by
+    construction.  Also pins generation retention (previous kept for
+    in-flight readers, older dropped) and plain-table migration."""
+    import threading
+
+    from databricks_feature_store_flight_school_spark.operators.publish import (
+        current_physical,
+        drop_published,
+        publish_table,
+        resolve_table,
+    )
+
+    drop_published(spark, "pubswap")
+    # migration: first publish over a plain TABLE converts it to a view
+    spark.range(1).write.mode("overwrite").format("parquet").saveAsTable("pubswap")
+    publish_table(
+        spark, "pubswap",
+        lambda phys: spark.range(10).write.format("parquet").saveAsTable(phys),
+    )
+    assert spark.catalog.getTable("pubswap").tableType == "VIEW"
+    assert resolve_table(spark, "pubswap") == "pubswap__g1"
+
+    errors: list = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                assert spark.table("pubswap").count() >= 10
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for gen in range(2, 14):
+            publish_table(
+                spark, "pubswap",
+                lambda phys, n=gen: spark.range(10 + n)
+                .write.format("parquet")
+                .saveAsTable(phys),
+            )
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert errors == [], f"reader failed during swap: {errors[:1]}"
+    assert current_physical(spark, "pubswap") == "pubswap__g13"
+    gens = sorted(
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES LIKE 'pubswap__g*'").collect()
+    )
+    # current + immediately-previous retained, older generations dropped
+    assert gens == ["pubswap__g12", "pubswap__g13"]
+    drop_published(spark, "pubswap")
+    assert not spark.catalog.tableExists("pubswap")
+
+
+def test_out_of_band_consistent_append_heals(spark):
+    """An out-of-band append that wrote BOTH tables consistently (e.g. a
+    migration script using raw bucketed saveAsTable) trips the file-count
+    tripwire; the next append_dedup_increment must run the full verify
+    (which passes), heal the stats/counts/hot state, and proceed — and the
+    increment AFTER that must again be happy-path (tripwire quiet)."""
+    import databricks_feature_store_flight_school_spark.operators.dedup_store as DS
+    from databricks_feature_store_flight_school_spark.operators.dedup import (
+        build_dedup_index,
+        index_band_keys,
+    )
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        append_dedup_increment,
+        bootstrap_dedup_store,
+        read_dedup_stats,
+    )
+    from databricks_feature_store_flight_school_spark.operators.publish import (
+        drop_published,
+        resolve_table,
+    )
+
+    names = ("ddxh_index", "ddxh_bands", "ddxh_hot", "ddxh_counts")
+    for t in names:
+        drop_published(spark, t)
+    corpus = spark.createDataFrame(
+        [(1, _doc("ha")), (2, _doc("hb"))], "doc_id long, text string"
+    )
+    index = build_dedup_index(corpus, "doc_id", "text")
+    write_bucketed(index, "ddxh_index", "content_hash", num_buckets=4)
+    write_bucketed(
+        index_band_keys(index, "doc_id", bands=16), "ddxh_bands",
+        ["band", "bucket"], num_buckets=4,
+    )
+    bootstrap_dedup_store(
+        spark, "ddxh_index", "ddxh_bands",
+        hot_table="ddxh_hot", counts_table="ddxh_counts",
+    )
+    # consistent out-of-band append: index rows AND their band keys
+    oob = build_dedup_index(
+        spark.createDataFrame([(50, _doc("hoob"))], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    oob.write.mode("append").bucketBy(4, "content_hash").format(
+        "parquet"
+    ).saveAsTable(resolve_table(spark, "ddxh_index"))
+    index_band_keys(oob, "doc_id", bands=16).write.mode("append").bucketBy(
+        4, "band", "bucket"
+    ).format("parquet").saveAsTable(resolve_table(spark, "ddxh_bands"))
+
+    inc = build_dedup_index(
+        spark.createDataFrame([(60, _doc("hinc"))], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    append_dedup_increment(
+        spark, "ddxh_index", "ddxh_bands", inc,
+        hot_table="ddxh_hot", counts_table="ddxh_counts",
+    )  # tripwire -> heal -> proceed (no raise)
+    stats = read_dedup_stats(spark, "ddxh_bands")
+    assert stats["signed_docs"] == spark.table("ddxh_index").count() == 4
+    assert stats["bandkey_rows"] == spark.table("ddxh_bands").count()
+    # counts healed: totals cover the out-of-band rows too
+    assert (
+        spark.table("ddxh_counts").agg(F.sum("n").alias("s")).first()["s"]
+        == stats["bandkey_rows"]
+    )
+    # next append is happy-path again: full verify must not run
+    def boom(*_a, **_kw):  # pragma: no cover - failure path
+        raise AssertionError("tripwire fired on a healed pair")
+
+    real = DS.verify_dedup_index_consistency
+    inc2 = build_dedup_index(
+        spark.createDataFrame([(70, _doc("hinc2"))], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    try:
+        DS.verify_dedup_index_consistency = boom
+        append_dedup_increment(
+            spark, "ddxh_index", "ddxh_bands", inc2,
+            hot_table="ddxh_hot", counts_table="ddxh_counts",
+        )
+    finally:
+        DS.verify_dedup_index_consistency = real
+    for t in names:
+        drop_published(spark, t)

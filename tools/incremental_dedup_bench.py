@@ -23,14 +23,17 @@ Usage:  python tools/incremental_dedup_bench.py [SF_DIR] [OUT_DIR]
 ``--soak`` runs the round-10 CONTINUOUS-ingestion measurement instead
 (VERDICT r9 #1b): the documents table splits into an initial corpus (20%)
 plus 4 equal increments (20% each), the index lives in persisted bucketed
-tables with a maintained hot-bucket table, and every step runs the full
-production loop — incremental_dedup against the persisted tables,
-correctness asserts (exact replays of the PREVIOUS increment's admissions
-all rejected; perturbed near-dups of them ≥99% rejected — the coverage a
-stale band table loses), then append_dedup_increment.  The index grows 2×
-.. 5× across steps while increments stay the same size, so a ~flat
-per-step dedup wall IS the O(|increment|) evidence; the run ends with a
-timed compact_dedup_index and its file-count delta.
+tables with a maintained hot-bucket table + (band,bucket) counts table +
+persisted stats (bootstrap_dedup_store — the round-11 increment-sized
+append path: no happy-path append job scans the index or band-key
+tables), and every step runs the full production loop —
+incremental_dedup against the persisted tables, correctness asserts
+(exact replays of the PREVIOUS increment's admissions all rejected;
+perturbed near-dups of them ≥99% rejected — the coverage a stale band
+table loses), then append_dedup_increment.  The index grows 2× .. 5×
+across steps while increments stay the same size, so a ~flat per-step
+dedup wall IS the O(|increment|) evidence; the run ends with a timed
+compact_dedup_index and its file-count delta.
 """
 
 from __future__ import annotations
@@ -60,8 +63,11 @@ def soak(spark, sf_dir: str, steps: int = 4, num_buckets: int = 16) -> dict:
     )
     from databricks_feature_store_flight_school_spark.operators.dedup_store import (
         append_dedup_increment,
+        bootstrap_dedup_store,
         compact_dedup_index,
-        hot_band_buckets,
+    )
+    from databricks_feature_store_flight_school_spark.operators.publish import (
+        drop_published,
     )
     from databricks_feature_store_flight_school_spark.operators.skew import (
         bucketed_table,
@@ -71,17 +77,19 @@ def soak(spark, sf_dir: str, steps: int = 4, num_buckets: int = 16) -> dict:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_slices = steps + 1
     slices = [docs.where(F.col("doc_id") % n_slices == j) for j in range(n_slices)]
-    for t in ("soak_index", "soak_bands", "soak_hot"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    tables = ("soak_index", "soak_bands", "soak_hot", "soak_counts")
+    for t in tables:
+        drop_published(spark, t)
 
     t0 = time.perf_counter()
     index0 = build_dedup_index(slices[0], "doc_id", "text")
     write_bucketed(index0, "soak_index", "content_hash", num_buckets=num_buckets)
     bands0 = index_band_keys(bucketed_table(spark, "soak_index"), "doc_id", bands=16)
     write_bucketed(bands0, "soak_bands", ["band", "bucket"], num_buckets=num_buckets)
-    hot_band_buckets(spark.table("soak_bands"), 20_000).write.mode(
-        "overwrite"
-    ).format("parquet").saveAsTable("soak_hot")
+    bootstrap_dedup_store(
+        spark, "soak_index", "soak_bands",
+        hot_table="soak_hot", counts_table="soak_counts",
+    )
     bootstrap_sec = time.perf_counter() - t0
 
     step_rows = []
@@ -119,7 +127,8 @@ def soak(spark, sf_dir: str, steps: int = 4, num_buckets: int = 16) -> dict:
 
         t0 = time.perf_counter()
         append_dedup_increment(
-            spark, "soak_index", "soak_bands", acc_index, hot_table="soak_hot"
+            spark, "soak_index", "soak_bands", acc_index,
+            hot_table="soak_hot", counts_table="soak_counts",
         )
         append_sec = time.perf_counter() - t0
         step_rows.append(
@@ -137,7 +146,8 @@ def soak(spark, sf_dir: str, steps: int = 4, num_buckets: int = 16) -> dict:
 
     t0 = time.perf_counter()
     stats = compact_dedup_index(
-        spark, "soak_index", "soak_bands", hot_table="soak_hot"
+        spark, "soak_index", "soak_bands",
+        hot_table="soak_hot", counts_table="soak_counts",
     )
     compact_sec = time.perf_counter() - t0
     out = {
@@ -149,8 +159,8 @@ def soak(spark, sf_dir: str, steps: int = 4, num_buckets: int = 16) -> dict:
         "files_before_compact": stats["files_before"],
         "files_after_compact": stats["files_after"],
     }
-    for t in ("soak_index", "soak_bands", "soak_hot"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for t in tables:
+        drop_published(spark, t)
     return out
 
 
