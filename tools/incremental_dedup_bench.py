@@ -115,6 +115,12 @@ def soak(spark, sf_dir: str, steps: int = 4, num_buckets: int = 16) -> dict:
             index_hot_buckets=spark.table("soak_hot"),
         )
         acc_ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+        # materialize the accepted-index rows INSIDE the dedup wall: this
+        # is the increment's dedup computation (its plan re-joins the
+        # corpus index), not maintenance — leaving it lazy would hide a
+        # full dedup re-run inside append_sec and mask what the
+        # increment-sized append path actually costs
+        acc_index = acc_index.localCheckpoint(eager=True)
         dedup_sec = time.perf_counter() - t0
 
         lo, hi = 10_000_000 * j, 20_000_000 * j
