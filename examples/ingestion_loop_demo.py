@@ -19,9 +19,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from databricks_feature_store_flight_school_spark.operators import (  # noqa: E402
     append_dedup_increment,
+    bootstrap_dedup_store,
     build_dedup_index,
     compact_dedup_index,
-    hot_band_buckets,
+    drop_published,
     incremental_dedup,
     index_band_keys,
 )
@@ -37,7 +38,9 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(app_name="ingestion-loop-demo", shuffle_partitions=4)
     pid = os.getpid()
-    idx_t, bnd_t, hot_t = f"ing{pid}_index", f"ing{pid}_bands", f"ing{pid}_hot"
+    idx_t, bnd_t, hot_t, cnt_t = (
+        f"ing{pid}_index", f"ing{pid}_bands", f"ing{pid}_hot", f"ing{pid}_counts"
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 3 == 0)
@@ -49,7 +52,10 @@ def main() -> None:
     id_base = docs.agg(F.max("doc_id")).first()[0] + 1
 
     # 1. bootstrap: index bucketed by content_hash, band keys by
-    #    (band, bucket), hot-bucket counts as a tiny side table
+    #    (band, bucket); bootstrap_dedup_store then builds the hot-bucket
+    #    and (band,bucket)-counts side tables and stamps the persisted
+    #    stats that make every later append INCREMENT-SIZED (no append job
+    #    ever scans the index or band-key tables again)
     write_bucketed(
         build_dedup_index(corpus, "doc_id", "text"), idx_t, "content_hash",
         num_buckets=4,
@@ -58,9 +64,7 @@ def main() -> None:
         index_band_keys(bucketed_table(spark, idx_t), "doc_id", bands=16),
         bnd_t, ["band", "bucket"], num_buckets=4,
     )
-    hot_band_buckets(spark.table(bnd_t), 20_000).write.mode(
-        "overwrite"
-    ).format("parquet").saveAsTable(hot_t)
+    bootstrap_dedup_store(spark, idx_t, bnd_t, hot_table=hot_t, counts_table=cnt_t)
     print("bootstrap index docs:", spark.table(idx_t).count())
 
     # 2. the loop: dedup each increment against the persisted tables
@@ -84,7 +88,9 @@ def main() -> None:
         n = accepted.count()
         n_replays_escaped = accepted.where(F.col("doc_id") >= id_base).count()
         assert n_replays_escaped == 0, "a replay of an admitted doc escaped"
-        append_dedup_increment(spark, idx_t, bnd_t, acc_index, hot_table=hot_t)
+        append_dedup_increment(
+            spark, idx_t, bnd_t, acc_index, hot_table=hot_t, counts_table=cnt_t
+        )
         print(f"step {step}: accepted {n}, index now {spark.table(idx_t).count()}")
         prev = fresh
 
@@ -118,12 +124,17 @@ def main() -> None:
         "parquet"
     ).saveAsTable(bnd_t)
 
-    # 4. compaction: K appends left K files per bucket; restore one each
-    stats = compact_dedup_index(spark, idx_t, bnd_t, hot_table=hot_t)
+    # 4. compaction: K appends left K files per bucket; restore one each.
+    #    Every swap (and the per-append hot refresh above) publishes
+    #    atomically via view indirection — a concurrent reader never sees
+    #    a missing table.
+    stats = compact_dedup_index(
+        spark, idx_t, bnd_t, hot_table=hot_t, counts_table=cnt_t
+    )
     print("compaction files:", stats["files_before"], "->", stats["files_after"])
 
-    for t in (idx_t, bnd_t, hot_t):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for t in (idx_t, bnd_t, hot_t, cnt_t):
+        drop_published(spark, t)
     print("OK")
 
 

@@ -719,12 +719,17 @@ def test_publish_swap_keeps_reader_alive(spark):
     for t in threads:
         t.start()
     try:
+        # retain=20 keeps every generation during the concurrent phase, so
+        # this pins EXACTLY the missing-name hazard the view repoint
+        # removes — file retention vs reader latency is a cadence budget
+        # (the VACUUM analog), asserted separately below without a race
         for gen in range(2, 14):
             publish_table(
                 spark, "pubswap",
                 lambda phys, n=gen: spark.range(10 + n)
                 .write.format("parquet")
                 .saveAsTable(phys),
+                retain=20,
             )
     finally:
         stop.set()
@@ -732,12 +737,18 @@ def test_publish_swap_keeps_reader_alive(spark):
             t.join()
     assert errors == [], f"reader failed during swap: {errors[:1]}"
     assert current_physical(spark, "pubswap") == "pubswap__g13"
+    # default retention: one more publish prunes everything but the
+    # current generation and its predecessor
+    publish_table(
+        spark, "pubswap",
+        lambda phys: spark.range(99).write.format("parquet").saveAsTable(phys),
+    )
     gens = sorted(
         r["tableName"]
         for r in spark.sql("SHOW TABLES LIKE 'pubswap__g*'").collect()
     )
-    # current + immediately-previous retained, older generations dropped
-    assert gens == ["pubswap__g12", "pubswap__g13"]
+    assert gens == ["pubswap__g13", "pubswap__g14"]
+    assert spark.table("pubswap").count() == 99
     drop_published(spark, "pubswap")
     assert not spark.catalog.tableExists("pubswap")
 
