@@ -290,7 +290,15 @@ def update_hot_from_counts(
     update (r10 #1): the only tables it scans are the counts table (narrow
     fixed-width rows, one per touched append x group, collapsed to one per
     group at every compaction) and the tiny prior hot set.  Call BEFORE
-    appending ``inc_counts`` to the counts table."""
+    appending ``inc_counts`` to the counts table.
+
+    The touched-key set broadcasts, so its size bounds the increment this
+    path accepts: |increment docs| x lsh_bands distinct (band, bucket)
+    pairs at ~12 bytes each — a 10M-doc increment is ~2 GB of broadcast,
+    the practical ceiling.  That matches the module's premise (a bounded
+    increment against an unbounded corpus); an increment large enough to
+    blow the broadcast should be SPLIT — which also caps the blast radius
+    of a bad batch — not pushed through one append."""
     inc = inc_counts.withColumnRenamed("n", "__inc_n")
     touched = inc.select("band", "bucket")
     base_counts = (
