@@ -74,6 +74,7 @@ from .dedup import (
 from .publish import publish_table, resolve_table
 
 __all__ = [
+    "HOT_UPDATE_BROADCAST_KEY_LIMIT",
     "append_dedup_increment",
     "band_bucket_counts",
     "bootstrap_dedup_store",
@@ -160,15 +161,31 @@ def _write_dedup_stats(spark: SparkSession, bands_table: str, stats: dict) -> No
 
 
 def _file_count(spark: SparkSession, table: str) -> int:
-    """Metadata-only file count (no data job) — the out-of-band tripwire."""
-    return len(spark.table(resolve_table(spark, table)).inputFiles())
+    """Metadata-only file count (no data job) — the out-of-band tripwire.
+    REFRESH first (ADVICE r11): the primary out-of-band threat is a write
+    from a DIFFERENT Spark session, which this session's cached file
+    listing does not see until a refresh — without it the tripwire could
+    silently skip the heal/verify fallback.  A catalog refresh is a
+    metadata invalidation, not a job; the listing below re-lists anyway."""
+    phys = resolve_table(spark, table)
+    spark.catalog.refreshTable(phys)
+    return len(spark.table(phys).inputFiles())
 
 
 def _computed_stats(
-    spark: SparkSession, index_table: str, bands_table: str
+    spark: SparkSession,
+    index_table: str,
+    bands_table: str,
+    lsh_bands: int | None = None,
 ) -> dict:
     """Stats from full scans — bootstrap / heal path only (the happy
-    append path never calls this)."""
+    append path never calls this).  An EMPTY band-key table cannot reveal
+    its own ``lsh_bands`` (ADVICE r11: the old silent default of 16 would
+    stamp the wrong band count on an empty-corpus bootstrap with
+    ``bands != 16``, and every later append would extend the wrong
+    layout) — the caller must supply it (``bootstrap_dedup_store(
+    lsh_bands=...)``, or the previously stamped value on heal/compact),
+    else this raises."""
     b = (
         spark.table(bands_table)
         .agg(F.count(F.lit(1)).alias("n"), F.min("lsh_bands").alias("bands"))
@@ -177,10 +194,18 @@ def _computed_stats(
     signed = (
         spark.table(index_table).where(F.col("sig").isNotNull()).count()
     )
+    if b["bands"] is None and lsh_bands is None:
+        raise ValueError(
+            f"band-key table {bands_table} is empty — lsh_bands cannot be "
+            f"derived from its rows; bootstrap from a non-empty corpus, or "
+            f"pass lsh_bands explicitly to bootstrap_dedup_store for an "
+            f"empty-corpus bootstrap (a silent default would stamp a band "
+            f"count the first real append then has to extend)"
+        )
     return {
         "signed_docs": signed,
         "bandkey_rows": b["n"],
-        "lsh_bands": b["bands"] if b["bands"] is not None else 16,
+        "lsh_bands": b["bands"] if b["bands"] is not None else lsh_bands,
         "index_files": _file_count(spark, index_table),
         "bands_files": _file_count(spark, bands_table),
     }
@@ -247,11 +272,27 @@ def hot_band_buckets(
     return sentinel.unionByName(hot)
 
 
+#: broadcast ceiling for the hot update's touched-key set (VERDICT r11 #1):
+#: above this many touched (band, bucket) keys the update switches from a
+#: broadcast semi-join to a shuffle join automatically.  Sizing: a key is a
+#: (long, int) pair — ~12 B serialized, several-fold more as a JVM hash
+#: relation — so 10M keys is O(100 MB) broadcast / O(0.5 GB) relation,
+#: comfortably inside executor memory, while the old prose-guarded ceiling
+#: (a 10M-DOC increment = 160M keys at 16 bands, ~2 GB serialized) is
+#: exactly what this flips away from.  10M keys = a 625k-doc increment at
+#: 16 bands; larger increments take the shuffle path, which is still
+#: Exchange-free on the counts-table side (bucketed on (band, bucket)) —
+#: only the increment-sized touched set shuffles.
+HOT_UPDATE_BROADCAST_KEY_LIMIT = 10_000_000
+
+
 def update_hot_band_buckets(
     base_bands: DataFrame,
     inc_bands: DataFrame,
     hot: DataFrame,
     max_band_bucket: int,
+    touched_keys: int | None = None,
+    broadcast_key_limit: int = HOT_UPDATE_BROADCAST_KEY_LIMIT,
 ) -> DataFrame:
     """The maintained hot table after appending ``inc_bands`` to
     ``base_bands`` (call BEFORE the append — base must not yet contain the
@@ -267,15 +308,39 @@ def update_hot_band_buckets(
     under its ORIGINAL cap: calling this with a different
     ``max_band_bucket`` than the table was built under produces a
     mixed-cap table that the in-plan guard rejects at next use (a cap
-    change must rebuild via :func:`hot_band_buckets`, never drift in)."""
+    change must rebuild via :func:`hot_band_buckets`, never drift in).
+
+    ``touched_keys``/``broadcast_key_limit``: see
+    :func:`update_hot_from_counts` — the same auto-switch from broadcast to
+    shuffle join applies (the band-key base table is bucketed on
+    (band, bucket) too, so the shuffle path stays Exchange-free on it)."""
     inc_counts = band_bucket_counts(inc_bands).withColumnRenamed("n", "__inc_n")
     touched = inc_counts.select("band", "bucket")
+    bcast = _touched_fits_broadcast(touched, touched_keys, broadcast_key_limit)
     base_counts = (
-        base_bands.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
+        base_bands.join(
+            F.broadcast(touched) if bcast else touched,
+            ["band", "bucket"],
+            "left_semi",
+        )
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__base_n"))
     )
-    return _merge_hot(inc_counts, base_counts, hot, touched, max_band_bucket)
+    return _merge_hot(inc_counts, base_counts, hot, touched, max_band_bucket, bcast)
+
+
+def _touched_fits_broadcast(
+    touched: DataFrame, touched_keys: int | None, broadcast_key_limit: int
+) -> bool:
+    """Whether the touched (band, bucket) key set may ride a broadcast.
+    ``touched_keys`` is an UPPER BOUND the caller already knows (the append
+    path counts its band-key rows anyway — distinct touched keys can only
+    be fewer, so using it costs zero extra jobs); ``None`` counts the
+    touched set here (one increment-sized job — only the standalone-call
+    shape pays it)."""
+    if touched_keys is None:
+        touched_keys = touched.count()
+    return touched_keys <= broadcast_key_limit
 
 
 def update_hot_from_counts(
@@ -283,6 +348,8 @@ def update_hot_from_counts(
     inc_counts: DataFrame,
     hot: DataFrame,
     max_band_bucket: int,
+    touched_keys: int | None = None,
+    broadcast_key_limit: int = HOT_UPDATE_BROADCAST_KEY_LIMIT,
 ) -> DataFrame:
     """:func:`update_hot_band_buckets` with the base contribution read from
     the persisted COUNTS table (delta rows from :func:`band_bucket_counts`)
@@ -292,21 +359,29 @@ def update_hot_from_counts(
     group at every compaction) and the tiny prior hot set.  Call BEFORE
     appending ``inc_counts`` to the counts table.
 
-    The touched-key set broadcasts, so its size bounds the increment this
-    path accepts: |increment docs| x lsh_bands distinct (band, bucket)
-    pairs at ~12 bytes each — a 10M-doc increment is ~2 GB of broadcast,
-    the practical ceiling.  That matches the module's premise (a bounded
-    increment against an unbounded corpus); an increment large enough to
-    blow the broadcast should be SPLIT — which also caps the blast radius
-    of a bad batch — not pushed through one append."""
+    **No broadcast ceiling (VERDICT r11 #1)**: the touched-key set rides a
+    broadcast only while it fits (``touched_keys`` — an upper bound the
+    append path gets for free from its band-key row count — at most
+    ``broadcast_key_limit``); above that the same joins run as SHUFFLE
+    joins, which stay Exchange-free on the counts-table side (it is
+    bucketed on (band, bucket)) while only the increment-sized touched set
+    shuffles.  An oversized increment therefore no longer needs manual
+    splitting — the r11 prose guidance ("split your increment") became
+    this automatic path switch; splitting remains worthwhile for blast-
+    radius control of a bad batch, not for memory."""
     inc = inc_counts.withColumnRenamed("n", "__inc_n")
     touched = inc.select("band", "bucket")
+    bcast = _touched_fits_broadcast(touched, touched_keys, broadcast_key_limit)
     base_counts = (
-        counts_df.join(F.broadcast(touched), ["band", "bucket"], "left_semi")
+        counts_df.join(
+            F.broadcast(touched) if bcast else touched,
+            ["band", "bucket"],
+            "left_semi",
+        )
         .groupBy("band", "bucket")
         .agg(F.sum("n").alias("__base_n"))
     )
-    return _merge_hot(inc, base_counts, hot, touched, max_band_bucket)
+    return _merge_hot(inc, base_counts, hot, touched, max_band_bucket, bcast)
 
 
 def _merge_hot(
@@ -315,6 +390,7 @@ def _merge_hot(
     hot: DataFrame,
     touched: DataFrame,
     max_band_bucket: int,
+    broadcast_touched: bool = True,
 ) -> DataFrame:
     fresh = (
         inc_counts.join(base_counts, ["band", "bucket"], "left")
@@ -325,9 +401,16 @@ def _merge_hot(
         .withColumn("max_band_bucket", F.lit(max_band_bucket))
         .select("band", "bucket", "n", *HOT_BUCKET_PARAM_COLS)
     )
-    kept = hot.join(F.broadcast(touched), ["band", "bucket"], "left_anti").select(
-        "band", "bucket", "n", *HOT_BUCKET_PARAM_COLS
-    )
+    # kept = prior hot entries whose group the increment did not touch.
+    # The hot side is tiny but sits on the LEFT of an anti-join, so the
+    # only broadcastable side is ``touched`` — when that exceeds the key
+    # limit, a shuffle anti-join (both sides small-to-increment-sized) is
+    # the bounded choice.
+    kept = hot.join(
+        F.broadcast(touched) if broadcast_touched else touched,
+        ["band", "bucket"],
+        "left_anti",
+    ).select("band", "bucket", "n", *HOT_BUCKET_PARAM_COLS)
     return kept.unionByName(fresh)
 
 
@@ -374,13 +457,18 @@ def bootstrap_dedup_store(
     hot_table: str | None = None,
     counts_table: str | None = None,
     max_band_bucket: int | None = 20_000,
+    lsh_bands: int | None = None,
 ) -> None:
     """Stamp a freshly written index/band-key pair with the persisted
     stats and (optionally) build the counts + hot tables — the one-time
     corpus-sized pass that makes every subsequent
     :func:`append_dedup_increment` increment-sized.  Call it after writing
     the tables with ``skew.write_bucketed``; it verifies consistency
-    first (stamping a stale pair would bless it)."""
+    first (stamping a stale pair would bless it).  ``lsh_bands`` is only
+    consulted when the band-key table is EMPTY (an empty-corpus
+    bootstrap — the table cannot reveal its own band count then, and a
+    silent default would stamp a layout the first real append has to
+    extend; ADVICE r11); a non-empty table's own rows always win."""
     verify_dedup_index_consistency(
         spark.table(index_table), spark.table(bands_table)
     )
@@ -401,7 +489,9 @@ def bootstrap_dedup_store(
         )
         _publish_overwrite(spark, hot_table, src)
     _write_dedup_stats(
-        spark, bands_table, _computed_stats(spark, index_table, bands_table)
+        spark,
+        bands_table,
+        _computed_stats(spark, index_table, bands_table, lsh_bands=lsh_bands),
     )
 
 
@@ -412,6 +502,7 @@ def _heal_after_out_of_band(
     hot_table: str | None,
     counts_table: str | None,
     max_band_bucket: int | None,
+    lsh_bands: int | None = None,
 ) -> dict:
     """Tripwire fired: something appended to the index or band-key table
     outside this module.  Run the FULL scan-based consistency verify
@@ -432,7 +523,7 @@ def _heal_after_out_of_band(
             spark, hot_table,
             hot_band_buckets(spark.table(bands_table), max_band_bucket),
         )
-    return _computed_stats(spark, index_table, bands_table)
+    return _computed_stats(spark, index_table, bands_table, lsh_bands=lsh_bands)
 
 
 def append_dedup_increment(
@@ -444,6 +535,7 @@ def append_dedup_increment(
     hot_table: str | None = None,
     max_band_bucket: int | None = 20_000,
     counts_table: str | None = None,
+    hot_broadcast_key_limit: int = HOT_UPDATE_BROADCAST_KEY_LIMIT,
 ) -> None:
     """Append one increment's accepted index rows (the second return of
     ``incremental_dedup``) to the persisted index AND their band keys to
@@ -485,7 +577,12 @@ def append_dedup_increment(
     The hot-table refresh publishes ATOMICALLY (r10 #2) through
     :mod:`operators.publish` view indirection — one catalog call repoints
     the name, so a concurrent reader never sees a missing table (the
-    DROP+RENAME window the previous design had).
+    DROP+RENAME window the previous design had).  It has NO increment-size
+    ceiling (VERDICT r11 #1): the already-counted band-key row total rides
+    into :func:`update_hot_from_counts` as the touched-key upper bound, so
+    an increment whose touched (band, bucket) set would blow a broadcast
+    (above ``hot_broadcast_key_limit`` keys) switches to the shuffle-join
+    path automatically — zero extra jobs either way, no manual splitting.
 
     The accepted rows and the derived band keys are pinned with an EAGER
     ``localCheckpoint`` before any append, deliberately not ``cache()``:
@@ -535,7 +632,7 @@ def append_dedup_increment(
     ):
         stats = _heal_after_out_of_band(
             spark, idx_phys, bands_phys, hot_table, counts_table,
-            max_band_bucket,
+            max_band_bucket, lsh_bands=stats["lsh_bands"],
         )
     bands = stats["lsh_bands"]
 
@@ -567,11 +664,15 @@ def append_dedup_increment(
             update_hot_from_counts(
                 spark.table(resolve_table(spark, counts_table)), inc_counts,
                 spark.table(hot_table), max_band_bucket,
+                touched_keys=n_keys,
+                broadcast_key_limit=hot_broadcast_key_limit,
             )
             if counts_table is not None
             else update_hot_band_buckets(
                 spark.table(bands_phys), inc_bands, spark.table(hot_table),
                 max_band_bucket,
+                touched_keys=n_keys,
+                broadcast_key_limit=hot_broadcast_key_limit,
             )
         )
         new_hot = base.localCheckpoint(eager=True)

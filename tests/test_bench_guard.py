@@ -110,6 +110,62 @@ def test_guard_host_factor_scales_limits_but_keeps_discrimination():
     assert any("capped" in ln for ln in lines)
 
 
+def test_artifact_is_self_adjudicating():
+    """VERDICT r11 #3: the emitted BENCH artifact ALONE answers 'regression
+    or host?' — three rounds running the committed raw medians needed a
+    companion quiet-host run to interpret.  A uniformly slow host (every
+    query and the probe 2x) must show pass=True with pin-host-normalized
+    ratios of 1.0; a genuinely regressed query shows its true normalized
+    ratio and the fail verdict.  Driver-compatible raw keys pass through."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_guard
+
+    pinned = {
+        "sf": 0.1,
+        "pinned_at": "round 8",
+        "queries_median": {"q_a": 0.4, "q_b": 1.0},
+        "queries_min": {"q_a": 0.4, "q_b": 1.0},
+        "total_median": 1.4,
+        "total_min": 1.4,
+        "calib_sec": 0.4,
+    }
+    slow_host = {
+        "metric": "headline_total_wall_sec",
+        "unit": "sec",
+        "sf": 0.1,
+        "queries_median": {"q_a": 0.8, "q_b": 2.0},
+        "queries_min": {"q_a": 0.8, "q_b": 2.0},
+        "value_median": 2.8,
+        "value_min": 2.8,
+        "calib_sec": 0.8,
+    }
+    failures, lines = bench_guard.check_result(slow_host, pinned)
+    art = bench_guard.build_artifact(slow_host, pinned, failures, lines)
+    g = art["guard"]
+    assert g["pass"] is True and g["failures"] == []
+    assert g["stat"] == "min"
+    assert g["normalized_ratio_vs_pin"] == {"q_a": 1.0, "q_b": 1.0}
+    assert g["normalized_total_min_vs_pin"] == 1.0
+    assert g["normalized_total_median_vs_pin"] == 1.0
+    assert g["calib_sec"] == 0.8 and g["pinned_calib_sec"] == 0.4
+    # raw driver-contract keys survive verbatim at the top level
+    assert art["metric"] == "headline_total_wall_sec"
+    assert art["queries_min"] == {"q_a": 0.8, "q_b": 2.0}
+
+    # real regression on the same slow host: normalized ratio shows 4x on
+    # the offender and the verdict fails — no companion run needed
+    regressed = {**slow_host,
+                 "queries_min": {"q_a": 3.2, "q_b": 2.0},
+                 "queries_median": {"q_a": 3.2, "q_b": 2.0},
+                 "value_min": 5.2, "value_median": 5.2}
+    failures, lines = bench_guard.check_result(regressed, pinned)
+    art = bench_guard.build_artifact(regressed, pinned, failures, lines)
+    assert art["guard"]["pass"] is False
+    assert art["guard"]["failures"] == ["q_a", "__total__"]
+    assert art["guard"]["normalized_ratio_vs_pin"]["q_a"] == 4.0
+    assert art["guard"]["normalized_ratio_vs_pin"]["q_b"] == 1.0
+
+
 def test_guard_logic_flags_regressions_and_passes_noise():
     """Unit check of the comparison itself: same-code noise (anything up to
     max(2x, +0.5s) of the pin) passes, a real >2x regression and a missing

@@ -281,6 +281,17 @@ def _scan_leaves(df, table_markers) -> list[str]:
     return hits
 
 
+#: captured real verify + bomb for pinning that the auto-armed read-side
+#: check SKIPS stamped (store-maintained) band tables (VERDICT r11 #2)
+_real_verify = D.verify_dedup_index_consistency
+
+
+def _boom_verify(*_a, **_kw):  # pragma: no cover - failure path
+    raise AssertionError(
+        "read-side verify ran on a stamped store-maintained table"
+    )
+
+
 def test_multi_increment_soak_append_compact(spark, monkeypatch):
     """The continuous-ingestion loop, end to end (VERDICT r9 #1/#2):
     K increments against persisted bucketed index + band-key + hot tables,
@@ -343,15 +354,27 @@ def test_multi_increment_soak_append_compact(spark, monkeypatch):
         markers = ("ddxs_index", "ddxs_bands")
         for step in (1, 2, 3):
             inc = spark.createDataFrame(incs[step], "doc_id long, text string")
-            accepted, acc_idx = D2.incremental_dedup(
-                inc,
-                bucketed_table(spark, "ddxs_index"),
-                "doc_id",
-                "text",
-                threshold=0.7,
-                index_bands=bucketed_table(spark, "ddxs_bands"),
-                index_hot_buckets=spark.table("ddxs_hot"),
+            # table-NAME form (r11 #2): the stats stamp identifies the pair
+            # as store-maintained, so the auto-armed read-side verify must
+            # SKIP — pinned by making the verify a bomb for this call (the
+            # probe is a catalog metadata op, zero Spark jobs)
+            monkeypatch.setattr(
+                D2, "verify_dedup_index_consistency", _boom_verify
             )
+            try:
+                accepted, acc_idx = D2.incremental_dedup(
+                    inc,
+                    bucketed_table(spark, "ddxs_index"),
+                    "doc_id",
+                    "text",
+                    threshold=0.7,
+                    index_bands="ddxs_bands",
+                    index_hot_buckets=spark.table("ddxs_hot"),
+                )
+            finally:
+                monkeypatch.setattr(
+                    D2, "verify_dedup_index_consistency", _real_verify
+                )
             assert _index_side_shuffles(accepted, markers) == [], f"step {step}"
             aggs = _narrow_aggregates_over(accepted, ("ddxs_bands",))
             assert aggs == [], f"step {step}: corpus-sized recount present: {aggs}"
@@ -401,7 +424,7 @@ def test_multi_increment_soak_append_compact(spark, monkeypatch):
                 "doc_id",
                 "text",
                 threshold=0.7,
-                index_bands=bucketed_table(spark, "ddxs_bands"),
+                index_bands="ddxs_bands",
                 index_hot_buckets=spark.table("ddxs_hot"),
             )
             assert replay.count() == 0, f"step {step} not idempotent"
@@ -440,13 +463,16 @@ def test_multi_increment_soak_append_compact(spark, monkeypatch):
         for t in ("ddxs_index", "ddxs_bands"):
             assert stats["files_before"][t] > 4, stats
             assert stats["files_after"][t] <= 4, stats
+        # post-compaction the names are VIEWS — the table-name form must
+        # still probe the stamp through the view and keep the bucketed
+        # scan's partitioning (views erase at analysis)
         post, _ = D2.incremental_dedup(
             spark.createDataFrame([(901, _doc("f9"))], "doc_id long, text string"),
             bucketed_table(spark, "ddxs_index"),
             "doc_id",
             "text",
             threshold=0.7,
-            index_bands=bucketed_table(spark, "ddxs_bands"),
+            index_bands="ddxs_bands",
             index_hot_buckets=spark.table("ddxs_hot"),
         )
         assert _index_side_shuffles(post, markers) == []
@@ -454,9 +480,11 @@ def test_multi_increment_soak_append_compact(spark, monkeypatch):
 
         # stale band table: appending index rows WITHOUT band keys (an
         # out-of-band write that skips the maintenance contract) must be
-        # caught (a) by the opt-in read-side check at the next increment's
-        # plan build, and (b) by the file-count tripwire -> full verify the
-        # next time append_dedup_increment touches the pair
+        # caught (a) by the read-side check — auto-armed under DEFAULT
+        # arguments for a bare-DataFrame index_bands (unknowable
+        # provenance, r11 #2) — at the next increment's plan build, and
+        # (b) by the file-count tripwire -> full verify the next time
+        # append_dedup_increment touches the pair
         stale_rows = D2.build_dedup_index(
             spark.createDataFrame([(999, _doc("f99"))], "doc_id long, text string"),
             "doc_id",
@@ -473,7 +501,6 @@ def test_multi_increment_soak_append_compact(spark, monkeypatch):
                 "text",
                 threshold=0.7,
                 index_bands=bucketed_table(spark, "ddxs_bands"),
-                verify_index_bands=True,
             )
         next_rows = D2.build_dedup_index(
             spark.createDataFrame([(960, _doc("f96"))], "doc_id long, text string"),
@@ -677,6 +704,243 @@ def test_update_hot_from_counts_matches_full_recount(spark):
     assert sorted(map(key, hot_band_buckets(counts.unionByName(
         band_bucket_counts(inc)), cap, "n").collect())) == sorted(
         map(key, recount.collect()))
+
+
+def test_hot_update_shuffle_path_matches_broadcast_path(spark):
+    """VERDICT r11 #1 (the broadcast ceiling): above ``broadcast_key_limit``
+    touched keys the hot update switches from broadcasting the touched set
+    to shuffle joins — IDENTICAL result, and the plan contains no
+    BroadcastExchange at all (the ~2 GB touched-set broadcast WAS the
+    ceiling; the shuffle path has nothing increment-size-bounded left in
+    memory).  The broadcast path below the limit is the positive control:
+    its plan still carries the hint."""
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        band_bucket_counts,
+        hot_band_buckets,
+        update_hot_from_counts,
+    )
+
+    def bands_frame(rows):
+        return spark.createDataFrame(
+            [(i, b, bk, 64, 3, 16) for i, (b, bk) in enumerate(rows)],
+            "doc_id long, band int, bucket long, minhash_num_hashes int, "
+            "shingle_k int, lsh_bands int",
+        )
+
+    cap = 2
+    base = bands_frame([(0, 10)] * 3 + [(1, 20)] * 2 + [(2, 30)])
+    inc = bands_frame([(1, 20), (0, 10), (3, 40)])
+    counts = band_bucket_counts(base)
+    hot = hot_band_buckets(base, cap)
+    key = lambda r: (r["band"], r["bucket"], r["n"], r["max_band_bucket"])  # noqa: E731
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # limit=0 forces the shuffle path without building a 10M-key frame;
+        # touched_keys=None additionally covers the self-counting branch
+        shuffled = update_hot_from_counts(
+            counts, band_bucket_counts(inc), hot, cap, broadcast_key_limit=0
+        )
+        broadcasted = update_hot_from_counts(
+            counts, band_bucket_counts(inc), hot, cap, touched_keys=3
+        )
+        want = sorted(map(key, hot_band_buckets(
+            base.unionByName(inc), cap).collect()))
+        assert sorted(map(key, shuffled.collect())) == want
+        assert sorted(map(key, broadcasted.collect())) == want
+
+        def plan_str(df):
+            plan = df._jdf.queryExecution().executedPlan()
+            if plan.nodeName().startswith("AdaptiveSparkPlan"):
+                plan = plan.initialPlan()
+            return plan.toString()
+
+        # the ceiling was the HASHED broadcast of the touched-key relation
+        # (F.broadcast hint -> HashedRelationBroadcastMode).  The shuffle
+        # path must not contain one; Catalyst may still emit a bounded
+        # IdentityBroadcastMode over a LocalLimit-1 sentinel branch of this
+        # test's DERIVED hot frame (the real append path's hot is a table
+        # scan), which is size-bounded by construction and not the ceiling.
+        assert "HashedRelationBroadcastMode" not in plan_str(shuffled)
+        assert "HashedRelationBroadcastMode" in plan_str(broadcasted)  # control
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_oversized_increment_appends_without_manual_splitting(spark, monkeypatch):
+    """End-to-end r11 #1 done bar: an increment whose touched-key count
+    exceeds the broadcast limit (simulated by ``hot_broadcast_key_limit=0``)
+    goes through ``append_dedup_increment`` unchanged — no manual split, no
+    error — with the hot table equal to a full recount, the hot-update plan
+    still scanning ONLY the counts table, and no touched-set broadcast in
+    it.  The happy path stays increment-sized (verify/_computed_stats
+    bombs, as in the soak)."""
+    import databricks_feature_store_flight_school_spark.operators.dedup as D2
+    import databricks_feature_store_flight_school_spark.operators.dedup_store as DS
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        append_dedup_increment,
+        bootstrap_dedup_store,
+        hot_band_buckets,
+    )
+    from databricks_feature_store_flight_school_spark.operators.publish import (
+        drop_published,
+    )
+
+    names = ("ddxo_index", "ddxo_bands", "ddxo_hot", "ddxo_counts")
+    for t in names:
+        drop_published(spark, t)
+    corpus = spark.createDataFrame(
+        [(1, _doc("base")), (2, _doc("other"))], "doc_id long, text string"
+    )
+    index = D2.build_dedup_index(corpus, "doc_id", "text")
+    write_bucketed(index, "ddxo_index", "content_hash", num_buckets=2)
+    write_bucketed(
+        D2.index_band_keys(index, "doc_id", bands=16), "ddxo_bands",
+        ["band", "bucket"], num_buckets=2,
+    )
+    bootstrap_dedup_store(
+        spark, "ddxo_index", "ddxo_bands",
+        hot_table="ddxo_hot", counts_table="ddxo_counts", max_band_bucket=1,
+    )
+    inc = spark.createDataFrame(
+        [(101, _doc("f1")), (102, _doc("f2"))], "doc_id long, text string"
+    )
+    _, acc_idx = D2.incremental_dedup(
+        inc, bucketed_table(spark, "ddxo_index"), "doc_id", "text",
+        threshold=0.7, index_bands="ddxo_bands", max_band_bucket=None,
+    )
+
+    hot_plans: list = []
+    real_update = DS.update_hot_from_counts
+
+    def spy_update(*a, **kw):
+        out = real_update(*a, **kw)
+        hot_plans.append(out)
+        return out
+
+    def boom(*_a, **_kw):  # pragma: no cover - failure path
+        raise AssertionError("corpus-sized scan in the oversized append path")
+
+    monkeypatch.setattr(DS, "update_hot_from_counts", spy_update)
+    monkeypatch.setattr(DS, "verify_dedup_index_consistency", boom)
+    monkeypatch.setattr(DS, "_computed_stats", boom)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        append_dedup_increment(
+            spark, "ddxo_index", "ddxo_bands", acc_idx,
+            hot_table="ddxo_hot", counts_table="ddxo_counts",
+            max_band_bucket=1, hot_broadcast_key_limit=0,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        monkeypatch.setattr(DS, "update_hot_from_counts", real_update)
+    assert len(hot_plans) == 1
+    scans = _scan_leaves(hot_plans[0], ("ddxo_bands", "ddxo_index"))
+    assert scans == [], f"hot update scans corpus tables: {scans}"
+    plan = hot_plans[0]._jdf.queryExecution().executedPlan()
+    if plan.nodeName().startswith("AdaptiveSparkPlan"):
+        plan = plan.initialPlan()
+    assert "BroadcastExchange" not in plan.toString(), (
+        "oversized path still forces the touched-set broadcast"
+    )
+    # hot table agrees with a full recount of the post-append band keys
+    key = lambda r: (r["band"], r["bucket"], r["n"])  # noqa: E731
+    want = sorted(
+        map(key, hot_band_buckets(spark.table("ddxo_bands"), 1).collect())
+    )
+    assert sorted(map(key, spark.table("ddxo_hot").collect())) == want
+    for t in names:
+        drop_published(spark, t)
+
+
+def test_unstamped_table_name_arms_read_side_verify_by_default(spark):
+    """VERDICT r11 #2 done bar: a MANUALLY-maintained pair (written with
+    write_bucketed, never bootstrap-stamped) that goes stale via an
+    out-of-band index append RAISES under DEFAULT arguments when the band
+    table is passed by name — the provenance probe finds no stats stamp and
+    auto-arms the read-side verify.  ``verify_index_bands=False`` remains
+    the explicit escape hatch (fully lazy plan, documented risk)."""
+    from databricks_feature_store_flight_school_spark.operators.publish import (
+        drop_published,
+    )
+
+    for t in ("ddxm_index", "ddxm_bands"):
+        drop_published(spark, t)
+    corpus = spark.createDataFrame(
+        [(1, _doc("base")), (2, _doc("other"))], "doc_id long, text string"
+    )
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+    write_bucketed(index, "ddxm_index", "content_hash", num_buckets=2)
+    write_bucketed(
+        D.index_band_keys(index, "doc_id", bands=16), "ddxm_bands",
+        ["band", "bucket"], num_buckets=2,
+    )
+    # out-of-band append WITHOUT band keys -> stale pair, no stamp to probe
+    stale = D.build_dedup_index(
+        spark.createDataFrame([(9, _doc("f9"))], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    stale.write.mode("append").bucketBy(2, "content_hash").format(
+        "parquet"
+    ).saveAsTable("ddxm_index")
+    inc = spark.createDataFrame([(50, _doc("f5"))], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stale"):
+        D.incremental_dedup(
+            inc, bucketed_table(spark, "ddxm_index"), "doc_id", "text",
+            threshold=0.7, index_bands="ddxm_bands",
+        )
+    # escape hatch: explicit False skips the probe AND the verify
+    acc, _ = D.incremental_dedup(
+        inc, bucketed_table(spark, "ddxm_index"), "doc_id", "text",
+        threshold=0.7, index_bands="ddxm_bands", verify_index_bands=False,
+    )
+    assert {r["doc_id"] for r in acc.collect()} == {50}
+    for t in ("ddxm_index", "ddxm_bands"):
+        drop_published(spark, t)
+
+
+def test_empty_corpus_bootstrap_requires_explicit_lsh_bands(spark):
+    """ADVICE r11 (medium): an EMPTY band-key table cannot reveal its own
+    lsh_bands, and the old silent default of 16 would stamp the wrong band
+    count on an empty-corpus bootstrap with bands != 16 — the mismatch only
+    surfacing later as a confusing in-plan parameter error.  Bootstrap now
+    raises without an explicit ``lsh_bands``; with one, the stamp carries
+    it and the first real append derives its band keys at that count."""
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        append_dedup_increment,
+        bootstrap_dedup_store,
+        read_dedup_stats,
+    )
+    from databricks_feature_store_flight_school_spark.operators.publish import (
+        drop_published,
+    )
+
+    for t in ("ddxe_index", "ddxe_bands"):
+        drop_published(spark, t)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    index = D.build_dedup_index(empty, "doc_id", "text")
+    write_bucketed(index, "ddxe_index", "content_hash", num_buckets=2)
+    write_bucketed(
+        D.index_band_keys(index, "doc_id", bands=8), "ddxe_bands",
+        ["band", "bucket"], num_buckets=2,
+    )
+    with pytest.raises(ValueError, match="lsh_bands"):
+        bootstrap_dedup_store(spark, "ddxe_index", "ddxe_bands")
+    bootstrap_dedup_store(spark, "ddxe_index", "ddxe_bands", lsh_bands=8)
+    assert read_dedup_stats(spark, "ddxe_bands")["lsh_bands"] == 8
+    # first real append extends the STAMPED layout (8 bands, not 16)
+    rows = D.build_dedup_index(
+        spark.createDataFrame([(1, _doc("f1"))], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    append_dedup_increment(spark, "ddxe_index", "ddxe_bands", rows)
+    stats = read_dedup_stats(spark, "ddxe_bands")
+    assert stats["signed_docs"] == 1
+    assert stats["bandkey_rows"] == 8
+    for t in ("ddxe_index", "ddxe_bands"):
+        drop_published(spark, t)
 
 
 def test_publish_swap_keeps_reader_alive(spark):

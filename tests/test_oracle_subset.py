@@ -131,3 +131,33 @@ def test_round_sig_keeps_absolute_floor_for_cancellation_noise():
     assert got[0] == got[1] == got[2] == got[3] == 0.0
     assert got[4] == got[5] == 4.0e11  # ulp noise collapses relatively
     assert got[6] == 1.23456789e-5  # small-but-real values keep 12 sig digits
+
+
+def test_round_sig_snap_is_magnitude_conditioned():
+    """VERDICT r11 #4: the 5e-10 zero-snap arms only when the column's max
+    finite |v| exceeds 1e-3 (cancellation needs something large to cancel).
+    An ALL-TINY column — a query answering in small probabilities — keeps
+    exact values, so an injected 1e-12 cross-engine discrepancy is CAUGHT
+    instead of masked; a mixed column (large aggregates + cancellation
+    residue) still snaps its sub-5e-10 noise to 0.0."""
+    import pandas as pd
+
+    # all-tiny column: 1e-12 vs 2e-12 must stay distinguishable
+    a = check_oracle._round_sig(pd.Series([1e-12, 5e-13]))
+    b = check_oracle._round_sig(pd.Series([2e-12, 5e-13]))
+    assert a.tolist() != b.tolist()
+    assert abs(a.tolist()[0] - 1e-12) < 1e-20  # kept (not snapped to 0.0)
+
+    # the same sub-band values WITH a large co-value: snap arms, noise
+    # collapses — the cancellation behavior every covariance-style
+    # aggregate in the catalog relies on
+    c = check_oracle._round_sig(pd.Series([3e-13, -1e-13, 4.0e11])).tolist()
+    assert c[0] == c[1] == 0.0
+
+    # full-frame view: two all-tiny frames differing at 1e-12 must NOT
+    # normalize equal (the synthetic fixture from the verdict's done bar)
+    import pandas as pd  # noqa: F811
+
+    f1 = check_oracle._normalize(pd.DataFrame({"p": [1.0e-12, 3.0e-13]}))
+    f2 = check_oracle._normalize(pd.DataFrame({"p": [2.0e-12, 3.0e-13]}))
+    assert not f1.equals(f2)

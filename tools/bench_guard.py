@@ -230,12 +230,57 @@ def maybe_ratchet(result: dict, pinned: dict) -> list[str]:
     return changed
 
 
+def build_artifact(result: dict, pinned: dict, failures: list[str],
+                   lines: list[str]) -> dict:
+    """One self-adjudicating bench artifact (VERDICT r11 #3): the committed
+    BENCH JSON alone must answer "regression or host?" — three rounds
+    running, the raw medians needed a companion quiet-host run to
+    interpret.  The artifact is the raw ``run_headline`` result (driver-
+    compatible keys preserved) plus a ``guard`` block carrying the
+    calibration pair, the host factor the envelope used, every per-query
+    min normalized to PIN-HOST units as a ratio vs its pin, the normalized
+    totals, and the guard's pass/fail verdict with the full report."""
+    calib, pcalib = result.get("calib_sec"), pinned.get("calib_sec")
+    # pin-host units: multiply fresh values by pinned_calib/fresh_calib
+    # (same conversion maybe_ratchet uses), unclamped here — the artifact
+    # REPORTS, the envelope already applied its own clamped factor
+    norm = (pcalib / calib) if (calib and pcalib) else None
+    guard: dict = {
+        "pass": not failures,
+        "failures": failures,
+        "calib_sec": calib,
+        "pinned_calib_sec": pcalib,
+        "normalization_factor_pin_host_units": round(norm, 4) if norm else None,
+        "report": lines,
+        "pinned_at": pinned.get("pinned_at"),
+    }
+    if norm:
+        stat = "min" if ("queries_min" in result and "queries_min" in pinned) else "median"
+        ratios = {}
+        for name, base in sorted(pinned.get(f"queries_{stat}", {}).items()):
+            got = result.get(f"queries_{stat}", {}).get(name)
+            if got is not None and base:
+                ratios[name] = round(got * norm / base, 3)
+        guard["stat"] = stat
+        guard["normalized_ratio_vs_pin"] = ratios
+        for s in ("min", "median"):
+            if f"value_{s}" in result and f"total_{s}" in pinned and pinned[f"total_{s}"]:
+                guard[f"normalized_total_{s}_vs_pin"] = round(
+                    result[f"value_{s}"] * norm / pinned[f"total_{s}"], 3
+                )
+    return {**result, "guard": guard}
+
+
 def main() -> int:
     import os
 
     from bench import run_headline
     from databricks_feature_store_flight_school_spark.session import get_spark
 
+    emit = None
+    for a in sys.argv[1:]:
+        if a.startswith("--emit="):
+            emit = Path(a.split("=", 1)[1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench-guard")
     # warmup=True: the first queries of a fresh JVM pay codegen/JIT warm-up
@@ -258,6 +303,11 @@ def main() -> int:
         return 0
     failures, lines = check_result(result)
     print("\n".join(lines))
+    if emit is not None:
+        artifact = build_artifact(result, json.loads(PINNED_FILE.read_text()),
+                                  failures, lines)
+        emit.write_text(json.dumps(artifact, indent=2) + "\n")
+        print(f"emitted self-adjudicating artifact -> {emit}")
     if not failures:
         pinned = json.loads(PINNED_FILE.read_text())
         tightened = maybe_ratchet(result, pinned)

@@ -43,19 +43,25 @@ def _round_sig(s: pd.Series, digits: int = 12) -> pd.Series:
     under 5e-10 therefore snap to 0.0 (exactly what round(9) did), and the
     relative rule governs everything larger.
 
-    MASKED BAND (ADVICE r10, accepted tradeoff): the snap is unconditional,
-    so a genuine engine discrepancy living ENTIRELY below |v| < 5e-10 —
-    e.g. a query whose answers are tiny probabilities — passes silently.
-    No catalog query returns values in that band as its signal (rates and
-    ratios here are O(1e-3)+); a future query that does should carry its
-    own scaled oracle (compare v*1e12) rather than weaken this floor,
-    because the floor is what absorbs legitimate cancellation noise for
-    every covariance/residual-style aggregate in the catalog."""
+    MAGNITUDE-CONDITIONED SNAP (VERDICT r11 #4, closing the r10 ADVICE
+    masked band): cancellation noise only exists where something LARGE was
+    subtracted away — a column whose max finite |v| is itself tiny (a
+    query answering in small probabilities) has nothing to cancel, and an
+    unconditional snap would mask a genuine engine discrepancy living
+    entirely below 5e-10 there.  The snap therefore arms only when the
+    column's max finite |v| exceeds 1e-3 (every covariance/residual-style
+    aggregate in the catalog qualifies — their co-columns or siblings are
+    O(1)+); an all-tiny column keeps exact values, where the 12-sig-digit
+    relative rule still distinguishes 1e-12 from 2e-12.  Pinned by
+    tests/test_oracle_subset.py::test_round_sig_snap_is_magnitude_conditioned."""
     import numpy as np
 
     a = s.astype("float64").to_numpy()
     with np.errstate(all="ignore"):
-        a = np.where(np.isfinite(a) & (np.abs(a) < 5e-10), 0.0, a)
+        finite = np.isfinite(a)
+        col_max = float(np.max(np.abs(a[finite]))) if finite.any() else 0.0
+        if col_max > 1e-3:
+            a = np.where(finite & (np.abs(a) < 5e-10), 0.0, a)
         mag = np.floor(np.log10(np.abs(a)))
         scale = np.power(10.0, (digits - 1) - mag)
         ok = np.isfinite(a) & (a != 0.0)

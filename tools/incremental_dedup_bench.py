@@ -111,7 +111,9 @@ def soak(spark, sf_dir: str, steps: int = 4, num_buckets: int = 16) -> dict:
             "doc_id",
             "text",
             threshold=0.7,
-            index_bands=bucketed_table(spark, "soak_bands"),
+            # table-NAME form: the stamped store skips the read-side verify
+            # via the metadata probe (r11 #2) — zero extra jobs per step
+            index_bands="soak_bands",
             index_hot_buckets=spark.table("soak_hot"),
         )
         acc_ids = {r["doc_id"] for r in accepted.select("doc_id").collect()}
