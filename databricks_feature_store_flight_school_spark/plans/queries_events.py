@@ -567,7 +567,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(d, '%Y-%m-%d') AS split_day,
            round(mean_before, 6) AS mean_before,
            round(mean_after, 6) AS mean_after,
-           round(abs(mean_before - mean_after), 6) AS level_shift
+           round(abs(mean_before - mean_after), 2) AS level_shift
     FROM (
         SELECT *, row_number() OVER (
             ORDER BY abs(mean_before - mean_after) DESC, d) AS rn
@@ -584,7 +584,15 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals, edges excluded (>= 5 days each side) — the drift alarm that
     pages before a dashboard eyeballs it.  Both running means come from two
     frames over ONE ordered pass of the days table; the argmax is a
-    row_number over the same day-sized frame."""
+    row_number over the same day-sized frame.
+
+    level_shift rounds to 2 decimals (the means keep 6): it is a
+    CANCELLATION of two large means, so it inherits their absolute
+    summation-order noise, not their relative one — at sf100 the engines'
+    1.7e8-scale means disagree by ~1.5e-6 each (far inside the relative
+    rule) and the ~3e-6 residue landed exactly in level_shift's 6th
+    decimal.  Two decimals of an alarm magnitude is the honest precision
+    at every octave."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -608,6 +616,6 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("d", "yyyy-MM-dd").alias("split_day"),
             F.round("mean_before", 6).alias("mean_before"),
             F.round("mean_after", 6).alias("mean_after"),
-            F.round(shift, 6).alias("level_shift"),
+            F.round(shift, 2).alias("level_shift"),
         )
     )

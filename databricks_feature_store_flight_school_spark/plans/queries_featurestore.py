@@ -52,8 +52,36 @@ def _order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the previous catalog query's throwaway warehouse, reaped on the next
+#: _client() call (and at interpreter exit)
+_last_warehouse: list[str] = []
+
+
+def _reap_warehouses() -> None:
+    import shutil
+
+    while _last_warehouse:
+        shutil.rmtree(_last_warehouse.pop(), ignore_errors=True)
+
+
 def _client(spark: SparkSession) -> FeatureStoreClient:
-    return FeatureStoreClient(spark, tempfile.mkdtemp(prefix="fs_warehouse_"))
+    """A FeatureStoreClient over a FRESH throwaway warehouse — each catalog
+    query materializes its demo feature tables there.  The PREVIOUS
+    query's warehouse is deleted here: catalog queries are consumed
+    strictly sequentially (build -> collect/compare -> next), so by the
+    time the next query builds, the prior result has been drained.
+    Without the reap, a full-catalog sweep leaks one warehouse per
+    feature-store query — ~4-6 GB each at sf100, enough to exhaust a
+    sweep host's disk mid-run (observed round 12); at-exit cleanup alone
+    would not help a single long-lived session."""
+    import atexit
+
+    if not _last_warehouse:
+        atexit.register(_reap_warehouses)
+    _reap_warehouses()
+    path = tempfile.mkdtemp(prefix="fs_warehouse_")
+    _last_warehouse.append(path)
+    return FeatureStoreClient(spark, path)
 
 
 _ORDER_FEATURES_SQL = """
