@@ -434,8 +434,8 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(abs(l_extendedprice - l_retail)), 2) AS abs_diff_sum,
            round(sum(ceil(l_quantity / 7.0)), 2)::BIGINT AS ceil_sum,
            round(sum(floor(l_quantity / 7.0)), 2)::BIGINT AS floor_sum,
-           round(sum(sqrt(l_quantity)), 6) AS sqrt_sum,
-           round(sum(ln(l_extendedprice)), 6) AS ln_sum,
+           round(sum(sqrt(l_quantity)))::BIGINT AS sqrt_sum,
+           round(sum(ln(l_extendedprice)))::BIGINT AS ln_sum,
            round(sum(CAST(l_quantity AS BIGINT) % 5), 2)::BIGINT AS mod_sum
     FROM (SELECT l_linenumber, l_quantity, l_extendedprice,
                  l_quantity * 1000.0 AS l_retail
@@ -446,6 +446,13 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "functions", "math",
 )
 def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt_sum/ln_sum are 600M-term sums of IRRATIONAL per-row values, so
+    their sub-unit decimals are pure summation-order noise at the top
+    octave (sf100 measured the engines ~1e-4 apart at 3.7e7 magnitude —
+    12 significant digits, beyond double reproducibility for that many
+    terms); both round to integer BIGINT, the scale-robust precision.
+    abs_diff_sum keeps 2 decimals: its magnitude (1.7e11) puts the
+    relative compare rule's tolerance well above the same noise."""
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "l_retail", F.col("l_quantity") * 1000.0
     )
@@ -455,8 +462,8 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.abs(F.col("l_extendedprice") - F.col("l_retail"))), 2).alias("abs_diff_sum"),
             F.round(F.sum(F.ceil(F.col("l_quantity") / 7.0)), 2).alias("ceil_sum"),
             F.round(F.sum(F.floor(F.col("l_quantity") / 7.0)), 2).alias("floor_sum"),
-            F.round(F.sum(F.sqrt("l_quantity")), 6).alias("sqrt_sum"),
-            F.round(F.sum(F.log("l_extendedprice")), 6).alias("ln_sum"),
+            F.round(F.sum(F.sqrt("l_quantity")), 0).cast("bigint").alias("sqrt_sum"),
+            F.round(F.sum(F.log("l_extendedprice")), 0).cast("bigint").alias("ln_sum"),
             F.round(F.sum(F.col("l_quantity").cast("bigint") % 5), 2).alias("mod_sum"),
         )
         .orderBy("l_linenumber")
@@ -468,19 +475,23 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT count(*) AS total,
            sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)::BIGINT AS zero_discounts,
-           round(sum(coalesce(nullif(l_discount, 0.0), 0.01)), 4) AS floored_discount_sum,
+           round(sum(coalesce(nullif(l_discount, 0.0), 0.01)))::BIGINT AS floored_discount_sum,
            sum(CASE WHEN l_tax IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS tax_not_null
     FROM lineitem
     """,
     "functions", "nulls",
 )
 def q_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """floored_discount_sum rounds to integer BIGINT: a 600M-term sum of
+    sub-unit floats carries ~2e-3 cross-engine summation-order noise at
+    sf100 (3e7 magnitude), beyond any fixed decimal count — integer is
+    the scale-robust precision (same r12 rule as q_math_functions)."""
     li = load_table(spark, sf_dir, "lineitem")
     nz = F.nullif(F.col("l_discount"), F.lit(0.0))
     return li.agg(
         F.count(F.lit(1)).alias("total"),
         F.sum(F.when(nz.isNull(), 1).otherwise(0)).alias("zero_discounts"),
-        F.round(F.sum(F.coalesce(nz, F.lit(0.01))), 4).alias("floored_discount_sum"),
+        F.round(F.sum(F.coalesce(nz, F.lit(0.01))), 0).cast("bigint").alias("floored_discount_sum"),
         F.sum(F.when(F.col("l_tax").isNotNull(), 1).otherwise(0)).alias("tax_not_null"),
     )
 

@@ -201,7 +201,12 @@ def compare_query(
                 if not a.equals(b):
                     diff = (a != b) & ~(a.isna() & b.isna())
                     nbad = int(diff.any(axis=1).sum())
-                    return f"{nbad}/{len(a)} sampled rows differ ({label})"
+                    msg = f"{nbad}/{len(a)} sampled rows differ ({label})"
+                    if nbad:
+                        bad = diff.any(axis=1)
+                        msg += f"; spark={a[bad].head(2).to_dict('records')}"
+                        msg += f" oracle={b[bad].head(2).to_dict('records')}"
+                    return msg
                 return None
             if notes is not None:
                 notes.append("no stable sample key; full compare")
