@@ -620,7 +620,7 @@ def q_fs_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_orders,
            CAST(round(sum(amount) * 100) AS BIGINT) * 100 // count(*)
                AS avg_amount_e4,
-           round(stddev_samp(amount), 4) AS sd_amount
+           CAST(round(stddev_samp(amount)) AS BIGINT) AS sd_amount
     FROM final GROUP BY cust
     """,
     "featurestore", "ivm", "materialized-view", "incremental",
@@ -681,8 +681,11 @@ def q_fs_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group size is a power of two (cents/2^k terminates), where Spark's
     # HALF_UP and DuckDB's binary rounding can disagree by 1 ulp — integer
     # cents*100 DIV n is boundary-free and bit-identical on both engines.
-    # stddev keeps round(4): sqrt outputs are irrational off the degenerate
-    # cases (NULL for n=1, exact 0.0 for zero variance), never on a half.
+    # stddev rounds to integer BIGINT (r12): the maintained second-moment
+    # state drifts ~1e-5 absolute from DuckDB's Welford recompute on the
+    # 430k-row hot groups at sf100 (naive sum/sumsq cancellation), so a
+    # 4-decimal round sat one borderline flip away from a spurious
+    # mismatch — the 1.6e5-scale sd's integer part is the honest signal.
     mv = fs.read_materialized_view("orders_mv")
     return mv.select(
         "cust",
@@ -691,5 +694,5 @@ def q_fs_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(round(total * 100) AS BIGINT) * 100 DIV n_orders"
         ).alias("avg_amount_e4"),
-        F.round("sd_amount", 4).alias("sd_amount"),
+        F.round("sd_amount", 0).cast("bigint").alias("sd_amount"),
     )

@@ -93,8 +93,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def duckdb_connection(sf_dir: str):
-    """DuckDB connection with the driver's table views registered."""
+    """DuckDB connection with the driver's table views registered.
+
+    The oracle side gets a MEMORY LIMIT (``ORACLE_DUCKDB_MEM``, default
+    24GB) and an explicit spill directory: DuckDB's default budget is 80%
+    of RAM, sized for owning the machine — but this gate runs it IN the
+    same process/host as a 48 GB Spark driver JVM, and at sf100 one
+    unbounded oracle (a pagerank-style iterated join) ballooned to 77 GB
+    anon-RSS and drew the kernel OOM killer through the whole sweep
+    (round 12).  Capped, DuckDB spills to disk instead of dying."""
     con = duckdb.connect()
+    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_DUCKDB_MEM', '24GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
