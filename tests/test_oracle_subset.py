@@ -28,6 +28,11 @@ import check_oracle  # noqa: E402
 
 #: queries added/rewritten in the current round — always checked
 CURRENT_ROUND = [
+    # round 12: sf100 precision reshapes (scale-robust rounding)
+    "q_changepoint",
+    "q_math_functions",
+    "q_null_functions",
+    "q_fs_materialized_view",
     # round 10: oracle upgrades (rows-only -> value-matched)
     "q_hash_bucket",
     "q_media_features",
