@@ -706,13 +706,23 @@ def incremental_dedup(
     decide by provenance:
 
     - ``index_bands`` given as a TABLE NAME whose physical table carries
-      the persisted stats stamp (``dedup_store.read_dedup_stats``) — the
-      store's append path verified every append and its file-count
-      tripwire watches for out-of-band writes, so the read-side check is
-      redundant: SKIPPED, zero jobs (the probe is one catalog metadata
-      call).  Residual window: an out-of-band write AFTER the stamp is
-      invisible until the next append's tripwire — the same window the
-      r11 design documented.
+      the persisted stats stamp (``dedup_store.read_dedup_stats``) AND
+      whose live file listing still matches the stamp's ``bands_files``
+      count — the store's append path verified every append and nothing
+      has touched the table since, so the read-side check is redundant:
+      SKIPPED, zero jobs (the probe is two catalog metadata calls: SHOW
+      TBLPROPERTIES + a refreshed ``inputFiles()`` listing, the same
+      tripwire the append path runs).  A stamped table whose file count
+      has DRIFTED — an out-of-band write after the stamp, the residual
+      window the r11 design documented (VERDICT r12 #1) — falls back to
+      the two bounded verify counts: a consistent out-of-band append
+      (both tables maintained, stamp not refreshed) passes and reads
+      proceed; a stale one raises here instead of silently skipping
+      near-dup detection until the next append's tripwire.
+    - the INDEX side has no name in this signature (it arrives as a
+      DataFrame), so its out-of-band drift stays covered by the append
+      tripwire alone — but the verify that a bands-side drift arms counts
+      BOTH tables, so a paired stale append is still caught read-side.
     - ``index_bands`` given as a name WITHOUT the stamp, or as a bare
       DataFrame (provenance unknowable) — assumed MANUALLY maintained:
       the two bounded count jobs run at plan-build and raise on a stale
@@ -785,16 +795,23 @@ def incremental_dedup(
         else:
             if isinstance(index_bands, str):
                 # table-name form: provenance is probeable — a stamped
-                # physical table is store-maintained (append-path-verified),
-                # an unstamped one is manually maintained and gets the
-                # read-side check by default.  The probe is one catalog
-                # metadata call (SHOW TBLPROPERTIES), never a Spark job.
-                from .dedup_store import read_dedup_stats  # circular at top
+                # physical table whose file listing still matches the
+                # stamp is store-maintained (append-path-verified, no
+                # out-of-band writes since); an unstamped OR file-drifted
+                # one gets the read-side check by default.  The probe is
+                # catalog metadata only (SHOW TBLPROPERTIES + a refreshed
+                # inputFiles() listing), never a Spark job.
+                from .dedup_store import (  # circular at top
+                    _file_count,
+                    read_dedup_stats,
+                )
 
                 spark = batch.sparkSession
                 if verify_index_bands is None:
-                    verify_index_bands = (
-                        read_dedup_stats(spark, index_bands) is None
+                    stats = read_dedup_stats(spark, index_bands)
+                    verify_index_bands = stats is None or (
+                        stats["bands_files"]
+                        != _file_count(spark, index_bands)
                     )
                 index_bands = spark.read.table(index_bands)
             elif verify_index_bands is None:

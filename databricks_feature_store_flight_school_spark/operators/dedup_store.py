@@ -615,7 +615,12 @@ def append_dedup_increment(
     if stats is None:
         # legacy pair (written before stat-stamping existed): one full
         # verify + recount, then this append and every later one is
-        # increment-sized
+        # increment-sized.  A legacy pair whose band table is EMPTY has
+        # no lsh_bands source anywhere (unstamped by definition, no rows
+        # to read it from) — _computed_stats raises with the
+        # bootstrap_dedup_store(lsh_bands=...) remedy, which is the only
+        # honest answer (ADVICE r12 #1: stamped-empty pairs carry the
+        # stamp forward; see compact_dedup_index and the heal path)
         verify_dedup_index_consistency(
             spark.table(idx_phys), spark.table(bands_phys)
         )
@@ -730,6 +735,12 @@ def compact_dedup_index(
     verify_dedup_index_consistency(
         spark.table(index_table), spark.table(bands_table)
     )
+    # read the stamp BEFORE republishing: _publish_bucketed swaps in a
+    # fresh physical generation whose TBLPROPERTIES start empty, and an
+    # EMPTY band-key table (legitimate empty-corpus bootstrap stamped
+    # with explicit lsh_bands) cannot reveal its band count from rows —
+    # the stamp is the only carrier (ADVICE r12 #1)
+    stamped = read_dedup_stats(spark, bands_table)
     before: dict[str, int] = {}
     after: dict[str, int] = {}
     for table in (index_table, bands_table):
@@ -768,6 +779,13 @@ def compact_dedup_index(
         )
         _publish_overwrite(spark, hot_table, src)
     _write_dedup_stats(
-        spark, bands_table, _computed_stats(spark, index_table, bands_table)
+        spark,
+        bands_table,
+        _computed_stats(
+            spark,
+            index_table,
+            bands_table,
+            lsh_bands=stamped["lsh_bands"] if stamped is not None else None,
+        ),
     )
     return {"files_before": before, "files_after": after}

@@ -52,33 +52,45 @@ def _order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: the previous catalog query's throwaway warehouse, reaped on the next
-#: _client() call (and at interpreter exit)
+#: recent catalog queries' throwaway warehouses, oldest first; reaped down
+#: to the retention window on the next _client() call (and fully at
+#: interpreter exit)
 _last_warehouse: list[str] = []
 
+#: how many PRIOR warehouses stay alive when a new one is built (ADVICE
+#: r12 #3): 1 would assume strictly sequential build->collect->next
+#: consumption — true of every in-repo consumer, but enforced only by
+#: convention; keeping the previous TWO means a caller that builds two
+#: feature-store DataFrames before collecting the first never reads
+#: deleted parquet.  The sweep-host disk math is unchanged in kind:
+#: bounded at ~3 warehouses live instead of 2, not one per query.
+_WAREHOUSE_RETAIN = 2
 
-def _reap_warehouses() -> None:
+
+def _reap_warehouses(keep: int = 0) -> None:
     import shutil
 
-    while _last_warehouse:
-        shutil.rmtree(_last_warehouse.pop(), ignore_errors=True)
+    while len(_last_warehouse) > keep:
+        shutil.rmtree(_last_warehouse.pop(0), ignore_errors=True)
 
 
 def _client(spark: SparkSession) -> FeatureStoreClient:
     """A FeatureStoreClient over a FRESH throwaway warehouse — each catalog
-    query materializes its demo feature tables there.  The PREVIOUS
-    query's warehouse is deleted here: catalog queries are consumed
-    strictly sequentially (build -> collect/compare -> next), so by the
-    time the next query builds, the prior result has been drained.
-    Without the reap, a full-catalog sweep leaks one warehouse per
-    feature-store query — ~4-6 GB each at sf100, enough to exhaust a
-    sweep host's disk mid-run (observed round 12); at-exit cleanup alone
-    would not help a single long-lived session."""
+    query materializes its demo feature tables there.  Warehouses older
+    than the retention window (the previous ``_WAREHOUSE_RETAIN`` = 2) are
+    deleted here: catalog queries are consumed near-sequentially, so by
+    the time query N+3 builds, query N's result has long been drained —
+    and a caller holding TWO lazy feature-store DataFrames at once (the
+    case one-generation retention would break, ADVICE r12 #3) still reads
+    live files.  Without the reap, a full-catalog sweep leaks one
+    warehouse per feature-store query — ~4-6 GB each at sf100, enough to
+    exhaust a sweep host's disk mid-run (observed round 12); at-exit
+    cleanup alone would not help a single long-lived session."""
     import atexit
 
     if not _last_warehouse:
         atexit.register(_reap_warehouses)
-    _reap_warehouses()
+    _reap_warehouses(keep=_WAREHOUSE_RETAIN)
     path = tempfile.mkdtemp(prefix="fs_warehouse_")
     _last_warehouse.append(path)
     return FeatureStoreClient(spark, path)

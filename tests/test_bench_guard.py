@@ -355,3 +355,44 @@ def test_ratchet_is_host_normalized_and_needs_two_sightings():
     other = dict(run2, sf=0.01)
     assert bench_guard.maybe_ratchet(other, pinned) == []
     assert pinned == before
+
+
+def test_artifact_records_skip_on_sf_mismatch_instead_of_pass():
+    """ADVICE r12 #4: when check_result short-circuits on an sf mismatch
+    (no comparison ran, failures empty), the artifact must NOT assert
+    pass=true — it records pass=None with an explicit skipped status, and
+    the normalized-ratio block is absent (there is nothing to adjudicate
+    with).  A same-sf run keeps status='pass'/'fail' alongside the boolean."""
+    sys.path.insert(0, str(REPO / "tools"))
+    import bench_guard
+
+    pinned = {
+        "sf": 0.1,
+        "queries_min": {"q_a": 0.4},
+        "queries_median": {"q_a": 0.4},
+        "total_median": 0.4,
+        "total_min": 0.4,
+        "calib_sec": 0.4,
+    }
+    other_sf = {
+        "sf": 1.0,
+        "queries_min": {"q_a": 0.5},
+        "queries_median": {"q_a": 0.5},
+        "value_min": 0.5,
+        "value_median": 0.5,
+        "calib_sec": 0.4,
+    }
+    failures, lines = bench_guard.check_result(other_sf, pinned)
+    assert failures == [] and lines and lines[0].startswith("skip")
+    art = bench_guard.build_artifact(other_sf, pinned, failures, lines)
+    g = art["guard"]
+    assert g["pass"] is None
+    assert g["status"].startswith("skipped: sf mismatch")
+    assert "normalized_ratio_vs_pin" not in g
+    assert "normalized_total_min_vs_pin" not in g
+
+    # same sf: boolean + status stay in agreement
+    same_sf = {**other_sf, "sf": 0.1}
+    failures, lines = bench_guard.check_result(same_sf, pinned)
+    art = bench_guard.build_artifact(same_sf, pinned, failures, lines)
+    assert art["guard"]["pass"] is True and art["guard"]["status"] == "pass"

@@ -371,3 +371,23 @@ def test_gen_plans_summary_extracts_plan_evidence(spark, sf_dir):
     # single lineitem scan with the shipdate filter pushed; no broadcast
     assert "parquet scans: 1 (1 with pushed filters)" in s2
     assert "broadcasts: 0" in s2
+
+
+def test_fs_warehouse_retention_covers_two_live_dataframes(spark, sf_dir):
+    """ADVICE r12 #3: _client() reaps temp warehouses down to a retention
+    window of the previous TWO instead of deleting the prior query's
+    warehouse at the next build — so a caller that builds two
+    feature-store DataFrames BEFORE collecting the first (legal laziness;
+    every in-repo consumer happens to build-then-force, but only by
+    convention) never reads deleted parquet."""
+    from databricks_feature_store_flight_school_spark.plans import (
+        queries_featurestore as QF,
+    )
+
+    df1 = query_map()["q_fs_training_set"](spark, sf_dir)
+    df2 = query_map()["q_fs_pit_lookup"](spark, sf_dir)
+    # both warehouses must still be live: collect the FIRST build last-ish
+    assert df1.count() > 0
+    assert df2.count() > 0
+    # bounded, not leaking: at most retention+1 warehouses alive
+    assert len(QF._last_warehouse) <= QF._WAREHOUSE_RETAIN + 1

@@ -1101,3 +1101,138 @@ def test_out_of_band_consistent_append_heals(spark):
         DS.verify_dedup_index_consistency = real
     for t in names:
         drop_published(spark, t)
+
+
+def test_stamped_table_out_of_band_write_arms_read_side_verify(
+    spark, monkeypatch
+):
+    """VERDICT r12 #1 done bar: the stamped-table read-side skip trusts
+    the stamp ONLY while the band table's live file listing still matches
+    the stamp's persisted ``bands_files`` — an out-of-band parquet write
+    into a STAMPED bands table (the residual window the r11 design
+    documented) now arms the read-side verify on the very next read under
+    DEFAULT arguments, instead of silently passing until the next
+    append's tripwire.  Three arms:
+
+    1. stamped + untouched -> skip (verify bombed, probe is metadata-only);
+    2. stamped + STALE out-of-band band-key append -> default read RAISES;
+    3. stamped + CONSISTENT out-of-band append to both tables -> verify
+       arms, passes, and the read proceeds with full coverage (a near-dup
+       of the out-of-band doc is rejected).
+    """
+    import databricks_feature_store_flight_school_spark.operators.dedup as D2
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        bootstrap_dedup_store,
+    )
+    from databricks_feature_store_flight_school_spark.operators.publish import (
+        drop_published,
+        resolve_table,
+    )
+
+    names = ("ddxr_index", "ddxr_bands")
+    for t in names:
+        drop_published(spark, t)
+    corpus = spark.createDataFrame(
+        [(1, _doc("base")), (2, _doc("other"))], "doc_id long, text string"
+    )
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+    write_bucketed(index, "ddxr_index", "content_hash", num_buckets=2)
+    bands_df = D.index_band_keys(index, "doc_id", bands=16)
+    write_bucketed(bands_df, "ddxr_bands", ["band", "bucket"], num_buckets=2)
+    bootstrap_dedup_store(spark, "ddxr_index", "ddxr_bands")
+
+    inc = spark.createDataFrame([(50, _doc("f5"))], "doc_id long, text string")
+    # arm 1: untouched stamped table still skips (zero verify jobs)
+    monkeypatch.setattr(D2, "verify_dedup_index_consistency", _boom_verify)
+    try:
+        acc, _ = D2.incremental_dedup(
+            inc, bucketed_table(spark, "ddxr_index"), "doc_id", "text",
+            threshold=0.7, index_bands="ddxr_bands",
+        )
+        assert {r["doc_id"] for r in acc.collect()} == {50}
+    finally:
+        monkeypatch.setattr(D2, "verify_dedup_index_consistency", _real_verify)
+
+    # arm 2: STALE out-of-band write into the stamped bands table (band
+    # keys duplicated without their index rows) -> file count drifts past
+    # the stamp -> the probe arms the verify -> raises on the stale pair
+    bands_phys = resolve_table(spark, "ddxr_bands")
+    spark.table(bands_phys).where(F.col("doc_id") == 1).write.mode(
+        "append"
+    ).bucketBy(2, "band", "bucket").format("parquet").saveAsTable(bands_phys)
+    with pytest.raises(ValueError, match="stale"):
+        D2.incremental_dedup(
+            inc, bucketed_table(spark, "ddxr_index"), "doc_id", "text",
+            threshold=0.7, index_bands="ddxr_bands",
+        )
+
+    # arm 3: rebuild, then a CONSISTENT out-of-band append to BOTH tables
+    # (migration-script shape) -> probe arms the verify, verify passes,
+    # and the read path sees the out-of-band doc: its near-dup is rejected
+    for t in names:
+        drop_published(spark, t)
+    write_bucketed(index, "ddxr_index", "content_hash", num_buckets=2)
+    write_bucketed(bands_df, "ddxr_bands", ["band", "bucket"], num_buckets=2)
+    bootstrap_dedup_store(spark, "ddxr_index", "ddxr_bands")
+    oob = D.build_dedup_index(
+        spark.createDataFrame([(9, _doc("f9"))], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    oob.write.mode("append").bucketBy(2, "content_hash").format(
+        "parquet"
+    ).saveAsTable(resolve_table(spark, "ddxr_index"))
+    D.index_band_keys(oob, "doc_id", bands=16).write.mode("append").bucketBy(
+        2, "band", "bucket"
+    ).format("parquet").saveAsTable(resolve_table(spark, "ddxr_bands"))
+    inc2 = spark.createDataFrame(
+        [(60, _doc("f6")), (61, _doc("f9") + " zq wv")],
+        "doc_id long, text string",
+    )
+    acc2, _ = D2.incremental_dedup(
+        inc2, bucketed_table(spark, "ddxr_index"), "doc_id", "text",
+        threshold=0.7, index_bands="ddxr_bands",
+    )
+    assert {r["doc_id"] for r in acc2.collect()} == {60}
+    for t in names:
+        drop_published(spark, t)
+
+
+def test_compact_carries_stamp_forward_on_empty_band_table(spark):
+    """ADVICE r12 #1: compacting (and healing) a store whose band-key
+    table is EMPTY — a legitimate empty-corpus bootstrap stamped with
+    explicit ``lsh_bands`` — must carry the stamped band count forward
+    instead of raising from ``_computed_stats``; the first real append
+    after the compaction still extends the stamped layout."""
+    from databricks_feature_store_flight_school_spark.operators.dedup_store import (
+        append_dedup_increment,
+        bootstrap_dedup_store,
+        compact_dedup_index,
+        read_dedup_stats,
+    )
+    from databricks_feature_store_flight_school_spark.operators.publish import (
+        drop_published,
+    )
+
+    names = ("ddxc_index", "ddxc_bands")
+    for t in names:
+        drop_published(spark, t)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    index = D.build_dedup_index(empty, "doc_id", "text")
+    write_bucketed(index, "ddxc_index", "content_hash", num_buckets=2)
+    write_bucketed(
+        D.index_band_keys(index, "doc_id", bands=8), "ddxc_bands",
+        ["band", "bucket"], num_buckets=2,
+    )
+    bootstrap_dedup_store(spark, "ddxc_index", "ddxc_bands", lsh_bands=8)
+    compact_dedup_index(spark, "ddxc_index", "ddxc_bands")
+    stats = read_dedup_stats(spark, "ddxc_bands")
+    assert stats is not None and stats["lsh_bands"] == 8
+    rows = D.build_dedup_index(
+        spark.createDataFrame([(1, _doc("c1"))], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    append_dedup_increment(spark, "ddxc_index", "ddxc_bands", rows)
+    stats = read_dedup_stats(spark, "ddxc_bands")
+    assert stats["signed_docs"] == 1 and stats["bandkey_rows"] == 8
+    for t in names:
+        drop_published(spark, t)

@@ -166,3 +166,16 @@ def test_round_sig_snap_is_magnitude_conditioned():
     f1 = check_oracle._normalize(pd.DataFrame({"p": [1.0e-12, 3.0e-13]}))
     f2 = check_oracle._normalize(pd.DataFrame({"p": [2.0e-12, 3.0e-13]}))
     assert not f1.equals(f2)
+
+    # ADVICE r12 #2: a PURE-RESIDUAL column (every value ~0 by
+    # cancellation, so its own max is tiny) next to an O(1)+ float
+    # sibling: the frame-level gate arms the snap, so cross-engine noise
+    # below 5e-10 normalizes equal instead of a spurious FAIL
+    g1 = check_oracle._normalize(
+        pd.DataFrame({"big": [4.0e11, 1.0], "resid": [3.0e-13, -1.0e-13]})
+    )
+    g2 = check_oracle._normalize(
+        pd.DataFrame({"big": [4.0e11, 1.0], "resid": [0.0, 2.0e-13]})
+    )
+    assert g1.equals(g2)
+    assert g1["resid"].tolist() == [0.0, 0.0]

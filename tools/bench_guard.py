@@ -245,8 +245,19 @@ def build_artifact(result: dict, pinned: dict, failures: list[str],
     # (same conversion maybe_ratchet uses), unclamped here — the artifact
     # REPORTS, the envelope already applied its own clamped factor
     norm = (pcalib / calib) if (calib and pcalib) else None
+    # ADVICE r12 #4: an sf mismatch makes check_result short-circuit with
+    # failures=[] — NO comparison ran, so pass=true would assert an
+    # adjudication that never happened.  Record the skip explicitly:
+    # pass=None + status, and the normalized-ratio block stays absent.
+    compared = float(result.get("sf", -1)) == float(pinned.get("sf", -2))
     guard: dict = {
-        "pass": not failures,
+        "pass": (not failures) if compared else None,
+        "status": (
+            ("pass" if not failures else "fail")
+            if compared
+            else f"skipped: sf mismatch (run sf={result.get('sf')}, "
+                 f"pin sf={pinned.get('sf')}) — no comparison ran"
+        ),
         "failures": failures,
         "calib_sec": calib,
         "pinned_calib_sec": pcalib,
@@ -254,7 +265,7 @@ def build_artifact(result: dict, pinned: dict, failures: list[str],
         "report": lines,
         "pinned_at": pinned.get("pinned_at"),
     }
-    if norm:
+    if norm and compared:
         stat = "min" if ("queries_min" in result and "queries_min" in pinned) else "median"
         ratios = {}
         for name, base in sorted(pinned.get(f"queries_{stat}", {}).items()):

@@ -30,7 +30,9 @@ from databricks_feature_store_flight_school_spark.session import get_spark  # no
 from databricks_feature_store_flight_school_spark.sources import TABLES  # noqa: E402
 
 
-def _round_sig(s: pd.Series, digits: int = 12) -> pd.Series:
+def _round_sig(
+    s: pd.Series, digits: int = 12, frame_max: float = 0.0
+) -> pd.Series:
     """Round floats to ``digits`` SIGNIFICANT digits — a relative
     tolerance — with the old ABSOLUTE ``round(9)`` kept as a floor for
     near-zero values.  Why both: a 4e11 aggregate's last ulp is ~6e-5, so
@@ -49,10 +51,18 @@ def _round_sig(s: pd.Series, digits: int = 12) -> pd.Series:
     query answering in small probabilities) has nothing to cancel, and an
     unconditional snap would mask a genuine engine discrepancy living
     entirely below 5e-10 there.  The snap therefore arms only when the
-    column's max finite |v| exceeds 1e-3 (every covariance/residual-style
-    aggregate in the catalog qualifies — their co-columns or siblings are
-    O(1)+); an all-tiny column keeps exact values, where the 12-sig-digit
-    relative rule still distinguishes 1e-12 from 2e-12.  Pinned by
+    column's max finite |v| — or the FRAME's float max, passed by
+    ``_normalize`` as ``frame_max`` (ADVICE r12 #2: a column that is
+    ENTIRELY cancellation residue, every group's value mathematically ~0
+    because its large terms cancelled inside the sum, has a tiny
+    column-max, but its float SIBLINGS betray the O(1)+ magnitudes that
+    were subtracted away; gating on the same column alone would keep that
+    column's sub-5e-10 cross-engine noise and the 12-sig-digit relative
+    rule would raise a spurious FAIL) — exceeds 1e-3.  An all-tiny FRAME
+    (a query answering entirely in small probabilities, nothing anywhere
+    to cancel) keeps exact values, where the relative rule still
+    distinguishes 1e-12 from 2e-12.  Direct calls default to column-only
+    gating (``frame_max=0.0``).  Pinned by
     tests/test_oracle_subset.py::test_round_sig_snap_is_magnitude_conditioned."""
     import numpy as np
 
@@ -60,7 +70,7 @@ def _round_sig(s: pd.Series, digits: int = 12) -> pd.Series:
     with np.errstate(all="ignore"):
         finite = np.isfinite(a)
         col_max = float(np.max(np.abs(a[finite]))) if finite.any() else 0.0
-        if col_max > 1e-3:
+        if max(col_max, frame_max) > 1e-3:
             a = np.where(finite & (np.abs(a) < 5e-10), 0.0, a)
         mag = np.floor(np.log10(np.abs(a)))
         scale = np.power(10.0, (digits - 1) - mag)
@@ -71,11 +81,22 @@ def _round_sig(s: pd.Series, digits: int = 12) -> pd.Series:
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # frame-level float max: the snap gate for pure-residual columns whose
+    # own max is tiny but whose siblings are O(1)+ (ADVICE r12 #2)
+    import numpy as np
+
+    frame_max = 0.0
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            a = df[c].astype("float64").to_numpy()
+            finite = np.isfinite(a)
+            if finite.any():
+                frame_max = max(frame_max, float(np.max(np.abs(a[finite]))))
     out = {}
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            out[c] = _round_sig(s)
+            out[c] = _round_sig(s, frame_max=frame_max)
         elif pd.api.types.is_integer_dtype(s):
             # Unify int WIDTHS only (int32 vs int64); deliberately do NOT
             # widen to float — the driver's value hash distinguishes int64
