@@ -571,38 +571,75 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_fuzzy_part_match",
-    # Distinct-NAME twin (round 10): edit distance is a function of the
-    # names alone, so the oracle pays levenshtein once per distinct name
-    # pair within a block instead of once per PART pair, then expands
-    # combinatorially — provably identical to the naive block-quadratic
-    # form (verified value-equal at sf0.001/sf0.01 against the naive SQL
-    # itself):
+    # Distinct-NAME twin (round 10) with a DELETION-NEIGHBORHOOD candidate
+    # filter (round 13, VERDICT r12 #4): edit distance is a function of
+    # the names alone, so the oracle pays levenshtein once per distinct
+    # name pair, then expands combinatorially — provably identical to the
+    # naive block-quadratic form (verified value-equal at
+    # sf0.001/0.01/0.1/1 against the round-10 SQL, itself value-matched
+    # to the naive form):
     #   n_pairs(0)   = sum C(cnt,2) over (block,name) groups;
-    #   n_pairs(d>0) = sum cnt1*cnt2 over unordered name pairs at dist d;
+    #   n_pairs(d>0) = sum cnt1*cnt2 over unordered name pairs at dist d
+    #                  per shared block;
     #   n_left(0)    = sum (cnt-1): every group member but its max id is
     #                  some pair's smaller key;
     #   n_left(d>0)  : part a is a distinct key_a at dist d iff SOME part
     #                  of a name at dist d from a's has a larger id, i.e.
     #                  a.id < max over matching groups of max_id — one
     #                  part-level join against that per-(block,name,d) max.
-    # The naive twin measured ~47 min at sf1 (3.3e9 levenshteins, forcing
-    # a documented --skip split in scale sweeps); this form is 16.5 s at
-    # sf1 (44M levenshteins on 3,840 distinct names), so the full-catalog
-    # sweep is one invocation again.
+    # Candidate generation is FastSS-style, not quadratic: names a, b with
+    # edit(a,b) <= 2 share a common string reachable by <= 2 single-char
+    # DELETIONS from each (take an optimal alignment; drop from a every
+    # substituted/deleted char, from b every substituted/inserted char —
+    # <= 2 per side — and the matched remainders are identical), so the
+    # <=2-deletion variant sets (1 + L + C(L,2) ~ 600 strings per ~30-char
+    # name) are joined on variant equality and ONLY the surviving pairs
+    # pay a levenshtein.  No false negatives by the argument above; false
+    # positives (shared variant, distance > 2) die on the explicit
+    # levenshtein.  The round-10 per-block quadratic distinct-name join
+    # was value-matched through sf10 but measured 1203 s there and ~30 h
+    # extrapolated at sf100 (387,840 names — the r12 sweep's oracle-side
+    # wall); this form is 2.4 s at sf1 and ~5 min at sf10 (7.1M candidates
+    # instead of 2.5e10 block-quadratic levenshteins), with every
+    # multiply-referenced CTE MATERIALIZED (DuckDB re-inlines otherwise —
+    # measured 6x at sf1).  Block expansion afterwards is linear in the
+    # matched pairs (~6 shared blocks per matched name pair, measured).
     """
-    WITH g AS (
+    WITH g AS MATERIALIZED (
         SELECT p_type AS blk, p_name AS name,
                count(*) AS cnt, max(p_partkey) AS max_id
         FROM part GROUP BY 1, 2
     ),
-    np AS (
-        SELECT a.blk, a.name AS n1,
-               levenshtein(a.name, b.name) AS edit_dist,
-               a.cnt AS cnt1, b.cnt AS cnt2,
-               a.name < b.name AS is_lower, b.max_id AS max2
-        FROM g a JOIN g b
-          ON a.blk = b.blk AND a.name <> b.name
-        WHERE levenshtein(a.name, b.name) <= 2
+    nl AS (SELECT DISTINCT name, length(name)::INT AS l FROM g),
+    e1 AS (SELECT name, l, unnest(generate_series(1, l)) AS i FROM nl),
+    e2 AS (SELECT name, i, unnest(generate_series(i+1, l)) AS j
+           FROM e1 WHERE i < l),
+    vars AS MATERIALIZED (
+        SELECT DISTINCT name, v FROM (
+            SELECT name, name AS v FROM nl
+            UNION ALL
+            SELECT name, substr(name,1,i-1) || substr(name,i+1) FROM e1
+            UNION ALL
+            SELECT name, substr(name,1,i-1) || substr(name,i+1,j-i-1)
+                         || substr(name,j+1) FROM e2
+        )
+    ),
+    ed AS MATERIALIZED (
+        SELECT n1, n2, levenshtein(n1, n2) AS edit_dist FROM (
+            SELECT DISTINCT a.name AS n1, b.name AS n2
+            FROM vars a JOIN vars b ON a.v = b.v AND a.name < b.name
+        )
+        WHERE levenshtein(n1, n2) <= 2
+    ),
+    np AS MATERIALIZED (
+        SELECT ga.blk, ga.name AS n1, d.edit_dist,
+               ga.cnt AS cnt1, gb.cnt AS cnt2,
+               ga.name < gb.name AS is_lower, gb.max_id AS max2
+        FROM (SELECT n1 AS na, n2 AS nb, edit_dist FROM ed
+              UNION ALL
+              SELECT n2, n1, edit_dist FROM ed) d
+        JOIN g ga ON ga.name = d.na
+        JOIN g gb ON gb.blk = ga.blk AND gb.name = d.nb
     ),
     n_pairs AS (
         SELECT 0 AS edit_dist, sum(cnt * (cnt - 1) // 2)::BIGINT AS n_pairs
@@ -643,12 +680,18 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly (pigeonhole), so candidates come from an equi-join on
     (block, length, segment, text) and only candidates pay a
     levenshtein — same rows, provably no false negatives.  The DuckDB
-    oracle (round 10) groups by distinct NAME before paying levenshtein
-    and expands the counts combinatorially — equivalent by construction
-    (edit distance depends only on the names), verified value-equal
-    against the naive SQL at sf0.001/sf0.01, and 16.5 s instead of
-    ~47 min at sf1, so the full-catalog sweep is one invocation again
-    (tools/check_oracle.py, no --skip).
+    oracle (round 10, candidate filter round 13) groups by distinct NAME
+    and generates candidate pairs from <=2-deletion variant collisions
+    (FastSS — the SQL-expressible sibling of this operator's PassJoin
+    segment filter; both are complete-by-pigeonhole, both pay the
+    levenshtein only on survivors) before expanding the counts
+    combinatorially — equivalent by construction (edit distance depends
+    only on the names), verified value-equal against the round-10 SQL at
+    sf0.001/0.01/0.1/1, and 2.4 s at sf1 / ~5 min at sf10 (the round-10
+    block-quadratic form measured 1203 s at sf10 and ~30 h extrapolated
+    at sf100 — the r12 sweep's oracle-side wall), so the full-catalog
+    sweep is one invocation at every octave (tools/check_oracle.py, no
+    --skip).
 
     The sf1 replica sweep motivated both halves of this shape:
 
@@ -903,14 +946,97 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_market_basket",
+    # Sharded pair aggregation (round 13, VERDICT r12 #4): the round-12
+    # sf100 sweep killed this twin in DuckDB — the single items-self-join
+    # builds a 600M-row hash table and its ~1e9-row pair aggregate
+    # out-spilled the host's free disk under the 24 GB oracle cap.  The
+    # (part_a, part_b) groups partition EXACTLY by part_a, so the twin
+    # shards the join+aggregate 8 ways on a.l_partkey % 8: each branch's
+    # build side is 1/8 of items (fits the cap, no join spill), its
+    # aggregate sees 1/8 of the pairs, and HAVING is shard-local-correct
+    # because no group spans shards.  UNION ALL of the branches is the
+    # exact result — value-equal to the unsharded form at
+    # sf0.001/0.01/0.1/1 (DuckDB vs DuckDB), ~2x its wall at small SF
+    # (8 probe passes over the materialized items) in exchange for
+    # bounded spill at every octave.
     """
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    WITH items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
     n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
-    pf AS (SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey),
+    pf AS MATERIALIZED (
+        SELECT l_partkey, count(*) AS n_part FROM items GROUP BY l_partkey
+    ),
     pairs AS (
-        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_both
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_both
         FROM items a
-        JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 8 = 0
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+        UNION ALL
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_both
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 8 = 1
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+        UNION ALL
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_both
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 8 = 2
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+        UNION ALL
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_both
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 8 = 3
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+        UNION ALL
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_both
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 8 = 4
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+        UNION ALL
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_both
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 8 = 5
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+        UNION ALL
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_both
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 8 = 6
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+        UNION ALL
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_both
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        WHERE a.l_partkey % 8 = 7
         GROUP BY 1, 2
         HAVING count(*) >= 3
     )
