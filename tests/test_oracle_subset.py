@@ -28,6 +28,10 @@ import check_oracle  # noqa: E402
 
 #: queries added/rewritten in the current round — always checked
 CURRENT_ROUND = [
+    # round 13: sf100-runnable oracle twins (FastSS fuzzy candidates,
+    # sharded basket pair aggregation)
+    "q_fuzzy_part_match",
+    "q_market_basket",
     # round 12: sf100 precision reshapes (scale-robust rounding)
     "q_changepoint",
     "q_math_functions",
@@ -42,8 +46,7 @@ CURRENT_ROUND = [
     "q_mad_robust",
     # round 10: change-feed synthetic-key offset widened (sf10 collision)
     "q_fs_change_feed",
-    # round 10: regrouped fuzzy oracle twin / 1-action supersteps / DPP probe
-    "q_fuzzy_part_match",
+    # round 10: 1-action supersteps / DPP probe
     "q_dedup_components",
     "q_ivf_topk",
     # round 10: persisted-index lifecycle (append/compact/hot-table)
