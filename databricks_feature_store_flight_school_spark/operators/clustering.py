@@ -26,10 +26,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from ..functions.vectors import dot, to_double
-from .similarity import _centroid_dots, _prep, verify_pairs_in_buckets
+from .similarity import _prep, verify_pairs_in_buckets
 
 
 def _lit_vec(c: list[float]):
@@ -187,22 +186,18 @@ def semantic_dedup_pairs(
         k = max(8, -(-n_assign * n // target))  # ceil div
     centroids = kmeans_fit(df, id_col, vec_col, k=k, n_iters=n_iters)
     v = _prep(df, id_col, vec_col, "x")
-    # multi-assignment: top-n_assign centroid dots per vector (posexplode +
-    # rank over k values — k is small, the window partitions by vector id)
-    dots = _centroid_dots(F.col("x_vec"), centroids)
-    tagged = (
-        v.select(
-            "x_id", "x_vec", "x_norm",
-            F.posexplode(dots).alias("bucket", "cdot"),
-        )
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("x_id").orderBy(F.col("cdot").desc(), "bucket")
-            ),
-        )
-        .where(F.col("r") <= n_assign)
-        .select("x_id", "x_vec", "x_norm", "bucket")
+    # multi-assignment: top-n_assign centroid indices per vector in ONE
+    # Arrow matmul + stable argsort per batch (r13) — same descending-dot,
+    # ties-toward-lower-bucket order as the posexplode + row_number window
+    # it replaces, minus k interpreted dot-aggregates per row AND the
+    # per-vector rank window's shuffle
+    from .similarity import _top_buckets_udf
+
+    tagged = v.select(
+        "x_id", "x_vec", "x_norm",
+        F.explode(
+            _top_buckets_udf(centroids, n_assign)(F.col("x_vec"))
+        ).alias("bucket"),
     )
     # exact verify INSIDE each cluster bucket (blocked matmul) — vectors
     # travel once per assignment, matches-only leave the worker; see

@@ -116,10 +116,22 @@ def shingle_pairs_jaccard(
     where ``"raise"`` stays fully lazy."""
     if on_blowup not in ("raise", "lsh"):
         raise ValueError(f"on_blowup must be 'raise' or 'lsh', got {on_blowup!r}")
+    # Pin the distinct shingle table ONCE (r13, guide §2.4/§5): downstream it
+    # feeds the frequency aggregate, the guard, the per-doc sizes and BOTH
+    # self-join sides — unpinned, Catalyst re-derived the scan + explode +
+    # distinct up to 6x per action (the before-plan carried 24 parquet scans
+    # of `documents`; measured 7.3s -> ~3s at sf0.1).  A LAZY localCheckpoint
+    # recomputes per invocation (unlike persist(), whose cache-manager
+    # dedupes by canonical plan ACROSS runs — result caching, not allowed),
+    # and stores ~|corpus shingles| rows at MEMORY_AND_DISK — the classic
+    # space-for-recompute trade; at cluster scale the same pin bounds the
+    # corpus passes to one.
     sh = (
         df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
+    sh_pinned = sh
     degrade_to_lsh = False
     if max_doc_freq is not None or max_candidate_pairs is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -175,6 +187,11 @@ def shingle_pairs_jaccard(
         sh = (
             sh.join(F.broadcast(freq.where(F.col("df") > max_doc_freq)), "shingle", "left_anti")
         )
+    if sh is not sh_pinned:
+        # the guard/df-filter stack on top of the pinned table also feeds
+        # three consumers (sizes + both join sides); pin the filtered result
+        # too so the frequency aggregate and anti-join run once, not thrice
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")

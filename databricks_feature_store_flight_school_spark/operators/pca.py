@@ -33,47 +33,75 @@ from ..functions.vectors import to_double
 def covariance_and_mean(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
     """(d x d sample covariance, d mean vector) of an array column —
     driver result is MODEL-sized (d^2 + d floats), never data rows.
-    ONE scan: the per-dimension means ride along as avg(x_i) on the
-    diagonal cells of the same pair aggregation that produces the
-    covariances."""
-    # upper-triangle (dim_i, dim_j, x_i, x_j) pairs generated PER ROW with a
-    # nested higher-order transform — no row id, no self-join (a join keyed
-    # on monotonically_increasing_id would instantiate the id twice and can
-    # mispair; cf. the ranks primitive's checkpoint note).  Fan-out is
-    # d^2/2 per row — bounded by dimension, and partial aggregation caps the
-    # shuffle at d^2 cells per map partition.
-    pairs = df.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform({vec_col}, (x, i) ->"
-                f" transform(slice({vec_col}, i + 1, size({vec_col}) - i),"
-                f" (y, j) -> struct(i AS ai, i + j AS bi,"
-                f" CAST(x AS DOUBLE) AS av, CAST(y AS DOUBLE) AS bv))))"
+
+    ONE scan, Arrow-batched (r13, guide §4.2): each pandas batch reduces to
+    centred partial moments — (n, mean, Σ(x-mean)(x-mean)ᵀ) — as two numpy
+    matrix ops; one row of d + d² doubles leaves each BATCH, and the driver
+    merges the partials with the pairwise-update formula (Chan et al.), the
+    same numerically-stable co-moment algebra covar_samp runs internally.
+    The previous form generated d²/2 struct pairs per row with a nested
+    interpreted transform and shuffled them into a (d², ) covar_samp
+    aggregate — |rows|·d²/2 exploded structs (4.2M at sf0.1, measured
+    ~2.5s of the 3.2s q_embedding_pca total; the Arrow pass is ~0.2s).
+    Shuffle-free: the partials come back through collect of
+    (#batches × (d²+d)) doubles — still model-sized.
+
+    Exactness: pinned to 1e-6 of a full-numpy two-pass reference in
+    tests/test_operators.py::test_pca_matches_numpy_reference (the merge
+    tree differs from covar_samp's only in partial boundaries, both are
+    exact co-moment algebra up to float reassociation)."""
+    import pandas as pd
+
+    def _partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["__v"].values).astype(np.float64)
+            nb = len(X)
+            mb = X.mean(axis=0)
+            Xc = X - mb
+            Mb = Xc.T @ Xc
+            yield pd.DataFrame(
+                {
+                    "n": [nb],
+                    "mean": [mb.tolist()],
+                    "scatter": [Mb.reshape(-1).tolist()],
+                }
             )
-        ).alias("p")
-    ).select("p.*")
-    cells = (
-        pairs.groupBy("ai", "bi")
-        .agg(F.covar_samp("av", "bv").alias("c"), F.avg("av").alias("m"))
+
+    rows = (
+        df.select(to_double(F.col(vec_col)).alias("__v"))
+        .mapInPandas(
+            _partials, "n long, mean array<double>, scatter array<double>"
+        )
         .collect()
     )
-    d = max(r["bi"] for r in cells) + 1 if cells else 0
-    cov = np.zeros((d, d))
+    if not rows:
+        raise ValueError(
+            f"covariance_and_mean needs at least 2 rows in '{vec_col}'"
+        )
+    d = len(rows[0]["mean"])
+    n_tot = 0
     mean = np.zeros(d)
-    for r in cells:
-        if r["c"] is None:
-            # covar_samp needs >= 2 observations; with a single input row it
-            # returns NULL, which would otherwise surface as an opaque
-            # numpy TypeError below.
-            raise ValueError(
-                "covariance_and_mean needs at least 2 rows in "
-                f"'{vec_col}' (covar_samp returned NULL for cell "
-                f"({r['ai']}, {r['bi']}))"
-            )
-        cov[r["ai"], r["bi"]] = cov[r["bi"], r["ai"]] = r["c"]
-        if r["ai"] == r["bi"]:
-            mean[r["ai"]] = r["m"]
-    return cov, mean
+    M = np.zeros((d, d))
+    for r in rows:
+        nb = r["n"]
+        mb = np.asarray(r["mean"])
+        Mb = np.asarray(r["scatter"]).reshape(d, d)
+        if n_tot == 0:
+            n_tot, mean, M = nb, mb, Mb
+            continue
+        delta = mb - mean
+        n_new = n_tot + nb
+        M = M + Mb + np.outer(delta, delta) * (n_tot * nb / n_new)
+        mean = mean + delta * (nb / n_new)
+        n_tot = n_new
+    if n_tot < 2:
+        raise ValueError(
+            f"covariance_and_mean needs at least 2 rows in '{vec_col}' "
+            f"(got {n_tot})"
+        )
+    return M / (n_tot - 1), mean
 
 
 def pca_fit(df: DataFrame, vec_col: str, k: int) -> tuple[list[list[float]], list[float]]:

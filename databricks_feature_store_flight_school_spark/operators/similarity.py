@@ -22,7 +22,7 @@ import pandas as pd  # noqa: F401  (pandas-UDF type hints resolve via module glo
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, dot, hyperplane_bucket, norm, to_double
+from ..functions.vectors import dot, norm, to_double
 
 
 def _prep(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
@@ -124,6 +124,37 @@ def random_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
+def _signature_udf(plane_sets: list[list[list[float]]]):
+    """pandas UDF computing ALL tables' sign-LSH bucket ids in one numpy
+    matmul per Arrow batch: bit i of table t = sign(v · plane_sets[t][i]),
+    bucket = Σ bit_i << i — bit-for-bit the ids ``hyperplane_bucket``
+    (functions/vectors.py) builds from interpreted Column HOFs, at matrix
+    speed.  Stacking the per-table planes into one (L·P, dim) matrix turns
+    L·P interpreted dot-aggregates per row into a single (batch × dim) @
+    (dim × L·P) product — measured 14.6s → sub-second on q_lsh_topk's
+    12×6 config at sf0.1, same ~20x the banded near-dup path measured at
+    sf0.01.  The plane matrix ships inside the serialized UDF (tens of KiB),
+    not via broadcast."""
+    n_tables = len(plane_sets)
+    n_planes = len(plane_sets[0])
+    planes = np.asarray(plane_sets, dtype=np.float64).reshape(
+        n_tables * n_planes, -1
+    )
+    weights = np.int64(1) << np.arange(n_planes, dtype=np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def _signatures(vec: pd.Series) -> pd.Series:
+        V = np.stack(vec.values)
+        bits = (V @ planes.T) >= 0
+        buckets = (bits.reshape(len(V), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series([row.tolist() for row in buckets])
+
+    return _signatures
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -158,10 +189,50 @@ def train_ivf_centroids(
 
 def _centroid_dots(vec, centroids: list[list[float]]):
     """array<double> of dot(vec, centroid_i) — pure Column expressions, the
-    centroids are plan literals (no join, no Python worker)."""
+    centroids are plan literals (no join, no Python worker).  Fine for a
+    SMALL side (the query probes); for corpus-sized assignment use
+    :func:`_argmax_bucket_udf` / :func:`_top_buckets_udf` — k interpreted
+    dim-length dot-aggregates per row is the same interpreted-HOF tax the
+    LSH signatures paid (see _signature_udf)."""
     return F.array(
         *[dot(vec, F.array(*[F.lit(float(v)) for v in c])) for c in centroids]
     )
+
+
+def _argmax_bucket_udf(centroids: list[list[float]], base: int = 1):
+    """pandas UDF: 1-based (or ``base``-based) nearest-centroid bucket by
+    dot product, one numpy matmul per Arrow batch — same first-max
+    tie-break as ``array_position(dots, array_max(dots))`` (np.argmax
+    returns the first maximum)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _nearest(vec: pd.Series) -> pd.Series:
+        V = np.stack(vec.values)
+        return pd.Series((np.argmax(V @ C.T, axis=1) + base).astype(np.int32))
+
+    return _nearest
+
+
+def _top_buckets_udf(centroids: list[list[float]], n_top: int, base: int = 0):
+    """pandas UDF: the ``n_top`` nearest centroid indices (``base``-based,
+    descending dot, ties toward the LOWER index — stable argsort matches
+    the row_number(ORDER BY cdot DESC, bucket ASC) form it replaces)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _top(vec: pd.Series) -> pd.Series:
+        V = np.stack(vec.values)
+        D = V @ C.T
+        idx = np.argsort(-D, axis=1, kind="stable")[:, :n_top] + base
+        return pd.Series([row.astype("int32").tolist() for row in idx])
+
+    return _top
 
 
 def ivf_topk(
@@ -185,11 +256,10 @@ def ivf_topk(
     centroids = train_ivf_centroids(
         corpus, vec_col, n_centroids=n_centroids, seed=seed
     )
+    # corpus assignment: ONE Arrow matmul per batch (same first-max
+    # tie-break as the Column array_position form it replaces — r13)
     c = _prep(corpus, id_col, vec_col, "neighbor").withColumn(
-        "bucket",
-        F.array_position(
-            (d := _centroid_dots(F.col("neighbor_vec"), centroids)), F.array_max(d)
-        ).cast("int"),
+        "bucket", _argmax_bucket_udf(centroids)(F.col("neighbor_vec"))
     )
     # query side: top-nprobe buckets via posexplode + rank (query set is small)
     q = (
@@ -287,20 +357,9 @@ def lsh_neardup_pairs(
     # seed-derived planes as the Column form), measured ~20x faster at
     # sf0.01.  The plane matrix ships inside the serialized UDF (24 KiB at
     # dim 64), not via broadcast.
-    planes = np.stack(
-        [np.asarray(random_planes(dim, n_planes, seed + t)) for t in range(n_tables)]
-    ).reshape(n_tables * n_planes, dim)
-    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
-
-    @pandas_udf(ArrayType(LongType()))
-    def _signatures(vec: pd.Series) -> pd.Series:
-        V = np.stack(vec.values)
-        bits = (V @ planes.T) >= 0
-        buckets = (bits.reshape(len(V), n_tables, n_planes) * weights).sum(axis=2)
-        return pd.Series([row.tolist() for row in buckets])
+    _signatures = _signature_udf(
+        [random_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )
 
     tagged = v.select(
         "x_id", "x_vec", "x_norm",
@@ -421,13 +480,16 @@ def lsh_topk(
         first = corpus.select(F.size(F.col(vec_col)).alias("d"))
         dim = first.first()["d"]
     plane_sets = [random_planes(dim, n_planes, seed + t) for t in range(n_tables)]
+    # all L tables' bucket ids in ONE Arrow matmul per batch (same ids as the
+    # interpreted hyperplane_bucket Column form — see _signature_udf): the
+    # corpus tagging was 12 tables x 6 planes x dim-64 interpreted
+    # dot-aggregates per row, measured 14.6s at sf0.1 on a 2000-row corpus;
+    # the matmul form is sub-second
+    sig = _signature_udf(plane_sets)
 
     def _tag(df: DataFrame, role: str) -> DataFrame:
-        buckets = F.array(
-            *[hyperplane_bucket(F.col(f"{role}_vec"), p) for p in plane_sets]
-        )
         return df.select(
-            "*", F.posexplode(buckets).alias("table", "bucket")
+            "*", F.posexplode(sig(F.col(f"{role}_vec"))).alias("table", "bucket")
         )
 
     c = _tag(_prep(corpus, id_col, vec_col, "neighbor"), "neighbor")
@@ -475,11 +537,9 @@ def ivf_build_index(
     centroids = train_ivf_centroids(
         corpus, vec_col, n_centroids=n_centroids, seed=seed
     )
+    # same Arrow argmax assignment as ivf_topk — build and probe MUST agree
     c = _prep(corpus, id_col, vec_col, "neighbor").withColumn(
-        "bucket",
-        F.array_position(
-            (d := _centroid_dots(F.col("neighbor_vec"), centroids)), F.array_max(d)
-        ).cast("int"),
+        "bucket", _argmax_bucket_udf(centroids)(F.col("neighbor_vec"))
     )
     (
         c.select("neighbor_id", "neighbor_vec", "neighbor_norm", "bucket")

@@ -252,18 +252,25 @@ def _pagerank_oracle() -> str:
 def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the nation-to-nation trade graph (edge src = customer
     nation, dst = supplier nation, weight = traded value), 10 power
-    iterations UNROLLED IN THE PLAN — the iterative-algorithm shape
-    (cf. connected components in operators/components.py, which loops with
-    a driver collect per superstep; here the iteration state is a
-    |nations|-row table, so the whole recurrence stays lazy in one plan and
-    the oracle mirrors it as a chain of CTEs).
+    iterations as GRAPH-SIZED DRIVER MATH (r13) — the same fit boundary as
+    k-means centroids and the PCA eigensolve: ONE distributed fact pass
+    builds the edge aggregate, the transition matrix it collapses to is
+    ≤ |nations|² rows (625 — bounded by the GRAPH, not the corpus, at any
+    scale factor), and iterating a 25-vector 10 times is numpy work, not
+    cluster work.  The previous shape unrolled the recurrence in the plan:
+    every iteration re-derived the 4-table fact join (63 parquet scans /
+    52 exchanges in the before-plan, 6.5s at sf0.1); pinning the matrix and
+    iterating in-plan still paid ~3 stages per iteration of pure local-mode
+    latency.  The driver form runs the fact pass once and nothing else
+    (guide §8: decide with small rows).  The oracle mirrors the recurrence
+    as a chain of CTEs; both sides round to 6 decimals, far above the
+    last-ulp reassociation between numpy's fixed-order dot and a grouped
+    SQL SUM.
 
-    Scale: ONE fact pass builds the edge aggregate (the only big shuffle);
-    every iteration then joins/aggregates 25-node tables.  Dangling-node
-    mass is deliberately NOT redistributed (identical formula both sides;
-    no TPC-H nation is dangling anyway).  Row order is irrelevant to the
-    gate (value-multiset compare), so float-assoc rank flips cannot break
-    it."""
+    Dangling-node mass is deliberately NOT redistributed (identical formula
+    both sides; no TPC-H nation is dangling anyway).  Row order is
+    irrelevant to the gate (value-multiset compare)."""
+    import numpy as np
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -287,33 +294,28 @@ def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p", F.col("w") / F.sum("w").over(Window.partitionBy("src"))
     ).select("src", "dst", "p")
 
-    nodes = n.select(F.col("n_nationkey").alias("node"))
-    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-    r = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n_nodes")).alias("r")
-    )
+    # the ONLY distributed work: the fact pass behind `trans` (and the
+    # 25-row nation scan).  Everything collected is graph-bounded.
+    nation_rows = n.select("n_nationkey", "n_name").collect()
+    node_ids = sorted(r["n_nationkey"] for r in nation_rows)
+    names = {r["n_nationkey"]: r["n_name"] for r in nation_rows}
+    idx = {node: i for i, node in enumerate(node_ids)}
+    n_nodes = len(node_ids)
+    P = np.zeros((n_nodes, n_nodes))
+    for row in trans.collect():
+        P[idx[row["src"]], idx[row["dst"]]] = row["p"]
+    r = np.full(n_nodes, 1.0 / n_nodes)
     for _ in range(_PR_ITERS):
-        contrib = (
-            trans.join(r, trans.src == r.node)
-            .groupBy(F.col("dst").alias("cnode"))
-            .agg(F.sum(F.col("p") * F.col("r")).alias("contrib"))
-        )
-        r = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, F.col("node") == F.col("cnode"), "left")
-            .select(
-                "node",
-                (
-                    F.lit(1 - _PR_DAMP) / F.col("n_nodes")
-                    + F.lit(_PR_DAMP) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("r"),
-            )
-        )
-    return (
-        r.join(F.broadcast(n), F.col("node") == F.col("n_nationkey"))
-        .select(F.col("n_name").alias("nation"), F.round("r", 6).alias("pagerank"))
-        .orderBy(F.col("pagerank").desc(), "nation")
+        # contrib_j = Σ_i p_ij·r_i; missing contribs are the zero rows of P
+        # (the COALESCE(contrib, 0) of the SQL twin)
+        r = (1 - _PR_DAMP) / n_nodes + _PR_DAMP * (P.T @ r)
+    out = spark.createDataFrame(
+        [(names[node], float(r[idx[node]])) for node in node_ids],
+        "nation string, pagerank double",
     )
+    return out.select(
+        "nation", F.round("pagerank", 6).alias("pagerank")
+    ).orderBy(F.col("pagerank").desc(), "nation")
 
 
 _PROFILE_COLS = ["c_mktsegment", "c_nationkey", "c_acctbal", "c_name"]

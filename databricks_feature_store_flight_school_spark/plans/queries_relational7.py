@@ -185,6 +185,16 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     and no replicate ever materialises.  One extra single-pass aggregate
     supplies the point estimate as a 1-row broadcast (no eager count)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # spread the md5 fan-out (r13, guide §2.5 input skew): the driver's
+    # single-row-group parquet gives the scan ONE task, so all |orders| x 32
+    # hash draws ran serially.  The repartition shuffles only the two
+    # projected columns and only fires when the scan under-parallelizes —
+    # on a many-file table it is a no-op branch (getNumPartitions is
+    # file-split metadata; the plan below it has no exchange, so no job).
+    point = o.agg(F.avg("o_totalprice").alias("mu"))
+    dp = spark.sparkContext.defaultParallelism
+    if o.rdd.getNumPartitions() < dp:
+        o = o.repartition(dp)
     draws = o.select(
         "o_orderkey",
         "o_totalprice",
@@ -216,7 +226,6 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rep")
         .agg((F.sum(F.col("w") * F.col("o_totalprice")) / F.sum("w")).alias("m"))
     )
-    point = o.agg(F.avg("o_totalprice").alias("mu"))
     return rep_means.crossJoin(F.broadcast(point)).agg(
         F.round(F.max("mu"), 4).alias("mean_totalprice"),
         F.lit(_BOOT_REPS).cast("int").alias("n_reps"),

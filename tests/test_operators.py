@@ -284,6 +284,42 @@ def test_lsh_topk_recall(spark, sf_dir):
             assert abs(sim - exact_sims[pair]) < 1e-9, pair
 
 
+def test_signature_udf_matches_column_hyperplane_bucket(spark, sf_dir):
+    """r13 optimization pin: the Arrow-matmul signature UDF (now used by
+    lsh_topk AND lsh_neardup_pairs) must produce bit-identical bucket ids to
+    the interpreted Column form it replaced (functions.vectors.
+    hyperplane_bucket) — same planes, same sign convention (dot >= 0 sets
+    the bit), same bit order."""
+    from databricks_feature_store_flight_school_spark.functions.vectors import (
+        hyperplane_bucket,
+        to_double,
+    )
+    from databricks_feature_store_flight_school_spark.operators.similarity import (
+        _signature_udf,
+        random_planes,
+    )
+    from databricks_feature_store_flight_school_spark.sources import load_table
+
+    plane_sets = [random_planes(64, 6, 42 + t) for t in range(3)]
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 100)
+        .select("vec_id", to_double(F.col("embedding")).alias("v"))
+    )
+    got = emb.select(
+        "vec_id", _signature_udf(plane_sets)(F.col("v")).alias("sig")
+    ).collect()
+    want = emb.select(
+        "vec_id",
+        F.array(*[hyperplane_bucket(F.col("v"), p) for p in plane_sets]).alias(
+            "sig"
+        ),
+    ).collect()
+    assert {r["vec_id"]: r["sig"] for r in got} == {
+        r["vec_id"]: r["sig"] for r in want
+    }
+
+
 def test_minhash_lsh_neardup_recall(spark, sf_dir):
     """q_minhash_lsh_neardup's pin: on the documents corpus the banded
     MinHash candidate set must recover >= 0.9 of the exact word-3-gram

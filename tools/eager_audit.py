@@ -98,6 +98,10 @@ EAGER_BUILD_WHITELIST: dict[str, str] = {
         "materialises the fact pass at plan-build; unpinned, the fact "
         "join would replay once per consumer"
     ),
+    # graph-sized driver math (r13): ONE distributed fact pass collapses to
+    # a ≤ |nations|² transition matrix; the 10 power iterations are a
+    # 25-vector numpy recurrence — same fit boundary as k-means/PCA
+    "q_nation_pagerank": _FIT + "nations² transition matrix + power iteration",
     # iterative algorithm: per-superstep scalar convergence check
     "q_dedup_components": (
         "connected-components supersteps — one scalar aggregate per "
