@@ -102,6 +102,19 @@ EAGER_BUILD_WHITELIST: dict[str, str] = {
     # a ≤ |nations|² transition matrix; the 10 power iterations are a
     # 25-vector numpy recurrence — same fit boundary as k-means/PCA
     "q_nation_pagerank": _FIT + "nations² transition matrix + power iteration",
+    # shingle-table pin (r13): shingle_pairs_jaccard lazily checkpoints the
+    # distinct shingle table its frequency/guard/sizes/self-join consumers
+    # share — AQE materialises those upstream stages at toRdd, the same
+    # one-materialisation-reused-at-execution shape as the ranks primitive
+    "q_ngram_jaccard_neardup": (
+        "pinned shingle table (shingle_pairs_jaccard) — one scan+distinct "
+        "shared by 4+ consumers; AQE materialises it at plan-build"
+    ),
+    "q_minhash_lsh_neardup": (
+        "pinned shingle table via the exact-verify arm "
+        "(shingle_pairs_jaccard) — same materialisation as "
+        "q_ngram_jaccard_neardup"
+    ),
     # iterative algorithm: per-superstep scalar convergence check
     "q_dedup_components": (
         "connected-components supersteps — one scalar aggregate per "
