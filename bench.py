@@ -96,11 +96,16 @@ def host_calibration(spark, reps: int = 5) -> float:
 
 
 def run_headline(
-    spark, sf_dir: str, reps: int = 3, warmup: bool = False
+    spark, sf_dir: str, reps: int = 3, warmup: bool = False,
+    names: list[str] | None = None,
 ) -> dict:
     """Run the headline set in an already-warm session and return the bench
     result dict (same shape as the JSON line ``main`` prints).  Shared by
     the CLI and the regression guard (tools/bench_guard.py).
+
+    ``names`` restricts the run to a subset of HEADLINE (the guard's
+    retry-on-failure re-measures just the failing queries); the CLI always
+    runs the full set.
 
     ``warmup=True`` executes every headline query once UNTIMED before the
     timed reps, flushing whole-stage-codegen compilation and JIT out of the
@@ -111,7 +116,8 @@ def run_headline(
     first-run total stays comparable with earlier rounds' cold numbers)."""
     sf = Path(sf_dir).name.replace("sf", "")
     qmap = catalog.query_map()
-    names = [n for n in HEADLINE if n in qmap]
+    wanted = HEADLINE if names is None else [n for n in HEADLINE if n in names]
+    names = [n for n in wanted if n in qmap]
 
     # warm the JVM + parquet footers once, outside timing
     _force(qmap[names[0]](spark, sf_dir))
