@@ -100,23 +100,47 @@ def kmeans_fit(
     cent = np.array([r["v"] for r in seed_rows], dtype=np.float64)
     cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
-    base = df.select(F.col(id_col).alias("id"), to_double(F.col(vec_col)).alias("v"))
+    base = df.select(to_double(F.col(vec_col)).alias("v"))
+    d = cent.shape[1]
     for _ in range(n_iters):
-        # assignment + explode in ONE narrow pass (no re-join by id: the
-        # cluster column rides along with the vector it was computed from)
-        assigned = assign_clusters(base, "id", "v", cent.tolist(), keep_vec=True)
-        sums = (
-            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        new = cent.copy()
-        acc = np.zeros_like(cent)
+        # assignment + centroid partial sums FUSED into one Arrow pass
+        # (r13): each batch runs the argmax matmul (same first-max
+        # tie-break as assign_clusters) and reduces to per-cluster
+        # (Σ vectors, count) partials — one row of k·d + k numbers per
+        # batch.  The previous shape ran the pandas assignment, exploded
+        # n×d (cluster, dim, value) rows, shuffled them into a
+        # groupBy(cluster, dim) and collected — a shuffle and two extra
+        # stages per iteration for the same k×d driver result (the partial
+        # sums differ from the grouped SUM only in float association,
+        # inside the 1e-6 numpy-parity pin).
+        C = cent.copy()
+
+        def _partials(it, C=C):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["v"].values)
+                a = np.argmax(V @ C.T, axis=1)
+                sums = np.zeros((k, d))
+                for j in np.unique(a):
+                    sums[j] = V[a == j].sum(axis=0)
+                cnts = np.bincount(a, minlength=k)
+                yield pd.DataFrame(
+                    {
+                        "sums": [sums.reshape(-1).tolist()],
+                        "cnts": [cnts.tolist()],
+                    }
+                )
+
+        rows = base.mapInPandas(
+            _partials, "sums array<double>, cnts array<long>"
+        ).collect()
+        acc = np.zeros((k, d))
         cnt = np.zeros(k, dtype=np.int64)
-        for r in sums:
-            acc[r["cluster"], r["dim"]] = r["s"]
-            cnt[r["cluster"]] = r["n"]
+        for r in rows:
+            acc += np.asarray(r["sums"]).reshape(k, d)
+            cnt += np.asarray(r["cnts"], dtype=np.int64)
+        new = cent.copy()
         for j in range(k):
             if cnt[j] > 0:
                 m = acc[j] / cnt[j]
