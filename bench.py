@@ -97,7 +97,7 @@ def host_calibration(spark, reps: int = 5) -> float:
 
 def run_headline(
     spark, sf_dir: str, reps: int = 3, warmup: bool = False,
-    names: list[str] | None = None,
+    names: list[str] | None = None, calibrate: bool = True,
 ) -> dict:
     """Run the headline set in an already-warm session and return the bench
     result dict (same shape as the JSON line ``main`` prints).  Shared by
@@ -105,7 +105,9 @@ def run_headline(
 
     ``names`` restricts the run to a subset of HEADLINE (the guard's
     retry-on-failure re-measures just the failing queries); the CLI always
-    runs the full set.
+    runs the full set.  ``calibrate=False`` skips the host-calibration probe
+    (the guard's retry discards it anyway — ADVICE r13 #4); the CLI always
+    calibrates.
 
     ``warmup=True`` executes every headline query once UNTIMED before the
     timed reps, flushing whole-stage-codegen compilation and JIT out of the
@@ -118,6 +120,11 @@ def run_headline(
     qmap = catalog.query_map()
     wanted = HEADLINE if names is None else [n for n in HEADLINE if n in names]
     names = [n for n in wanted if n in qmap]
+    if not names:
+        # e.g. a guard retry whose failure list held only __total__ or a
+        # pinned-but-absent name — nothing to measure, and qmap[names[0]]
+        # below would otherwise raise an opaque IndexError (ADVICE r13 #1)
+        raise ValueError("run_headline: no headline queries selected")
 
     # warm the JVM + parquet footers once, outside timing
     _force(qmap[names[0]](spark, sf_dir))
@@ -156,6 +163,7 @@ def run_headline(
         per_query_min[name] = round(min(times), 3)
         total += times[0]
 
+    sc = spark.sparkContext
     return {
         "metric": "headline_total_wall_sec",
         "value": round(total, 3),
@@ -167,7 +175,16 @@ def run_headline(
         "value_min": round(sum(per_query_min.values()), 3),
         "reps": reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "calib_sec": host_calibration(spark),
+        "calib_sec": host_calibration(spark) if calibrate else None,
+        # Effective-parallelism echo (additive keys, round 14): the driver's
+        # low-core scaling probe could not distinguish "SPARK_GRAFT_CPUS
+        # honored but the queries are overhead-bound at this SF" from
+        # "ignored" (PERF_r13 flagged suspect_cpus_ignored) — these report
+        # the ground truth the session actually ran with.
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "shuffle_partitions": int(spark.conf.get("spark.sql.shuffle.partitions")),
+        "env_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
     }
 
 

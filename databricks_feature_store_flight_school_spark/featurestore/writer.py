@@ -135,23 +135,51 @@ def write_snapshot(
     missing = [k for k in merge_keys if k not in df.columns]
     if missing:
         raise ValueError(f"source is missing primary key column(s) {missing}")
-    if validate and mode == "merge":
-        _validate_source(df, merge_keys, meta.name)
     expectations = (getattr(meta, "properties", {}) or {}).get("expectations", {})
 
     spark = df.sparkSession
     table_dir = registry.table_dir(meta.name)
+    validate_obs = None
     if mode == "merge" and meta.current_version > 0:
         target = read_snapshot(spark, registry, meta)
-        merged = _merge_frames(target, df, merge_keys)
+        if validate:
+            # Fused path (r14, guide §1.4/§6): source-key validation rides
+            # the write action as observe() metrics instead of a separate
+            # groupBy+collect job, and the merge itself is an anti-join +
+            # union — the TARGET is never shuffled (the union+window form
+            # re-shuffled the whole snapshot per merge; at 100 TB the
+            # broadcast-anti on a slice-sized source touches only the
+            # scan).  A violating source is detected after the staging
+            # write and REJECTED before publish — observably identical to
+            # the old eager reject (staging dirs are invisible to readers).
+            merged, validate_obs = _merge_frames_validated(
+                target, df, merge_keys
+            )
+        else:
+            # validate=False keeps the window form: its keep-one-arbitrary-
+            # row-per-duplicate-key semantics are part of the escape-hatch
+            # contract (pinned by test_merge_rejects_duplicate_and_null_
+            # source_keys)
+            merged = _merge_frames(target, df, merge_keys)
     else:
         merged = df
+        if validate and mode == "merge":
+            # merge into an empty table: no merge pass to ride — the
+            # separate aggregate job shuffles only (key, count) partials,
+            # far fewer bytes than a full-row window would (guide §2.3)
+            _validate_source(df, merge_keys, meta.name)
     # expectations check the MERGED result, not the raw source: that is the
     # state the table would land in (Delta CHECK semantics), and it keeps a
     # schema-evolving merge source that legitimately omits a constrained
-    # column checkable (the merged frame carries the target's columns)
+    # column checkable (the merged frame carries the target's columns).
+    # Violation counting rides the write action (observe); drop-action
+    # predicates filter inline (unconditional — filtering zero violating
+    # rows is a no-op); fail/warn adjudicate post-write, pre-publish.
+    expect_obs = None
     if validate and expectations:
-        merged = _apply_expectations(merged, expectations, meta.name)
+        merged, expect_obs = _apply_expectations_observed(
+            merged, expectations, meta.name
+        )
 
     expected = meta.current_version
     new_version = expected + 1
@@ -170,6 +198,21 @@ def write_snapshot(
     if meta.partition_columns:
         writer = writer.partitionBy(*meta.partition_columns)
     writer.parquet(staging)
+
+    # adjudicate the fused validation/expectation metrics BEFORE publish:
+    # a rejected write deletes its staging dir and raises — no version is
+    # ever published, exactly like the old pre-write rejection
+    if validate_obs is not None or expect_obs is not None:
+        try:
+            if validate_obs is not None:
+                _check_validation_metrics(validate_obs.get, df, merge_keys, meta.name)
+            if expect_obs is not None:
+                _check_expectation_metrics(expect_obs.get, expectations, meta.name)
+        except Exception:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
 
     updated = registry.publish_version(
         meta.name,
@@ -297,6 +340,156 @@ def _apply_expectations(df: DataFrame, expectations: dict, table: str) -> DataFr
     for pred in drop_preds:
         df = df.where(F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)))
     return df
+
+
+def _merge_frames_validated(
+    target: DataFrame, source: DataFrame, keys: list[str]
+):
+    """Anti-join + union upsert with the source-key validation metrics
+    fused into the plan (r14).
+
+    Semantics when the source is VALID (unique, non-null keys — the only
+    case that ever publishes, because :func:`_check_validation_metrics`
+    rejects the rest before the registry flip): identical to
+    :func:`_merge_frames` — matched target rows are replaced by their
+    source row in full, unmatched source rows are inserted, evolved
+    source-only columns appear with null for untouched target rows.
+
+    Plan shape vs the window form: the target is NEVER shuffled — matched
+    rows drop via a null-safe LEFT ANTI join against the source keys
+    (broadcast while the source slice is small; AQE falls back to a
+    shuffled anti for genuinely large sources), and only the source side
+    pays a key-partitioned window that carries the per-key source-row
+    count the validation metrics read.  The old form shuffled
+    target+source through one row_number window per merge — at 100 TB
+    that re-shuffles the whole snapshot to apply a slice.
+
+    Returns ``(merged_df, Observation)``; the caller must run an action on
+    ``merged_df`` and then adjudicate the observation.
+    """
+    from functools import reduce
+
+    from pyspark.sql import Observation
+
+    w = Window.partitionBy(*keys)
+    null_key = reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+    )
+    s = source.withColumn("__src_n", F.count(F.lit(1)).over(w))
+    obs = Observation()
+    s = s.observe(
+        obs,
+        F.coalesce(F.max("__src_n"), F.lit(0)).alias("dup_max"),
+        F.coalesce(
+            F.sum(F.when(null_key, 1).otherwise(0)), F.lit(0)
+        ).alias("null_keys"),
+    )
+    s = s.select(*source.columns)
+    # rename the join side's keys: target and source frequently share
+    # lineage (an update slice derived from read_table of the same
+    # snapshot), where bare attribute references are ambiguous
+    skeys = s.select(*[F.col(k).alias(f"__sk_{k}") for k in keys])
+    cond = None
+    for k in keys:
+        piece = F.col(k).eqNullSafe(F.col(f"__sk_{k}"))
+        cond = piece if cond is None else cond & piece
+    kept = target.join(skeys, on=cond, how="left_anti")
+    return kept.unionByName(s, allowMissingColumns=True), obs
+
+
+def _check_validation_metrics(
+    metrics: dict, source: DataFrame, keys: list[str], table: str
+) -> None:
+    """Adjudicate :func:`_merge_frames_validated`'s observation after the
+    write action.  On violation, re-run the classic one-pass validator to
+    produce the same detailed error message (failure path only — the
+    happy path never pays a second job)."""
+    if metrics["dup_max"] > 1 or metrics["null_keys"] > 0:
+        _validate_source(source, keys, table)
+        # the aggregate raced a concurrent mutation of the source between
+        # the write and the re-check; reject loudly rather than publish
+        raise ValueError(
+            f"merge source for {table} failed validation during the write "
+            f"(max rows per key {metrics['dup_max']}, null-key rows "
+            f"{metrics['null_keys']}) but passed a re-check; source is "
+            f"nondeterministic — stabilize it or pass validate=False"
+        )
+
+
+def _apply_expectations_observed(
+    df: DataFrame, expectations: dict, table: str
+):
+    """Expectation enforcement fused into the write action (r14): violation
+    counts ride an ``observe`` over the pre-drop frame instead of a
+    separate aggregate job; ``drop`` predicates filter inline
+    (unconditionally — filtering zero violating rows is the identity).
+    ``fail``/``warn`` adjudicate in :func:`_check_expectation_metrics`
+    after the write, before publish — same outcomes as the eager form.
+
+    Unevaluable predicates still reject at plan-build time with the same
+    per-expectation ValueError."""
+    from pyspark.sql import Observation
+
+    norm = _normalize_expectations(expectations)
+    aggs = []
+    for name, (pred, _action) in norm.items():
+        try:  # analysis-only plan build: no job runs
+            df.select(F.expr(pred).cast("boolean"))
+        except Exception as exc:
+            raise ValueError(
+                f"expectation {name!r} on {table} is not evaluable against "
+                f"the write result (predicate {pred!r}: "
+                f"{exc.__class__.__name__}); fix the predicate or drop the "
+                f"expectation"
+            ) from exc
+        aggs.append(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)), 0
+                    ).otherwise(1)
+                ),
+                F.lit(0),
+            ).alias(name)
+        )
+    obs = Observation()
+    out = df.observe(obs, *aggs)
+    for name, (pred, action) in norm.items():
+        if action == "drop":
+            out = out.where(
+                F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+            )
+    return out, obs
+
+
+def _check_expectation_metrics(
+    metrics: dict, expectations: dict, table: str
+) -> None:
+    """Post-write adjudication of :func:`_apply_expectations_observed`:
+    same error/warning text as the eager form, driven by the observed
+    counts."""
+    import warnings
+
+    norm = _normalize_expectations(expectations)
+    bad_fail = {
+        n: metrics[n] for n, (_p, a) in norm.items() if a == "fail" and metrics[n]
+    }
+    if bad_fail:
+        raise ValueError(
+            f"write to {table} violates expectation(s) {bad_fail} "
+            f"(rows failing each predicate); fix the source or drop the "
+            f"expectation"
+        )
+    bad_warn = {
+        n: metrics[n] for n, (_p, a) in norm.items() if a == "warn" and metrics[n]
+    }
+    if bad_warn:
+        warnings.warn(
+            f"write to {table} has expectation warning(s) {bad_warn} "
+            f"(rows failing each predicate; write proceeds)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
 
 def _merge_frames(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:

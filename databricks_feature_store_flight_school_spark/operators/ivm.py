@@ -31,7 +31,7 @@ inserts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 #: maintained count column — kept in the aggregate so deletes can retire
 #: groups exactly; name chosen to avoid colliding with user measures
@@ -93,32 +93,41 @@ def agg_deltas(
     Null measure values contribute 0 (SQL SUM ignores nulls) but still
     count toward the row count, matching a from-scratch
     ``groupBy().agg(sum, count)``.
+
+    Single-pass (r14, guide §2.3): the old/new image sides explode from ONE
+    scan of ``changes`` instead of a union of two selects — ``changes`` is
+    usually a full-outer snapshot diff, and the union form executed that
+    join twice per delta computation (AQE exchange reuse shares the scan
+    shuffles, not the join itself).  Same rows, same group sums.
     """
     gcols = _cols(group_cols)
-    old_side = (
-        changes.where(F.col("_change_type").isin("update", "delete"))
-        .select(
-            *[F.col(f"old_{g}").alias(g) for g in gcols],
-            *[
-                (-F.coalesce(F.col(f"old_{src}"), F.lit(0))).alias(out)
-                for out, src in measures.items()
-            ],
-            F.lit(-1).alias(COUNT_COL),
-        )
+    old_img = F.struct(
+        *[F.col(f"old_{g}").alias(g) for g in gcols],
+        *[
+            (-F.coalesce(F.col(f"old_{src}"), F.lit(0))).alias(out)
+            for out, src in measures.items()
+        ],
+        F.lit(-1).alias(COUNT_COL),
     )
-    new_side = (
-        changes.where(F.col("_change_type").isin("update", "insert"))
-        .select(
-            *[F.col(f"new_{g}").alias(g) for g in gcols],
-            *[
-                (F.coalesce(F.col(f"new_{src}"), F.lit(0))).alias(out)
-                for out, src in measures.items()
-            ],
-            F.lit(1).alias(COUNT_COL),
-        )
+    new_img = F.struct(
+        *[F.col(f"new_{g}").alias(g) for g in gcols],
+        *[
+            (F.coalesce(F.col(f"new_{src}"), F.lit(0))).alias(out)
+            for out, src in measures.items()
+        ],
+        F.lit(1).alias(COUNT_COL),
+    )
+    ct = F.col("_change_type")
+    imgs = (
+        F.when(ct == "update", F.array(old_img, new_img))
+        .when(ct == "delete", F.array(old_img))
+        .when(ct == "insert", F.array(new_img))
+        # unknown change types contributed to neither side in the union
+        # form; explode drops the NULL this leaves
     )
     return (
-        old_side.unionByName(new_side)
+        changes.select(F.explode(imgs).alias("__img"))
+        .select("__img.*")
         .groupBy(*gcols)
         .agg(
             *[F.sum(out).alias(f"{out}_delta") for out in measures],
@@ -356,22 +365,32 @@ def signed_changes(changes: DataFrame, key_cols: str | list[str]) -> DataFrame:
 
     This is the bridge from the engine's CDF schema to the multiset form
     the join rule needs: summing ``_sign`` over any grouping of a signed
-    relation gives exactly the count delta of that grouping."""
+    relation gives exactly the count delta of that grouping.
+
+    Single-pass (r14, guide §2.3): both images explode from ONE scan of
+    ``changes`` — the union form executed the underlying snapshot diff
+    join once per side."""
     keys = _cols(key_cols)
     val_cols = sorted(
         {c[len("old_"):] for c in changes.columns if c.startswith("old_")}
     )
-    old = changes.where(F.col("_change_type").isin("update", "delete")).select(
+    old_img = F.struct(
         *keys,
         *[F.col(f"old_{c}").alias(c) for c in val_cols],
         F.lit(-1).alias(SIGN_COL),
     )
-    new = changes.where(F.col("_change_type").isin("update", "insert")).select(
+    new_img = F.struct(
         *keys,
         *[F.col(f"new_{c}").alias(c) for c in val_cols],
         F.lit(1).alias(SIGN_COL),
     )
-    return old.unionByName(new)
+    ct = F.col("_change_type")
+    imgs = (
+        F.when(ct == "update", F.array(old_img, new_img))
+        .when(ct == "delete", F.array(old_img))
+        .when(ct == "insert", F.array(new_img))
+    )
+    return changes.select(F.explode(imgs).alias("__img")).select("__img.*")
 
 
 def join_deltas(
@@ -515,10 +534,14 @@ def stats_deltas(
     """Per-group moment adjustments from a change-feed frame — the
     :func:`agg_deltas` analog over (sum, sum-of-squares, non-null count)
     per measure column.  Feed the result straight into :func:`apply_deltas`
-    with ``measure_cols=_moment_cols(src_cols)``."""
+    with ``measure_cols=_moment_cols(src_cols)``.
+
+    Single-pass (r14, guide §2.3): old/new moment images explode from ONE
+    scan of ``changes`` instead of a two-select union re-executing the
+    snapshot-diff join per side."""
     gcols = _cols(group_cols)
 
-    def _side(img: str, sign: int, kinds: list[str]) -> DataFrame:
+    def _img(img: str, sign: int) -> Column:
         cols = []
         for c in src_cols:
             v = F.col(f"{img}_{c}").cast("double")
@@ -527,16 +550,22 @@ def stats_deltas(
                 (F.lit(sign) * F.coalesce(v * v, F.lit(0.0))).alias(f"__q_{c}"),
                 F.when(v.isNotNull(), F.lit(sign)).otherwise(F.lit(0)).alias(f"__c_{c}"),
             ]
-        return changes.where(F.col("_change_type").isin(*kinds)).select(
+        return F.struct(
             *[F.col(f"{img}_{g}").alias(g) for g in gcols],
             *cols,
             F.lit(sign).alias(COUNT_COL),
         )
 
+    ct = F.col("_change_type")
+    imgs = (
+        F.when(ct == "update", F.array(_img("old", -1), _img("new", 1)))
+        .when(ct == "delete", F.array(_img("old", -1)))
+        .when(ct == "insert", F.array(_img("new", 1)))
+    )
     mcols = _moment_cols(src_cols)
     return (
-        _side("old", -1, ["update", "delete"])
-        .unionByName(_side("new", 1, ["update", "insert"]))
+        changes.select(F.explode(imgs).alias("__img"))
+        .select("__img.*")
         .groupBy(*gcols)
         .agg(
             *[F.sum(c).alias(f"{c}_delta") for c in mcols],

@@ -70,7 +70,12 @@ def covariance_and_mean(df: DataFrame, vec_col: str) -> tuple[np.ndarray, np.nda
             )
 
     rows = (
+        # NULL vectors: the pre-r13 exploded-HOF form silently dropped them
+        # (transform over NULL -> NULL, explode drops it); np.stack over a
+        # batch containing None would instead raise an opaque worker error,
+        # so filter explicitly to preserve the old semantics (ADVICE r13 #3)
         df.select(to_double(F.col(vec_col)).alias("__v"))
+        .where(F.col("__v").isNotNull())
         .mapInPandas(
             _partials, "n long, mean array<double>, scatter array<double>"
         )

@@ -534,6 +534,8 @@ def q_fs_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         signed_changes,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     fs = _client(spark)
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"),
@@ -544,8 +546,22 @@ def q_fs_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("cust"),
         F.col("c_mktsegment").alias("segment"),
     )
-    fs.create_feature_table("jv_orders", keys="okey", df=orders)
-    fs.create_feature_table("jv_cust", keys="cust", df=cust)
+
+    def _both(fa, fb):
+        # The two tables' writes are independent (separate registry docs,
+        # separate staging dirs, separate version chains), so each write
+        # pair runs as two concurrent Spark jobs (guide §2.6): the second
+        # job's tasks back-fill executors idled by the first job's commit
+        # tail instead of waiting for it.  Results/versions are identical
+        # to the sequential form.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            a, b = pool.submit(fa), pool.submit(fb)
+            a.result(), b.result()
+
+    _both(
+        lambda: fs.create_feature_table("jv_orders", keys="okey", df=orders),
+        lambda: fs.create_feature_table("jv_cust", keys="cust", df=cust),
+    )
     measures = {"total": "amount"}
     vl = vr = 1
 
@@ -580,32 +596,36 @@ def q_fs_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     # window 1: BOTH sides change — re-price + move every 7th order,
-    # re-segment every 5th customer
-    fs.write_table(
-        "jv_orders",
-        snap("jv_orders", vl).where(F.col("okey") % 7 == 0).select(
-            "okey",
-            (F.col("cust") % 50).alias("cust"),
-            F.round(F.col("amount") + 10, 2).alias("amount"),
+    # re-segment every 5th customer (independent tables: merges overlap)
+    _both(
+        lambda: fs.write_table(
+            "jv_orders",
+            snap("jv_orders", vl).where(F.col("okey") % 7 == 0).select(
+                "okey",
+                (F.col("cust") % 50).alias("cust"),
+                F.round(F.col("amount") + 10, 2).alias("amount"),
+            ),
+            mode="merge",
         ),
-        mode="merge",
-    )
-    fs.write_table(
-        "jv_cust",
-        snap("jv_cust", vr).where(F.col("cust") % 5 == 0)
-        .withColumn("segment", F.lit("MOVED")),
-        mode="merge",
+        lambda: fs.write_table(
+            "jv_cust",
+            snap("jv_cust", vr).where(F.col("cust") % 5 == 0)
+            .withColumn("segment", F.lit("MOVED")),
+            mode="merge",
+        ),
     )
     agg = advance(agg).localCheckpoint()
 
-    # window 2: two-sided deletes
-    fs.delete_from_table(
-        "jv_orders",
-        fs.read_table("jv_orders").where(F.col("okey") % 11 == 0).select("okey"),
-    )
-    fs.delete_from_table(
-        "jv_cust",
-        fs.read_table("jv_cust").where(F.col("cust") % 13 == 0).select("cust"),
+    # window 2: two-sided deletes (again independent — overlap)
+    _both(
+        lambda: fs.delete_from_table(
+            "jv_orders",
+            fs.read_table("jv_orders").where(F.col("okey") % 11 == 0).select("okey"),
+        ),
+        lambda: fs.delete_from_table(
+            "jv_cust",
+            fs.read_table("jv_cust").where(F.col("cust") % 13 == 0).select("cust"),
+        ),
     )
     agg = advance(agg)
 

@@ -1257,6 +1257,29 @@ def test_pca_matches_numpy_reference(spark):
         pca_fit(df, "v", k=9)
 
 
+def test_pca_covariance_drops_null_vectors(spark):
+    """ADVICE r13 #3: the pre-Arrow exploded-HOF covariance silently dropped
+    NULL vectors (transform over NULL -> NULL, explode drops it); the Arrow
+    pass must preserve that semantics instead of np.stack raising an opaque
+    worker error on a batch containing None."""
+    import numpy as np
+
+    from databricks_feature_store_flight_school_spark.operators.pca import (
+        covariance_and_mean,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 3)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+
+    cov, mean = covariance_and_mean(df, "v")
+    ref_cov = np.cov(base, rowvar=False, ddof=1)
+    assert np.allclose(cov, ref_cov, atol=1e-9)
+    assert np.allclose(mean, base.mean(axis=0), atol=1e-9)
+
+
 def test_global_prefix_sum_matches_window(spark):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window

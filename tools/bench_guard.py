@@ -179,10 +179,16 @@ def maybe_ratchet(result: dict, pinned: dict) -> list[str]:
       confirm a pending candidate clears it.
 
     Returns a list describing tightened and newly-pending entries (empty =
-    pin file untouched); the caller persists on any non-empty return."""
+    pin file untouched); the caller persists on any non-empty return.
+
+    Queries the guard RE-MEASURED this run (``result["retried"]``) never
+    ratchet: their mins are best-of-8-reps — extra chances to park
+    artificially low pins — and the totals folding them in are likewise
+    excluded (ADVICE r13 #2)."""
     changed: list[str] = []
     if float(result.get("sf", -1)) != float(pinned.get("sf", -2)):
         return changed
+    retried = set(result.get("retried", ()))
     if not (pinned.get("calib_sec") and result.get("calib_sec")):
         return changed  # can't normalize -> don't ratchet on raw values
     factor = pinned["calib_sec"] / result["calib_sec"]
@@ -217,11 +223,13 @@ def maybe_ratchet(result: dict, pinned: dict) -> list[str]:
         qkey = f"queries_{stat}"
         if qkey in result and qkey in pinned:
             for name, base in pinned[qkey].items():
+                if name in retried:
+                    continue
                 new = consider(f"{name}[{stat}]", base, result[qkey].get(name))
                 if new is not None:
                     pinned[qkey][name] = new
         tkey, vkey = f"total_{stat}", f"value_{stat}"
-        if tkey in pinned and vkey in result:
+        if tkey in pinned and vkey in result and not retried:
             new = consider(f"total[{stat}]", pinned[tkey], result[vkey])
             if new is not None:
                 pinned[tkey] = new
@@ -282,6 +290,15 @@ def build_artifact(result: dict, pinned: dict, failures: list[str],
     return {**result, "guard": guard}
 
 
+def retryable_failures(failures: list[str], result: dict) -> list[str]:
+    """The subset of guard failures the retry pass can actually re-measure:
+    real headline queries present in this run.  ``__total__`` (systemic
+    slowdown with every per-query min passing) and pinned-but-absent names
+    are not re-runnable — passing them to run_headline would select zero
+    queries and crash before the report printed (ADVICE r13 #1)."""
+    return [n for n in failures if n in result.get("queries_min", {})]
+
+
 def main() -> int:
     import os
 
@@ -325,18 +342,34 @@ def main() -> int:
         # fallback) reproduces on the retry; a spike does not.  The
         # comparison itself is unchanged — this retries the MEASUREMENT,
         # against the same pins, same limits, same calibration.
-        retry = run_headline(spark, sf_dir, reps=3, names=failures)
-        for stat in ("queries_min", "queries_median"):
-            for name, got in retry[stat].items():
-                if got < result[stat].get(name, float("inf")):
-                    result[stat][name] = got
-        result["value_min"] = round(sum(result["queries_min"].values()), 3)
-        result["value_median"] = round(
-            sum(result["queries_median"].values()), 3
-        )
-        failures, lines = check_result(result)
-        lines.insert(0, f"retry: re-measured {len(retry['queries_min'])} "
-                        f"failing quer{'y' if len(retry['queries_min'])==1 else 'ies'}")
+        # Only real, runnable query names can be re-measured: `__total__`
+        # (systemic-slowdown failure) and pinned-but-absent names would
+        # leave run_headline with an empty selection and crash before the
+        # report printed (ADVICE r13 #1).
+        retry_names = retryable_failures(failures, result)
+        n_initial = len(failures)
+        if retry_names:
+            retry = run_headline(
+                spark, sf_dir, reps=3, names=retry_names, calibrate=False
+            )
+            for stat in ("queries_min", "queries_median"):
+                for name, got in retry[stat].items():
+                    if got < result[stat].get(name, float("inf")):
+                        result[stat][name] = got
+            result["value_min"] = round(sum(result["queries_min"].values()), 3)
+            result["value_median"] = round(
+                sum(result["queries_median"].values()), 3
+            )
+            # provenance: these names' mins are best-of-8-reps, not the
+            # 5-rep run the rest of the artifact describes (ADVICE r13 #2)
+            result["retried"] = retry_names
+            failures, lines = check_result(result)
+            lines.insert(
+                0,
+                f"retry: re-measured {len(retry_names)} of {n_initial} "
+                f"initial failure entries (ADVICE r13: __total__ / absent "
+                f"names are not re-runnable)",
+            )
     print("\n".join(lines))
     if emit is not None:
         artifact = build_artifact(result, json.loads(PINNED_FILE.read_text()),
