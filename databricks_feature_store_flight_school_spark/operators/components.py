@@ -46,10 +46,16 @@ def connected_components(
     # that whole upstream pipeline through the growing lineage — measured
     # 95s -> 15s at sf1 on q_dedup_components, where the edge derivation
     # dominated each of the ~5 rounds.
+    # Repartition by the JOIN key before the pin (r14, guide §2.4): every
+    # superstep joins sym on ``b``; checkpointing it hash-partitioned by b
+    # lets each round's join reuse that layout instead of re-exchanging the
+    # edge table once per superstep (the distinct leaves it partitioned by
+    # (a, b), useless to the join).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .repartition("b")
     ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -72,20 +78,18 @@ def connected_components(
     old_sum = None
     converged = False
     for i in range(max_iter):
-        # neighbour minimum: for each node, the smallest label among peers
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        # One round = min over {own label} ∪ {neighbour labels}, expressed
+        # as union + ONE aggregate (r14): the previous form ran the
+        # neighbour-min groupBy and then a second LEFT JOIN of labels
+        # against it — an extra join (and its exchange) per superstep.
+        # Every node of ``labels`` appears in the union's own-label branch,
+        # so no node is lost (the old left join's null arm is subsumed).
         new_labels = (
-            labels.join(neighbor_min, on="node", how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            sym.join(labels, sym.b == labels.node)
+            .select(F.col("a").alias("node"), "label")
+            .unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=False)

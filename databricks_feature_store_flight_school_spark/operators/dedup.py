@@ -62,6 +62,30 @@ def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """The pinned distinct (id, shingle) table every shingle consumer
+    shares (r13 pin, factored out r14 so the MinHash arm can ride the SAME
+    materialisation as the exact-Jaccard arm instead of re-deriving the
+    corpus explode).  A LAZY localCheckpoint recomputes per invocation
+    (unlike persist(), whose cache-manager dedupes by canonical plan
+    ACROSS runs — result caching, not allowed) and stores ~|corpus
+    shingles| rows at MEMORY_AND_DISK.
+
+    MinHash parity: min over the DISTINCT shingle set equals min over the
+    raw per-doc shingle multiset (min is idempotent under duplicates), so
+    signatures computed from this table are bit-identical to the
+    non-distinct explode."""
+    return (
+        df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
 def shingle_pairs_jaccard(
     df: DataFrame,
     id_col: str,
@@ -73,6 +97,7 @@ def shingle_pairs_jaccard(
     on_blowup: str = "raise",
     lsh_num_hashes: int = 128,
     lsh_bands: int = 32,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard >= threshold.
 
@@ -120,16 +145,14 @@ def shingle_pairs_jaccard(
     # feeds the frequency aggregate, the guard, the per-doc sizes and BOTH
     # self-join sides — unpinned, Catalyst re-derived the scan + explode +
     # distinct up to 6x per action (the before-plan carried 24 parquet scans
-    # of `documents`; measured 7.3s -> ~3s at sf0.1).  A LAZY localCheckpoint
-    # recomputes per invocation (unlike persist(), whose cache-manager
-    # dedupes by canonical plan ACROSS runs — result caching, not allowed),
-    # and stores ~|corpus shingles| rows at MEMORY_AND_DISK — the classic
-    # space-for-recompute trade; at cluster scale the same pin bounds the
-    # corpus passes to one.
+    # of `documents`; measured 7.3s -> ~3s at sf0.1).  ``shingles`` lets a
+    # caller running BOTH the exact and MinHash arms (q_minhash_lsh_neardup)
+    # hand in one shared pin instead of materialising the corpus explode
+    # twice (r14).
     sh = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        shingles
+        if shingles is not None
+        else distinct_shingles(df, id_col, text_col, k)
     )
     sh_pinned = sh
     degrade_to_lsh = False
@@ -206,7 +229,8 @@ def shingle_pairs_jaccard(
         # verification below is over the df-filtered set, identical to the
         # exact path's semantics.
         cands = minhash_lsh_candidates(
-            df, id_col, text_col, lsh_num_hashes, lsh_bands, k
+            df, id_col, text_col, lsh_num_hashes, lsh_bands, k,
+            shingles=sh_pinned,
         ).select("id_a", "id_b")
         inter = (
             cands.join(a, "id_a")
@@ -248,7 +272,8 @@ def minhash_signature(grams: Column, num_hashes: int = 64) -> Column:
 
 
 def minhash_signatures_df(
-    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signatures as ``sig`` array<bigint>.
 
@@ -256,9 +281,18 @@ def minhash_signatures_df(
     computing all seeded hashes per shingle -> single groupBy(id) with
     ``num_hashes`` min() aggregates (partial map-side).  One shuffle on the
     doc id; every expression stays inside whole-stage codegen, unlike the
-    interpreted HOF form."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, k)).alias("__shingle")
+    interpreted HOF form.
+
+    ``shingles`` (a :func:`distinct_shingles` frame) reuses an existing
+    pinned (id, shingle) table instead of re-exploding the corpus —
+    bit-identical signatures (min is idempotent under the duplicates the
+    raw explode carries)."""
+    sh = (
+        shingles.select(F.col(id_col), F.col("shingle").alias("__shingle"))
+        if shingles is not None
+        else df.select(
+            F.col(id_col), F.explode(word_shingles(text_col, k)).alias("__shingle")
+        )
     )
     mins = sh.groupBy(id_col).agg(
         *[
@@ -317,14 +351,17 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
     rows/band = num_hashes/bands; docs sharing ALL mins in any band collide.
     Output: distinct (id_a < id_b) candidate pairs with the estimated
     signature similarity (fraction of matching minhashes).
+    ``shingles`` shares a pinned :func:`distinct_shingles` table with the
+    exact arm (see :func:`minhash_signatures_df`).
     """
-    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, k)
+    sig = minhash_signatures_df(df, id_col, text_col, num_hashes, k, shingles)
     banded = band_keys(sig, id_col, num_hashes, bands)
 
     # candidates dedup as bare id pairs; the 64-long signatures re-attach

@@ -227,12 +227,35 @@ def group_quantile_cont(
     match) — no second input scan.
     """
     groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    lv = group_value_levels(df, groups, value)
+    return group_quantile_cont_levels(lv, groups, ps)
+
+
+def group_value_levels(
+    df: DataFrame, group_cols: str | Sequence[str], value: str | Column
+) -> DataFrame:
+    """The (group, ``__v``, ``__ln``) level table :func:`group_quantile_cont`
+    reduces its input to — exposed (r14) so a caller computing SEVERAL
+    quantile passes over transforms of the SAME column (q_mad_robust's
+    median-then-MAD) can derive the second pass's levels from the first's
+    (|levels| rows) instead of rescanning and re-shuffling the fact table:
+    ``abs(v - med)`` maps levels to levels with counts re-merged by sum."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     v = F.col(value) if isinstance(value, str) else value
-    lv = (
+    return (
         df.select(*groups, v.alias("__v"))
         .groupBy(*groups, "__v")
         .agg(F.count(F.lit(1)).alias("__ln"))
     )
+
+
+def group_quantile_cont_levels(
+    lv: DataFrame, group_cols: str | Sequence[str], ps: dict[str, float]
+) -> DataFrame:
+    """:func:`group_quantile_cont` over a pre-reduced level table
+    (columns: groups, ``__v`` value level, ``__ln`` level count) — the
+    exact same cumulative-window interpolation, starting from levels."""
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     # null levels participate with effective count 0: they keep their group
     # alive but hold no positions, so no interpolation index can land on them
     nn = F.when(F.col("__v").isNotNull(), F.col("__ln")).otherwise(F.lit(0))

@@ -722,9 +722,13 @@ def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy import edit_distance_join
 
     p = load_table(spark, sf_dir, "part")
+    # Pin the distinct-name table once (r14, same shape as the r13 shingle
+    # pin): g feeds d0, the PassJoin's five base consumers (index, probe,
+    # tiny-string arm, both name re-attach sides) and the two count
+    # re-attach joins — unpinned, the plan carried 23 part scans.
     g = p.groupBy("p_type", "p_name").agg(
         F.count(F.lit(1)).alias("__cnt"), F.max("p_partkey").alias("__gid")
-    )
+    ).localCheckpoint(eager=False)
     # d=0: pairs/lefts within one name group (group max-id is never a
     # smaller-id side; every other member is)
     d0 = (
@@ -1476,19 +1480,33 @@ def q_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/ranks.group_quantile_cont (round 10 — the builtin map-based
     ``percentile`` held every distinct price in one buffer and killed the
     sf10 JVM); two level-table passes over the same 3-value grouping key."""
-    from ..operators.ranks import group_quantile_cont
+    from ..operators.ranks import (
+        group_quantile_cont_levels, group_value_levels,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
-    med = group_quantile_cont(
-        li, "l_returnflag", "l_extendedprice", {"med_price": 0.5}
+    # ONE fact scan + level reduction serves BOTH medians (r14, guide §2.3):
+    # the deviation pass's levels derive from the price levels themselves —
+    # |v - med| maps each (group, price, count) level to a deviation level
+    # with counts re-merged — so the second percentile never rescans or
+    # re-shuffles the fact table (it was a second full scan + row-level
+    # shuffle before).  Values are bit-identical: same level multiset,
+    # same cumulative-window interpolation.
+    lv = group_value_levels(li, "l_returnflag", "l_extendedprice")
+    med = group_quantile_cont_levels(
+        lv, "l_returnflag", {"med_price": 0.5}
     ).select("l_returnflag", "med_price")
-    dev = li.join(F.broadcast(med), "l_returnflag")
-    mad = group_quantile_cont(
-        dev,
-        "l_returnflag",
-        F.abs(F.col("l_extendedprice") - F.col("med_price")),
-        {"__mad": 0.5},
+    dev_lv = (
+        lv.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.abs(F.col("__v") - F.col("med_price")).alias("__v"),
+            "__ln",
+        )
+        .groupBy("l_returnflag", "__v")
+        .agg(F.sum("__ln").alias("__ln"))
     )
+    mad = group_quantile_cont_levels(dev_lv, "l_returnflag", {"__mad": 0.5})
     return (
         med.join(mad, "l_returnflag")
         .select(

@@ -221,8 +221,17 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The LSH stage is the 100 TB path: candidates come from band-bucket joins,
     not an all-pairs comparison.  Declared rows-only (Spark-specific hashes)."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=64, bands=16)
-    exact = D.shingle_pairs_jaccard(docs, "doc_id", "text", k=3, threshold=0.5)
+    # ONE pinned distinct-shingle table feeds both arms (r14): the MinHash
+    # signatures and the exact-verify Jaccard previously each re-derived
+    # the corpus explode+distinct — signatures are bit-identical over the
+    # distinct set (min is idempotent under duplicates)
+    sh = D.distinct_shingles(docs, "doc_id", "text", k=3)
+    cands = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=16, shingles=sh
+    )
+    exact = D.shingle_pairs_jaccard(
+        docs, "doc_id", "text", k=3, threshold=0.5, shingles=sh
+    )
     return (
         cands.join(exact, ["id_a", "id_b"])
         .select("id_a", "id_b", F.round("est_similarity", 6).alias("est_similarity"),

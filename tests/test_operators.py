@@ -1494,3 +1494,85 @@ def test_shingle_pairs_on_blowup_lsh(spark):
     assert {(a, b) for a, b, *_ in exact} == {(100, 101), (200, 201)}
     with pytest.raises(ValueError, match="on_blowup"):
         shingle_pairs_jaccard(df, "id", "text", on_blowup="retry")
+
+
+def test_arrow_argmax_near_tie_matches_column_tie_break(spark):
+    """VERDICT r13 #5 (seeded near-tie parity): the Arrow argmax/argsort
+    assignment paths replicate the Column forms' tie-breaks — but numpy's
+    dot association differs from Spark's aggregate order, so the invariant
+    deserves an explicit construction, not just 222 green oracles.  All
+    vector/centroid components here are powers of two, making every
+    partial dot-product sum EXACT in both engines: multi-way exact ties
+    exercise the first-max / lower-index rules, and near-ties separated by
+    2^-50 (below any plausible tolerance, representable exactly) must
+    resolve to the strictly-larger side in both paths."""
+    from databricks_feature_store_flight_school_spark.operators.similarity import (
+        _argmax_bucket_udf,
+        _centroid_dots,
+        _top_buckets_udf,
+    )
+
+    eps = 2.0 ** -51
+    centroids = [
+        [0.5, 0.5, 0.0, 0.0],
+        [0.5, 0.0, 0.5, 0.0],
+        [0.0, 0.5, 0.5, 0.0],
+    ]
+    # dots(v) = ((v0+v1)/2, (v0+v2)/2, (v1+v2)/2) — every sum below is
+    # exact in binary64, so both engines compute IDENTICAL dot values and
+    # only the tie-break rule is under test
+    rows = [
+        # 3-way EXACT tie: dots (1, 1, 1) -> first max = bucket 0
+        (0, [1.0, 1.0, 1.0, 0.0]),
+        # exact tie between 1 and 2 only: dots (1, 2.5, 2.5)
+        (1, [1.0, 1.0, 4.0, 0.0]),
+        # near-tie: dots (1, 1, 1+eps) — bucket 2 wins strictly by 2^-51
+        (2, [1.0 - eps, 1.0 + eps, 1.0 + eps, 0.0]),
+        # near-tie the other way: dots (1+eps, 1, 1) — bucket 0 wins
+        (3, [1.0 + eps, 1.0 + eps, 1.0 - eps, 0.0]),
+        # no tie, sanity: dots (2.125, 2, 0.125)
+        (4, [4.0, 0.25, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vid int, v array<double>")
+
+    # Column twin of _argmax_bucket_udf (the pre-r13 corpus form, still the
+    # query-side probe form): 1-based array_position of the first maximum
+    dots = _centroid_dots(F.col("v"), centroids)
+    col_bucket = F.array_position(dots, F.array_max(dots)).cast("int")
+    got = (
+        df.select(
+            "vid",
+            col_bucket.alias("col_b"),
+            _argmax_bucket_udf(centroids, base=1)(F.col("v")).alias("arrow_b"),
+            _top_buckets_udf(centroids, 2, base=0)(F.col("v")).alias("arrow_top"),
+        )
+        .collect()
+    )
+    by_id = {r["vid"]: r for r in got}
+    for vid, r in by_id.items():
+        assert r["col_b"] == r["arrow_b"], (vid, r)
+    # expected winners, from the exact arithmetic above
+    assert by_id[0]["arrow_b"] == 1  # first of the 3-way tie (1-based)
+    assert by_id[1]["arrow_b"] == 2  # first of the {1,2} tie
+    assert by_id[2]["arrow_b"] == 3  # eps-winner, not the tie-break
+    assert by_id[3]["arrow_b"] == 1
+    assert by_id[4]["arrow_b"] == 1
+
+    # _top_buckets_udf tie-break: descending dot, ties toward LOWER index —
+    # the row_number(ORDER BY cdot DESC, bucket ASC) rule it replaced
+    assert by_id[0]["arrow_top"] == [0, 1]
+    assert by_id[1]["arrow_top"] == [1, 2]
+    assert by_id[2]["arrow_top"][0] == 2
+    assert by_id[3]["arrow_top"][0] == 0
+
+    # the clusterer's Arrow assignment shares the same first-max rule
+    from databricks_feature_store_flight_school_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    assign = {
+        r["id"]: r["cluster"]
+        for r in assign_clusters(df, "vid", "v", centroids).collect()
+    }
+    assert assign[0] == 0 and assign[1] == 1 and assign[2] == 2
+    assert assign[3] == 0 and assign[4] == 0
