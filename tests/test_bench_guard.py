@@ -511,3 +511,29 @@ def test_bench_result_echoes_effective_parallelism(spark):
     # the driver-facing keys are untouched (additive-only contract)
     for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in result
+
+
+@pytest.mark.skipif(
+    not (REPO / "CATALOG_PINNED.json").exists()
+    or not Path(BENCH_SF_DIR).exists(),
+    reason="catalog pins or sf0.1 testdata not present",
+)
+def test_catalog_tail_within_pinned_envelope():
+    """VERDICT r13 #7: the headline guard protected 17 queries; the r13
+    class of tail win (q_lsh_topk 14.6s -> 0.72s) had no ratchet and could
+    regress silently until the next manual sweep.  tools/catalog_guard.py
+    pins the expensive tail's warm minimums under the same calibrated
+    envelope (bench_guard.check_result); this runs it end-to-end."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "tools" / "catalog_guard.py")],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": BENCH_SF_DIR},
+        cwd=str(REPO),
+    )
+    report = proc.stdout.strip().splitlines()
+    assert proc.returncode == 0, "\n".join(
+        ln for ln in report if ln.startswith("FAIL")
+    ) or proc.stderr[-2000:]
+    assert any(ln.startswith("ok    total") for ln in report), report
