@@ -916,19 +916,6 @@ def incremental_dedup(
         )
         est = matching.cast("double") / F.lit(float(num_hashes))
 
-        def _near_ids(cand_pairs: DataFrame, sig_b_src: DataFrame) -> DataFrame:
-            """batch ids whose estimated Jaccard vs any counterpart >= threshold"""
-            return (
-                cand_pairs.join(
-                    sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
-                    "id_a",
-                )
-                .join(sig_b_src, "id_b")
-                .where(est >= F.lit(threshold))
-                .select(F.col("id_a").alias(id_col))
-                .distinct()
-            )
-
         # cross near-dups: batch band keys vs index band keys (batch side
         # broadcast by AQE; the index side never shuffles)
         cross_cands = (
@@ -939,10 +926,6 @@ def incremental_dedup(
             )
             .select("id_a", "id_b")
             .distinct()
-        )
-        cross_near = _near_ids(
-            cross_cands,
-            index_sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
         )
 
         # within-batch near-dups: same banding among the survivors; the
@@ -955,12 +938,41 @@ def incremental_dedup(
             .select("id_a", "id_b")
             .distinct()
         )
-        self_near = _near_ids(
-            self_cands,
-            sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")),
-        )
 
-        rejected = cross_near.union(self_near).distinct()
+        # ONE verify pass for both arms (r14, guide §2.4): the candidate
+        # sets union BEFORE the signature re-attach, so the sig_a join, the
+        # sig_b join and the threshold filter run once instead of per arm —
+        # two join pipelines + a post-verify union/distinct become one
+        # pipeline (the anti-join below is duplicate-tolerant, so no
+        # distinct is needed after the filter at all).  A __src tag rides
+        # each pair and keys the sig_b attach, so a batch id colliding with
+        # an index id still resolves to the side its candidate came from —
+        # the same no-corruption property the separate joins had.
+        pairs = cross_cands.select(
+            "id_a", "id_b", F.lit("i").alias("__src")
+        ).unionByName(
+            self_cands.select("id_a", "id_b", F.lit("b").alias("__src"))
+        )
+        sig_b_src = index_sigs.select(
+            F.col(id_col).alias("id_b"),
+            F.lit("i").alias("__src"),
+            F.col("sig").alias("sig_b"),
+        ).unionByName(
+            sigs.select(
+                F.col(id_col).alias("id_b"),
+                F.lit("b").alias("__src"),
+                F.col("sig").alias("sig_b"),
+            )
+        )
+        rejected = (
+            pairs.join(
+                sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")),
+                "id_a",
+            )
+            .join(sig_b_src, ["id_b", "__src"])
+            .where(est >= F.lit(threshold))
+            .select(F.col("id_a").alias(id_col))
+        )
         accepted = survivors.join(rejected, id_col, "left_anti")
         acc_sigs = sigs.join(accepted.select(id_col), id_col, "left_semi")
 

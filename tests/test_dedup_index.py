@@ -1236,3 +1236,33 @@ def test_compact_carries_stamp_forward_on_empty_band_table(spark):
     assert stats["signed_docs"] == 1 and stats["bandkey_rows"] == 8
     for t in names:
         drop_published(spark, t)
+
+
+def test_verify_attach_resolves_batch_index_id_collision(spark):
+    """The near-dup verify joins attach sig_b from TWO sources (batch sigs
+    for the within-batch arm, index sigs for the cross arm).  A batch id
+    that collides with an index id must still resolve each pair to the
+    side its candidate came from — the docstring's no-corruption promise,
+    and the invariant the r14 single-pass verify keeps via its __src tag.
+
+    Construction: id 2 exists on BOTH sides with UNRELATED texts (batch=X
+    family, index=Y family).  Batch 20 (~X) must be rejected by the
+    within-batch arm using BATCH doc 2's signature; batch 30 (~Y) must be
+    rejected by the cross arm using INDEX doc 2's signature.  Either
+    signature leaking across sides would let its near-dup through."""
+    x = _doc("xx")
+    y = _doc("yy")
+    corpus = spark.createDataFrame(
+        [(2, y), (5, _doc("zz"))], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (2, x),              # novel text -> accepted
+            (20, x + " extra"),  # ~batch doc 2 -> self-arm reject (batch sig)
+            (30, y + " other"),  # ~index doc 2 -> cross-arm reject (index sig)
+        ],
+        "doc_id long, text string",
+    )
+    index = D.build_dedup_index(corpus, "doc_id", "text")
+    accepted, _ = D.incremental_dedup(batch, index, "doc_id", "text", threshold=0.7)
+    assert {r["doc_id"] for r in accepted.collect()} == {2}
